@@ -1,0 +1,375 @@
+"""On-device Whisper decoding engine.
+
+TPU-native re-creation of the reference's per-window decode
+(``/root/reference/src/models/whisper/model.rs:164-389``).  The reference
+pays a host<->device round-trip per decoded token (token upload model.rs:318,
+full-vocab download :342/:350) and recomputes decoder self-attention over the
+whole prefix every step.  Here the entire autoregressive loop — sampling,
+stateful timestamp-grammar suppression, logprob accounting, stop conditions —
+runs inside ONE compiled ``lax.while_loop`` with an incremental KV cache;
+only the final token ids (a few KB) ever reach the host.
+
+Semantics preserved from the reference, in prob space (post first softmax):
+  - first sampled token forced into [<|0.00|> ..= <|1.00|>]  (model.rs:336-338)
+  - stateful rule engine supress_tokens()                    (model.rs:245-277)
+  - monotonic timestamps via past-timestamp masking          (model.rs:225-243)
+  - greedy argmax (t=0) / WeightedIndex over softmax(masked/t) (t>0)
+    == categorical with logits masked/t                      (model.rs:340-357)
+  - all-NaN weights => push EOT and stop                     (model.rs:343-346)
+  - max_target_positions-1 guard pushes an extra EOT         (model.rs:367-370)
+  - sum_logprob over ln(masked prob of chosen token)         (model.rs:364-365)
+  - no-speech probe at the SOT position of the prefix        (model.rs:293-305)
+  - compression_ratio intentionally never computed (NaN) so the fallback is
+    logprob-only, matching the reference quirk               (model.rs:313,387)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import LOGPROB_THRESHOLD, NO_SPEECH_THRESHOLD, TEMPERATURES
+from ..model.config import WhisperConfig
+from ..model.whisper import cross_kv, decoder_prefill, decoder_step, encode
+from .masks import Masks, SpecialTokens, build_masks
+
+
+@dataclass
+class DecodingResult:
+    """Mirror of the reference's DecodingResult (model.rs:493-499)."""
+
+    tokens: List[int]
+    avg_logprob: float
+    no_speech_prob: float
+    compression_ratio: float = float("nan")
+
+
+class DecodeEngine:
+    """Jitted encode / prefill / decode-loop bundle for one model.
+
+    All functions are batched over a leading stream dimension B; the
+    single-stream API uses B=1 and the multi-stream scheduler larger B.
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg: WhisperConfig,
+        st: SpecialTokens,
+        language_token_ids: Optional[Sequence[int]] = None,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.st = st
+        masks = build_masks(cfg.vocab_size, cfg.suppress_tokens, st)
+        self._m_suppress = jnp.asarray(masks.suppress)
+        self._m_non_ts = jnp.asarray(masks.non_timestamps)
+        self._m_ts = jnp.asarray(masks.timestamps)
+        self._m_first = jnp.asarray(masks.first_token)
+        self._lang_ids = (
+            jnp.asarray(np.asarray(language_token_ids, np.int32))
+            if language_token_ids is not None
+            else None
+        )
+
+        self._encode = jax.jit(lambda p, mel: encode(p, cfg, mel))
+        self._prefill = jax.jit(self._prefill_impl)
+        self._loop = jax.jit(self._loop_impl)
+        self._detect = jax.jit(self._detect_impl)
+
+    # ------------------------------------------------------------------
+    # Device-side pieces
+    # ------------------------------------------------------------------
+
+    def encode(self, mel: jax.Array) -> jax.Array:
+        """mel [B, n_mels, T] -> audio features [B, T//2, D]."""
+        return self._encode(self.params, mel)
+
+    def _prefill_impl(self, params, feats, prefix_tokens):
+        """feats [B, Ta, D]; prefix_tokens [B, P] -> prefill state.
+
+        Returns (xk, xv, cache_k, cache_v, next_logits [B,V], no_speech_prob [B]).
+        The probe reads logits at the SOT position (index 0), exactly like the
+        reference's ``ys.i(..1).i(0).i(0)`` (model.rs:300).
+        """
+        xk, xv = cross_kv(params, self.cfg, feats)
+        logits, cache_k, cache_v = decoder_prefill(
+            params, self.cfg, prefix_tokens, xk, xv
+        )
+        probe = jax.nn.softmax(logits[:, 0, :], axis=-1)
+        no_speech_prob = probe[:, self.st.no_speech]
+        return xk, xv, cache_k, cache_v, logits[:, -1, :], no_speech_prob
+
+    def _detect_impl(self, params, feats):
+        """Language-id probe: decode one step on [sot] and softmax over the
+        language tokens (reference: detect_language, model.rs:194-210).
+
+        Returns probs [B, n_languages] in Language-enum order.
+        """
+        B = feats.shape[0]
+        sot = jnp.full((B, 1), self.st.sot, jnp.int32)
+        xk, xv = cross_kv(params, self.cfg, feats)
+        logits, _, _ = decoder_prefill(params, self.cfg, sot, xk, xv)
+        lang_logits = logits[:, 0, self._lang_ids]
+        return jax.nn.softmax(lang_logits, axis=-1)
+
+    def _grammar_mask_step(self, probs, prev1, prev2, last_ts, is_first):
+        """Branchless mask algebra for one step.  probs [B, V] f32."""
+        st = self.st
+        V = self.cfg.vocab_size
+        ids = jnp.arange(V)
+
+        base = probs + self._m_suppress[None]
+        past = jnp.where(
+            (ids[None] > st.no_timestamps) & (ids[None] <= last_ts[:, None]),
+            -jnp.inf,
+            0.0,
+        ).astype(jnp.float32)
+
+        # Branch A: last token was a timestamp.
+        second_special = (prev2 >= st.eot)[:, None]
+        mask_a = jnp.where(second_special, self._m_ts[None], self._m_non_ts[None] + past)
+
+        # Branch B: compare total timestamp prob vs max text prob.
+        ts_region = (ids > st.no_timestamps)[None]
+        sum_ts = jnp.sum(jnp.where(ts_region, base, 0.0), axis=-1)
+        max_txt = jnp.max(
+            jnp.where((ids < st.no_timestamps)[None], base, -jnp.inf), axis=-1
+        )
+        force_ts = (sum_ts >= max_txt)[:, None]
+        mask_b = jnp.where(force_ts, self._m_non_ts[None] + past, past)
+
+        last_is_ts = (prev1 > st.no_timestamps)[:, None]
+        extra = jnp.where(last_is_ts, mask_a, mask_b)
+        masked = base + extra
+
+        # First sampled token of the window: ONLY the first-token mask
+        # (no suppress base), reference model.rs:333-338.
+        return jnp.where(is_first, probs + self._m_first[None], masked)
+
+    def _loop_impl(
+        self,
+        params,
+        xk,
+        xv,
+        cache_k,
+        cache_v,
+        next_logits,  # [B, V] f32 — logits predicting the first sampled token
+        tokens_init,  # [B, Tmax] int32 with the prefix written at [0, P)
+        n0,  # scalar int32 == P
+        prev1,  # [B] int32 (task token)
+        prev2,  # [B] int32 (lang or sot token)
+        temp,  # scalar f32
+        seed,  # scalar uint32
+    ):
+        cfg = self.cfg
+        st = self.st
+        B, Tmax = tokens_init.shape
+        mtp = cfg.max_target_positions
+
+        key0 = jax.random.PRNGKey(seed)
+
+        def cond(c):
+            (step, tokens, n, p1, p2, last_ts, slp, fin, ll, ck, cv, key) = c
+            return jnp.logical_and(jnp.any(~fin), step < mtp)
+
+        def body(c):
+            (step, tokens, n, p1, p2, last_ts, slp, fin, ll, ck, cv, key) = c
+            probs = jax.nn.softmax(ll, axis=-1)
+            masked = self._grammar_mask_step(probs, p1, p2, last_ts, step == 0)
+
+            greedy = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+            key, sub = jax.random.split(key)
+            temp_safe = jnp.maximum(temp, 1e-6)
+            cat = jax.random.categorical(sub, masked / temp_safe, axis=-1).astype(
+                jnp.int32
+            )
+            use_sampling = temp > 0.0
+            all_nan = jnp.isnan(masked).any(axis=-1)
+            forced_nan_eot = jnp.logical_and(use_sampling, all_nan)
+
+            nxt = jnp.where(use_sampling, cat, greedy)
+            nxt = jnp.where(forced_nan_eot, st.eot, nxt)
+
+            # Push at per-stream position n (lockstep: n == n0 + step for all
+            # unfinished streams, but keep it per-stream for clarity).
+            slot = jnp.arange(Tmax)[None] == n[:, None]
+            tokens = jnp.where(slot & (~fin)[:, None], nxt[:, None], tokens)
+
+            prob_chosen = jnp.take_along_axis(masked, nxt[:, None], axis=-1)[:, 0]
+            add_lp = jnp.where(fin | forced_nan_eot, 0.0, jnp.log(prob_chosen))
+            slp = slp + add_lp
+
+            hit_eot = nxt == st.eot
+            # len after push is n+1; reference pushes an extra EOT when
+            # len >= max_target_positions - 1 (model.rs:367-370).
+            len_limit = ((n + 1) >= (mtp - 1)) & ~hit_eot & ~forced_nan_eot
+            slot2 = jnp.arange(Tmax)[None] == (n + 1)[:, None]
+            tokens = jnp.where(
+                slot2 & (len_limit & ~fin)[:, None], st.eot, tokens
+            )
+
+            new_fin = fin | hit_eot | forced_nan_eot | len_limit
+            n = jnp.where(fin, n, n + 1 + len_limit.astype(jnp.int32))
+            p2 = jnp.where(fin, p2, p1)
+            p1 = jnp.where(fin, p1, nxt)
+            last_ts = jnp.where(
+                (~fin) & (nxt > st.no_timestamps), nxt, last_ts
+            )
+
+            # Forward the just-pushed token unless every stream is done.
+            pos = n0 + step  # scalar position of the pushed token
+
+            def fwd(args):
+                ck, cv, ll = args
+                logits, ck2, cv2 = decoder_step(
+                    params, cfg, nxt, pos, ck, cv, xk, xv
+                )
+                return ck2, cv2, logits
+
+            def skip(args):
+                return args
+
+            ck, cv, ll = jax.lax.cond(jnp.any(~new_fin), fwd, skip, (ck, cv, ll))
+
+            return (step + 1, tokens, n, p1, p2, last_ts, slp, new_fin, ll, ck, cv, key)
+
+        init = (
+            jnp.int32(0),
+            tokens_init,
+            jnp.full((B,), n0, jnp.int32),
+            prev1,
+            prev2,
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), jnp.float32),
+            jnp.zeros((B,), bool),
+            next_logits,
+            cache_k,
+            cache_v,
+            key0,
+        )
+        (step, tokens, n, _, _, _, slp, _, _, _, _, _) = jax.lax.while_loop(
+            cond, body, init
+        )
+        return tokens, n, slp
+
+    # ------------------------------------------------------------------
+    # Host-side orchestration
+    # ------------------------------------------------------------------
+
+    def detect_language(self, feats: jax.Array) -> np.ndarray:
+        """Return [B, n_languages] probabilities (Language-enum order)."""
+        if self._lang_ids is None:
+            raise ValueError("language detection requires language_token_ids")
+        return np.asarray(self._detect(self.params, feats))
+
+    def decode(
+        self,
+        feats: jax.Array,
+        lang_token: Optional[int],
+        temperature: float,
+        seed: int,
+        _prefill_state=None,
+    ) -> DecodingResult:
+        """Single decode at one temperature (reference: decode, model.rs:279-389)."""
+        state = _prefill_state or self.prefill(feats, lang_token)
+        return self.run_loop(state, temperature, seed)[0]
+
+    def prefill(self, feats: jax.Array, lang_token: Optional[int]):
+        B = feats.shape[0]
+        prefix = [self.st.sot]
+        if lang_token is not None:
+            prefix.append(int(lang_token))
+        prefix.append(self.st.task)
+        prefix_arr = jnp.tile(jnp.asarray(prefix, jnp.int32)[None], (B, 1))
+        xk, xv, ck, cv, nl, nsp = self._prefill(self.params, feats, prefix_arr)
+        return dict(
+            prefix=prefix,
+            B=B,
+            xk=xk,
+            xv=xv,
+            cache_k=ck,
+            cache_v=cv,
+            next_logits=nl,
+            no_speech_prob=np.asarray(nsp),
+        )
+
+    def run_loop(self, state, temperature: float, seed: int) -> List[DecodingResult]:
+        st = self.st
+        prefix = state["prefix"]
+        B = state["B"]
+        P = len(prefix)
+        Tmax = self.cfg.max_target_positions
+        tokens_init = np.zeros((B, Tmax), np.int32)
+        tokens_init[:, :P] = prefix
+        tokens, n, slp = self._loop(
+            self.params,
+            state["xk"],
+            state["xv"],
+            state["cache_k"],
+            state["cache_v"],
+            state["next_logits"],
+            jnp.asarray(tokens_init),
+            jnp.int32(P),
+            jnp.full((B,), prefix[-1], jnp.int32),
+            jnp.full((B,), prefix[-2], jnp.int32),
+            jnp.float32(temperature),
+            jnp.uint32(seed),
+        )
+        tokens = np.asarray(tokens)
+        n = np.asarray(n)
+        slp = np.asarray(slp)
+        out = []
+        for b in range(B):
+            toks = tokens[b, : n[b]].tolist()
+            avg_logprob = float(slp[b]) / max(len(toks), 1)
+            # Trailing timestamp cleanup (reference: model.rs:375-381).
+            while len(toks) >= 2 and toks[-2] > st.no_timestamps:
+                del toks[-2]
+            out.append(
+                DecodingResult(
+                    tokens=toks,
+                    avg_logprob=avg_logprob,
+                    no_speech_prob=float(state["no_speech_prob"][b]),
+                )
+            )
+        return out
+
+    def decode_with_fallback(
+        self,
+        feats: jax.Array,
+        lang_token: Optional[int],
+        seed: int,
+    ) -> Optional[DecodingResult]:
+        """Temperature-fallback ladder (reference: model.rs:164-191), B=1.
+
+        Note the reference never computes compression_ratio (NaN), so
+        fallback triggers on avg_logprob alone; replicated faithfully.
+
+        Deviation (bug-fix) from the reference: when the no-speech probe
+        exceeds the threshold the reference returns prefix-only tokens
+        (model.rs:308-315) which its own segmenter cannot consume, leaving
+        the audio buffer undrained forever.  We surface the same
+        DecodingResult; the long-form layer treats it as "discard slice".
+        """
+        state = self.prefill(feats, lang_token)
+        nsp = float(state["no_speech_prob"][0])
+        if nsp > NO_SPEECH_THRESHOLD:
+            return DecodingResult(
+                tokens=list(state["prefix"]), avg_logprob=0.0, no_speech_prob=nsp
+            )
+        for i, t in enumerate(TEMPERATURES):
+            dr = self.run_loop(state, t, seed + i)[0]
+            needs_fallback = (
+                dr.compression_ratio > 2.4  # NaN > x is False: dead branch kept
+                or dr.avg_logprob < LOGPROB_THRESHOLD
+            )
+            if not needs_fallback or dr.no_speech_prob > NO_SPEECH_THRESHOLD:
+                return dr
+        return None

@@ -1,0 +1,209 @@
+"""Long-form streaming decode: buffer management, windowing, drain accounting.
+
+Host-side re-creation of the reference's ``Model::transcribe``
+(``/root/reference/src/models/whisper/model.rs:55-159``): audio accumulates
+in a buffer; each pass transcribes a <=30s window; the timestamp grammar
+decides how much audio is consumed.  A fully-transcribed window drains
+entirely; a partially-transcribed one drains up to the last complete
+segment's start timestamp (s_timestamp * 320 samples) so the tail is
+re-transcribed with more context; unterminated segments wait for more audio.
+
+Documented deviations (both are forward-progress bug-fixes; the reference
+loops forever in these cases because nothing is drained and no segment is
+consumable):
+  1. no-speech early exit (probe > threshold) returns prefix-only tokens
+     (model.rs:308-315) -> we drain the window (the reference's *intent* per
+     its gating at model.rs:95-98).
+  2. a decode whose tokens contain fewer than two segment boundaries after
+     trailing-timestamp cleanup (e.g. ``[... task, eot]``) yields zero
+     segments -> we drain the window.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..constants import (
+    HOP_LENGTH,
+    LOGPROB_THRESHOLD,
+    NO_SPEECH_THRESHOLD,
+    SAMPLES_PER_TIMESTAMP_TICK,
+    TEMPERATURES,
+)
+from ..frontend.mel import log_mel_spectrogram, prepare_audio
+from ..utils import inclusive_segments
+from .engine import DecodeEngine, DecodingResult
+
+import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class LanguageState:
+    """Reference: LanguageState (model.rs:392-440).
+
+    ``const`` set => monolingual (ConstLang); otherwise Detect mode where
+    ``detected`` holds the language token once inferred and is cleared after
+    every final chunk.
+    """
+
+    const: Optional[int] = None
+    detected: Optional[int] = None
+
+    @property
+    def token(self) -> Optional[int]:
+        return self.const if self.const is not None else self.detected
+
+    @property
+    def needs_detection(self) -> bool:
+        return self.const is None and self.detected is None
+
+    def set_detected(self, tok: int) -> None:
+        if self.const is None:
+            self.detected = tok
+
+    def clear(self) -> None:
+        self.detected = None
+
+
+class LongFormDecoder:
+    """Streaming long-form decoder for a single audio stream."""
+
+    def __init__(
+        self,
+        engine: DecodeEngine,
+        tokenizer,
+        lang: LanguageState,
+        language_tokens: Optional[Sequence[int]] = None,
+        seed: int = 0,
+    ):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.lang = lang
+        # Token id per Language-enum index, for mapping argmax -> token id.
+        self.language_tokens = list(language_tokens) if language_tokens else None
+        self.buf = np.zeros(0, np.float32)
+        self._seed = seed
+        # Window geometry derives from the model config: a full window is
+        # 2 * max_source_positions mel frames (3000 => 480_000 samples, the
+        # reference's N_SAMPLES).  Deriving keeps small test models usable.
+        cfg = engine.cfg
+        self.n_frames = 2 * cfg.max_source_positions
+        self.window_samples = self.n_frames * HOP_LENGTH
+
+    # -- internals ---------------------------------------------------------
+
+    def _next_seed(self) -> int:
+        self._seed += len(TEMPERATURES)
+        return self._seed
+
+    def _decode_window(self, window: np.ndarray) -> Optional[DecodingResult]:
+        cfg = self.engine.cfg
+        mel = log_mel_spectrogram(
+            jnp.asarray(prepare_audio(window, n_frames=self.n_frames)),
+            n_mels=cfg.num_mel_bins,
+            n_frames=self.n_frames,
+        )
+        feats = self.engine.encode(mel)
+        if self.lang.needs_detection:
+            probs = self.engine.detect_language(feats)
+            idx = int(np.argmax(probs[0]))
+            tok = self.language_tokens[idx]
+            logger.debug("Detected language idx=%d prob=%.3f", idx, probs[0][idx])
+            self.lang.set_detected(tok)
+        return self.engine.decode_with_fallback(
+            feats, self.lang.token, self._next_seed()
+        )
+
+    # -- public ------------------------------------------------------------
+
+    def transcribe(self, data: np.ndarray, final_chunk: bool) -> str:
+        """Feed one chunk; return any newly-final transcript text."""
+        st = self.engine.st
+        if self.buf.size == 0:
+            self.buf = np.asarray(data, np.float32)
+        else:
+            self.buf = np.concatenate([self.buf, np.asarray(data, np.float32)])
+
+        res: List[str] = []
+
+        while self.buf.size > 0:
+            slice_len = min(self.buf.size, self.window_samples)
+            window = self.buf[:slice_len]
+
+            dr = self._decode_window(window)
+
+            if dr is None:
+                # All temperatures failed quality gates (model.rs:90-93).
+                self.buf = self.buf[slice_len:]
+                continue
+
+            if (
+                dr.no_speech_prob > NO_SPEECH_THRESHOLD
+                and dr.avg_logprob < LOGPROB_THRESHOLD
+            ):
+                self.buf = self.buf[slice_len:]
+                continue
+
+            prefix_only = dr.tokens and dr.tokens[-1] != st.eot
+            if prefix_only:
+                # Deviation 1: silence probe fired; drain (see module doc).
+                self.buf = self.buf[slice_len:]
+                continue
+
+            segs = list(
+                inclusive_segments(
+                    dr.tokens, lambda t: t > st.no_timestamps or t == st.eot
+                )
+            )
+            if not segs:
+                # Deviation 2: no consumable segment; drain (see module doc).
+                self.buf = self.buf[slice_len:]
+                continue
+
+            stop_all = False  # break 'new_chunk in the reference
+            for tokens in segs:
+                s_timestamp = tokens[0] - st.no_timestamps - 1
+                e_token = tokens[-1]
+
+                if e_token == st.eot:
+                    if s_timestamp == 0 or final_chunk:
+                        if slice_len == self.window_samples or final_chunk:
+                            self.buf = self.buf[slice_len:]
+                            logger.debug("Transcribed all remaining data")
+                            # fall through: emit this segment's text
+                        else:
+                            logger.debug("Transcribed, waiting for more data")
+                            stop_all = True
+                            break
+                    else:
+                        pre_drain_len = self.buf.size
+                        drain = min(
+                            s_timestamp * SAMPLES_PER_TIMESTAMP_TICK, slice_len
+                        )
+                        self.buf = self.buf[drain:]
+                        if pre_drain_len > slice_len:
+                            logger.debug("Transcribed, getting a new slice")
+                            break  # next window immediately
+                        logger.debug("Transcribed, waiting for more data")
+                        stop_all = True
+                        break
+
+                text = self.tokenizer.decode(tokens[1:-1], skip_special_tokens=True)
+                if text:
+                    res.append(text)
+
+            if stop_all:
+                break
+
+        if final_chunk:
+            # Reference also resets the (cross-attn) KV cache here; our
+            # functional design recomputes it per window, nothing to reset.
+            self.lang.clear()
+
+        return "".join(res)

@@ -1,0 +1,302 @@
+"""Whisper encoder/decoder as functional JAX.
+
+TPU-first re-creation of the network the reference gets from
+``candle_transformers::models::whisper::{model, quantized_model}``
+(used via the ``Type`` dispatch in
+``/root/reference/src/models/whisper/model.rs:442-491``).  Design choices:
+
+- Pure pytree params; per-layer params are STACKED along a leading axis and
+  iterated with ``lax.scan`` so a 32-layer encoder compiles as one loop.
+- True incremental KV caching for decoder self-attention.  (candle caches
+  only cross-attention K/V and recomputes self-attention over the whole
+  prefix every step; causal self-attention makes the incremental form
+  mathematically identical.)
+- Static shapes everywhere: the self-attn cache is preallocated at
+  ``max_target_positions`` and masked by position, so the autoregressive
+  loop runs entirely inside one compiled ``lax.while_loop``.
+- Matmuls accumulate in f32 (``preferred_element_type``) so bf16 weights
+  keep f32 logits for sampling parity.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import WhisperConfig
+
+Params = Dict[str, Any]
+
+LN_EPS = 1e-5
+
+
+def sinusoids(length: int, channels: int, max_timescale: float = 10_000) -> np.ndarray:
+    """Fixed sinusoidal encoder position embedding (whisper convention)."""
+    assert channels % 2 == 0
+    log_timescale_increment = math.log(max_timescale) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment * np.arange(channels // 2))
+    scaled_time = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled_time), np.cos(scaled_time)], axis=1).astype(
+        np.float32
+    )
+
+
+def layer_norm(x: jax.Array, g: jax.Array, b: jax.Array) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + LN_EPS)
+    return (y * g.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def dense(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _split_heads(x: jax.Array, n_heads: int) -> jax.Array:
+    # [B, T, D] -> [B, T, H, Dh]
+    b, t, d = x.shape
+    return x.reshape(b, t, n_heads, d // n_heads)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    b, t, h, dh = x.shape
+    return x.reshape(b, t, h * dh)
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    n_heads: int,
+    mask: jax.Array | None = None,
+) -> jax.Array:
+    """Multi-head attention core.  q/k/v: [B, T, D] projected inputs.
+
+    Whisper scales q and k each by (D/H)**-0.25 before the dot product.
+    """
+    dh = q.shape[-1] // n_heads
+    scale = dh**-0.25
+    qh = _split_heads(q, n_heads) * scale
+    kh = _split_heads(k, n_heads) * scale
+    vh = _split_heads(v, n_heads)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32)
+    if mask is not None:
+        logits = logits + mask
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, vh, preferred_element_type=jnp.float32)
+    return _merge_heads(out.astype(q.dtype))
+
+
+def _self_attn(p: Params, prefix: str, x: jax.Array, n_heads: int, mask=None):
+    q = dense(x, p[f"{prefix}q_w"], p[f"{prefix}q_b"])
+    k = dense(x, p[f"{prefix}k_w"])  # whisper k_proj has no bias
+    v = dense(x, p[f"{prefix}v_w"], p[f"{prefix}v_b"])
+    o = attention(q, k, v, n_heads, mask)
+    return dense(o, p[f"{prefix}o_w"], p[f"{prefix}o_b"])
+
+
+def _mlp(p: Params, x: jax.Array) -> jax.Array:
+    h = dense(x, p["fc1_w"], p["fc1_b"])
+    h = jax.nn.gelu(h, approximate=False)
+    return dense(h, p["fc2_w"], p["fc2_b"])
+
+
+# --------------------------------------------------------------------------
+# Encoder
+# --------------------------------------------------------------------------
+
+
+def _conv1d(x: jax.Array, w: jax.Array, b: jax.Array, stride: int) -> jax.Array:
+    """x: [B, T, Cin]; w: [W, Cin, Cout] ('same' padding for W=3)."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride,),
+        padding=((1, 1),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return (y + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def encoder_layer(p: Params, x: jax.Array, n_heads: int) -> jax.Array:
+    h = layer_norm(x, p["attn_ln_g"], p["attn_ln_b"])
+    x = x + _self_attn(p, "", h, n_heads)
+    h = layer_norm(x, p["mlp_ln_g"], p["mlp_ln_b"])
+    return x + _mlp(p, h)
+
+
+def encode(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Array:
+    """mel: [B, n_mels, T_frames] -> audio features [B, T_frames//2, D]."""
+    enc = params["encoder"]
+    x = mel.transpose(0, 2, 1)  # [B, T, n_mels]
+    x = x.astype(enc["conv1_w"].dtype)
+    x = jax.nn.gelu(_conv1d(x, enc["conv1_w"], enc["conv1_b"], 1), approximate=False)
+    x = jax.nn.gelu(_conv1d(x, enc["conv2_w"], enc["conv2_b"], 2), approximate=False)
+    x = x + enc["pos"][: x.shape[1]].astype(x.dtype)
+
+    n_heads = cfg.encoder_attention_heads
+
+    def body(carry, layer_p):
+        return encoder_layer(layer_p, carry, n_heads), None
+
+    x, _ = jax.lax.scan(body, x, enc["layers"])
+    return layer_norm(x, enc["ln_g"], enc["ln_b"])
+
+
+# --------------------------------------------------------------------------
+# Decoder
+# --------------------------------------------------------------------------
+
+
+def cross_kv(params: Params, cfg: WhisperConfig, xa: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Precompute cross-attention K/V for all decoder layers.
+
+    xa: [B, Ta, D] audio features -> (xk, xv) each [L, B, Ta, D].
+    (candle's only KV cache is exactly this tensor pair; reference
+    ``reset_kv_cache`` clears it — here it is simply recomputed per window.)
+    """
+    layers = params["decoder"]["layers"]
+
+    def per_layer(carry, lp):
+        k = dense(xa, lp["xk_w"])
+        v = dense(xa, lp["xv_w"], lp["xv_b"])
+        return carry, (k, v)
+
+    _, (xk, xv) = jax.lax.scan(per_layer, None, layers)
+    return xk, xv
+
+
+def _decoder_layer_prefill(
+    lp: Params, x: jax.Array, xk: jax.Array, xv: jax.Array, n_heads: int, causal: jax.Array
+):
+    h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
+    q = dense(h, lp["q_w"], lp["q_b"])
+    k = dense(h, lp["k_w"])
+    v = dense(h, lp["v_w"], lp["v_b"])
+    a = attention(q, k, v, n_heads, causal)
+    x = x + dense(a, lp["o_w"], lp["o_b"])
+
+    h = layer_norm(x, lp["xattn_ln_g"], lp["xattn_ln_b"])
+    xq = dense(h, lp["xq_w"], lp["xq_b"])
+    a = attention(xq, xk, xv, n_heads)
+    x = x + dense(a, lp["xo_w"], lp["xo_b"])
+
+    h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
+    return x + _mlp(lp, h), k, v
+
+
+def decoder_prefill(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens: jax.Array,  # [B, P] int32
+    xk: jax.Array,
+    xv: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Process a prompt prefix; fill the self-attn cache.
+
+    Returns (logits [B, P, V] f32, cache_k, cache_v [L, B, Tmax, D]) where
+    rows [0, P) of the caches are populated.
+    """
+    dec = params["decoder"]
+    B, P = tokens.shape
+    D = cfg.d_model
+    L = cfg.decoder_layers
+    Tmax = cfg.max_target_positions
+    n_heads = cfg.decoder_attention_heads
+    dtype = dec["tok_emb"].dtype
+
+    x = dec["tok_emb"][tokens] + dec["pos_emb"][:P].astype(dtype)
+    causal = jnp.triu(jnp.full((P, P), -jnp.inf, dtype=jnp.float32), k=1)
+
+    def body(carry, layer_in):
+        lp, lxk, lxv = layer_in
+        x = carry
+        x, k, v = _decoder_layer_prefill(lp, x, lxk, lxv, n_heads, causal)
+        return x, (k, v)
+
+    x, (ks, vs) = jax.lax.scan(body, x, (dec["layers"], xk, xv))
+
+    x = layer_norm(x, dec["ln_g"], dec["ln_b"])
+    logits = jnp.dot(
+        x, dec["tok_emb"].T, preferred_element_type=jnp.float32
+    )  # tied embedding head
+
+    cache_k = jnp.zeros((L, B, Tmax, D), dtype)
+    cache_v = jnp.zeros((L, B, Tmax, D), dtype)
+    cache_k = jax.lax.dynamic_update_slice(cache_k, ks.astype(dtype), (0, 0, 0, 0))
+    cache_v = jax.lax.dynamic_update_slice(cache_v, vs.astype(dtype), (0, 0, 0, 0))
+    return logits, cache_k, cache_v
+
+
+def decoder_step(
+    params: Params,
+    cfg: WhisperConfig,
+    tok: jax.Array,  # [B] int32 — token at position ``pos``
+    pos: jax.Array,  # scalar int32
+    cache_k: jax.Array,  # [L, B, Tmax, D]
+    cache_v: jax.Array,
+    xk: jax.Array,  # [L, B, Ta, D]
+    xv: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One incremental decode step.  Returns (logits [B, V] f32, caches)."""
+    dec = params["decoder"]
+    n_heads = cfg.decoder_attention_heads
+    Tmax = cfg.max_target_positions
+    dtype = dec["tok_emb"].dtype
+
+    x = dec["tok_emb"][tok][:, None, :] + jax.lax.dynamic_slice_in_dim(
+        dec["pos_emb"], pos, 1, axis=0
+    ).astype(dtype)
+
+    # Mask out cache rows beyond the current position (static-size cache).
+    key_idx = jnp.arange(Tmax)
+    key_mask = jnp.where(key_idx <= pos, 0.0, -jnp.inf).astype(jnp.float32)
+    key_mask = key_mask[None, None, None, :]  # [1,1,1,Tmax]
+
+    def body(x, layer_in):
+        lp, ck, cv, lxk, lxv = layer_in
+        h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
+        q = dense(h, lp["q_w"], lp["q_b"])
+        k = dense(h, lp["k_w"])
+        v = dense(h, lp["v_w"], lp["v_b"])
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(dtype), (0, pos, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(dtype), (0, pos, 0))
+        a = attention(q, ck, cv, n_heads, key_mask)
+        x = x + dense(a, lp["o_w"], lp["o_b"])
+
+        h = layer_norm(x, lp["xattn_ln_g"], lp["xattn_ln_b"])
+        xq = dense(h, lp["xq_w"], lp["xq_b"])
+        a = attention(xq, lxk, lxv, n_heads)
+        x = x + dense(a, lp["xo_w"], lp["xo_b"])
+
+        h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
+        x = x + _mlp(lp, h)
+        return x, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(body, x, (dec["layers"], cache_k, cache_v, xk, xv))
+
+    x = layer_norm(x, dec["ln_g"], dec["ln_b"])
+    logits = jnp.dot(x[:, 0, :], dec["tok_emb"].T, preferred_element_type=jnp.float32)
+    return logits, new_k, new_v
+
+
+def decoder_full(
+    params: Params, cfg: WhisperConfig, tokens: jax.Array, xa: jax.Array
+) -> jax.Array:
+    """Non-incremental full forward (reference semantics oracle for tests).
+
+    tokens: [B, T]; xa: [B, Ta, D].  Returns logits [B, T, V] f32.
+    """
+    xk, xv = cross_kv(params, cfg, xa)
+    logits, _, _ = decoder_prefill(params, cfg, tokens, xk, xv)
+    return logits

@@ -1,0 +1,89 @@
+"""Shared test fixtures: a tiny Whisper config with a synthetic vocab layout
+mirroring the real one (text < eot < sot < langs < tasks < no_speech <
+no_timestamps < timestamps), plus a toy tokenizer."""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from norma_tpu.decode.masks import SpecialTokens
+from norma_tpu.model.config import WhisperConfig
+
+# Tiny vocab layout (1000 tokens):
+#   0..899    text
+#   900       <|endoftext|>
+#   901       <|startoftranscript|>
+#   902..904  language tokens (<|en|>, <|zh|>, <|de|>)
+#   905       <|transcribe|>   906 <|translate|>
+#   907       <|nospeech|>
+#   940       <|notimestamps|>
+#   941..999  timestamps <|0.00|> (941) .. <|1.16|> (999)
+TEST_ST = SpecialTokens(
+    sot=901,
+    eot=900,
+    task=905,
+    no_speech=907,
+    no_timestamps=940,
+    zero_sec=941,
+    one_sec=991,
+)
+TEST_LANG_IDS = [902, 903, 904]
+
+
+def tiny_config(**kw) -> WhisperConfig:
+    defaults = dict(
+        num_mel_bins=80,
+        vocab_size=1000,
+        d_model=64,
+        encoder_layers=2,
+        encoder_attention_heads=2,
+        decoder_layers=2,
+        decoder_attention_heads=2,
+        max_source_positions=32,
+        max_target_positions=48,
+        suppress_tokens=(0, 5, 9, 907),
+    )
+    defaults.update(kw)
+    return WhisperConfig(**defaults)
+
+
+class ToyTokenizer:
+    """Minimal tokenizer with the whisper special-token surface."""
+
+    _SPECIALS = {
+        "<|endoftext|>": 900,
+        "<|startoftranscript|>": 901,
+        "<|en|>": 902,
+        "<|zh|>": 903,
+        "<|de|>": 904,
+        "<|transcribe|>": 905,
+        "<|translate|>": 906,
+        "<|nospeech|>": 907,
+        "<|notimestamps|>": 940,
+    }
+
+    def __init__(self):
+        self.specials = dict(self._SPECIALS)
+        for i in range(941, 1000):
+            self.specials[f"<|{(i - 941) * 0.02:.2f}|>"] = i
+        self.id_to_special = {v: k for k, v in self.specials.items()}
+
+    def token_to_id(self, s: str) -> Optional[int]:
+        return self.specials.get(s)
+
+    def decode(self, ids: List[int], skip_special_tokens: bool = True) -> str:
+        parts = []
+        for i in ids:
+            if i in self.id_to_special or i >= 900:
+                if not skip_special_tokens:
+                    parts.append(self.id_to_special.get(i, f"<{i}>"))
+            else:
+                parts.append(f" w{i}")
+        return "".join(parts)
+
+
+def random_feats(cfg: WhisperConfig, B: int = 1, T: int = 16, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((B, T, cfg.d_model)).astype(np.float32)
