@@ -1,0 +1,126 @@
+"""Capture-side DSP pipeline: mixdown, sample conversion, resample, pack.
+
+Re-creation of the reference's cpal-callback hot loop and Packer
+(``/root/reference/src/lib.rs:159-262``):
+
+  fast path (device rate == model rate):  mono mixdown -> convert -> pack
+  resample path:                          mono mixdown -> sinc resample ->
+                                          convert -> pack
+
+The Packer fills a buffer to exactly ``max_chunk_len`` samples and pushes it
+into the recycled ring with NON-BLOCKING lossy semantics (drop + warn on a
+full ring, lib.rs:248-252).  Closing the packer pops one sample and flushes,
+guaranteeing the last chunk has ``len < capacity`` — the end-of-stream
+signal (lib.rs:256-262 + :463).
+
+Deviation: mixdown averages in float, not in the source integer type (the
+reference sums in the device format, lib.rs:178, which can wrap for loud
+multi-channel int inputs).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import numpy as np
+
+from ..runtime.channels import RecycledRing
+from .resample import StreamingResampler
+from .sources import AudioSource
+
+logger = logging.getLogger(__name__)
+
+
+def to_float(data: np.ndarray) -> np.ndarray:
+    """Convert any native sample format to f64 in [-1, 1) (dasp to_sample)."""
+    if np.issubdtype(data.dtype, np.floating):
+        return data.astype(np.float64)
+    info = np.iinfo(data.dtype)
+    scale = float(1 << (info.bits - 1))
+    x = data.astype(np.float64)
+    if info.min == 0:  # unsigned: midpoint is silence
+        x = x - scale
+    return x / scale
+
+
+class Packer:
+    """Zero-alloc chunk accumulator (reference: Packer, lib.rs:224-262)."""
+
+    def __init__(self, ring: RecycledRing, dtype=np.float32) -> None:
+        self.ring = ring
+        self.buf = np.zeros(ring.chunk_len, dtype)
+        self.fill = 0
+
+    def append(self, data: np.ndarray) -> None:
+        pos = 0
+        n = len(data)
+        while pos < n:
+            space = len(self.buf) - self.fill
+            if space == 0:
+                self.flush()
+                continue
+            take = min(space, n - pos)
+            self.buf[self.fill : self.fill + take] = data[pos : pos + take]
+            self.fill += take
+            pos += take
+
+    def flush(self) -> None:
+        self.ring.try_send(self.buf, self.fill)
+        self.fill = 0
+
+    def close(self) -> None:
+        """Final flush: drop one sample so length < capacity (EOS signal)."""
+        logger.info("closing packer; flushing final chunk")
+        if self.fill > 0:
+            self.fill -= 1
+        self.flush()
+
+
+class StreamPipeline:
+    """Owns a running source and feeds the ring until stopped.
+
+    This plays the role of the reference's stream-owner thread + cpal stream
+    (lib.rs:408-423): constructing it starts capture; ``stop()`` tears down
+    the source, emits the final short chunk, and closes the ring.
+    """
+
+    def __init__(
+        self,
+        source: AudioSource,
+        model_sample_rate: int,
+        model_dtype,
+        ring: RecycledRing,
+    ) -> None:
+        self.source = source
+        self.ring = ring
+        self.packer = Packer(ring, model_dtype)
+        self.model_dtype = model_dtype
+        if source.sample_rate != model_sample_rate:
+            self.resampler: Optional[StreamingResampler] = StreamingResampler(
+                source.sample_rate, model_sample_rate
+            )
+        else:
+            self.resampler = None
+        self._stopped = False
+
+    def start(self) -> None:
+        self.source.start(self._on_data)
+
+    def _on_data(self, frames: np.ndarray) -> None:
+        ch = self.source.channels
+        usable = (len(frames) // ch) * ch
+        mono = to_float(frames[:usable]).reshape(-1, ch).mean(axis=1)
+        if self.resampler is not None:
+            mono = self.resampler.process(mono)
+            if len(mono) == 0:
+                return
+        self.packer.append(mono.astype(self.model_dtype))
+
+    def stop(self) -> None:
+        if self._stopped:
+            return
+        self._stopped = True
+        self.source.stop()
+        self.packer.close()
+        self.ring.close()

@@ -1,0 +1,152 @@
+"""Audio sources.
+
+The reference's only source is a cpal microphone stream built inside the
+Transcriber (``/root/reference/src/lib.rs:502-557``), which makes its own
+integration tests require real hardware (tests/transcriber.rs is
+``#[ignore]``-d).  This framework fixes that gap (SURVEY.md §4): capture is
+an ``AudioSource`` interface with microphone, file, and synthetic
+implementations, so the full pipeline runs hermetically in CI.
+
+A source delivers interleaved frames in its native sample format on its own
+thread; the ``StreamPipeline`` (pipeline.py) does mixdown / conversion /
+resampling / packing exactly like the reference's cpal callback.
+"""
+
+from __future__ import annotations
+
+import abc
+import threading
+import time
+import wave
+from typing import Callable, Optional
+
+import numpy as np
+
+OnData = Callable[[np.ndarray], None]
+
+
+class AudioSource(abc.ABC):
+    """A stream of interleaved PCM frames."""
+
+    sample_rate: int
+    channels: int
+    dtype: np.dtype  # native sample format of the source
+
+    @abc.abstractmethod
+    def start(self, on_data: OnData) -> None: ...
+
+    @abc.abstractmethod
+    def stop(self) -> None: ...
+
+
+class _ThreadedSource(AudioSource):
+    """Base for sources that generate/read blocks on a worker thread."""
+
+    def __init__(self, block_frames: int = 1600, realtime: bool = False) -> None:
+        self.block_frames = block_frames
+        self.realtime = realtime
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+
+    @abc.abstractmethod
+    def _next_block(self) -> Optional[np.ndarray]:
+        """Produce the next interleaved block, or None at end of stream."""
+
+    def start(self, on_data: OnData) -> None:
+        self._stop.clear()
+
+        def run() -> None:
+            period = self.block_frames / self.sample_rate
+            while not self._stop.is_set():
+                t0 = time.monotonic()
+                block = self._next_block()
+                if block is None:
+                    break
+                on_data(block)
+                if self.realtime:
+                    delay = period - (time.monotonic() - t0)
+                    if delay > 0:
+                        self._stop.wait(delay)
+
+        self._thread = threading.Thread(target=run, daemon=True, name="audio-src")
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+
+class SyntheticSource(_ThreadedSource):
+    """Deterministic tone+noise generator for tests and benchmarks."""
+
+    def __init__(
+        self,
+        sample_rate: int = 48_000,
+        channels: int = 2,
+        dtype=np.float32,
+        freq: float = 440.0,
+        amplitude: float = 0.3,
+        noise: float = 0.0,
+        duration: Optional[float] = None,
+        block_frames: int = 1600,
+        realtime: bool = False,
+        seed: int = 0,
+    ) -> None:
+        super().__init__(block_frames, realtime)
+        self.sample_rate = sample_rate
+        self.channels = channels
+        self.dtype = np.dtype(dtype)
+        self.freq = freq
+        self.amplitude = amplitude
+        self.noise = noise
+        self.duration = duration
+        self._pos = 0
+        self._rng = np.random.default_rng(seed)
+
+    def _next_block(self) -> Optional[np.ndarray]:
+        if self.duration is not None and self._pos >= self.duration * self.sample_rate:
+            return None
+        n = self.block_frames
+        t = (self._pos + np.arange(n)) / self.sample_rate
+        mono = self.amplitude * np.sin(2 * np.pi * self.freq * t)
+        if self.noise > 0:
+            mono = mono + self.noise * self._rng.standard_normal(n)
+        self._pos += n
+        frames = np.repeat(mono[:, None], self.channels, axis=1).reshape(-1)
+        if np.issubdtype(self.dtype, np.integer):
+            info = np.iinfo(self.dtype)
+            scale = float(1 << (info.bits - 1))
+            offset = 0.0 if info.min < 0 else scale
+            frames = np.clip(frames * scale + offset, info.min, info.max)
+        return frames.astype(self.dtype)
+
+
+class FileSource(_ThreadedSource):
+    """WAV-file source (PCM 8/16/32-bit int) via the stdlib wave module."""
+
+    def __init__(
+        self, path: str, block_frames: int = 1600, realtime: bool = False
+    ) -> None:
+        super().__init__(block_frames, realtime)
+        self._wav = wave.open(path, "rb")
+        self.sample_rate = self._wav.getframerate()
+        self.channels = self._wav.getnchannels()
+        width = self._wav.getsampwidth()
+        self.dtype = {1: np.dtype(np.uint8), 2: np.dtype(np.int16), 4: np.dtype(np.int32)}[
+            width
+        ]
+
+    def _next_block(self) -> Optional[np.ndarray]:
+        raw = self._wav.readframes(self.block_frames)
+        if not raw:
+            return None
+        return np.frombuffer(raw, dtype=self.dtype)
+
+    def stop(self) -> None:
+        super().stop()
+        try:
+            self._wav.close()
+        except Exception:
+            pass

@@ -1,0 +1,153 @@
+"""Monolingual Whisper definitions.
+
+Re-creation of ``/root/reference/src/models/whisper/monolingual.rs``: the 8
+English checkpoints + the MultiAsMono escape hatch, pinned HF repo
+ids/revisions, and the validated Definition builder (responsiveness/buffer
+setters with the same clamps).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from datetime import timedelta
+from typing import Optional, Union
+
+import jax.numpy as jnp
+
+from ...constants import SAMPLE_RATE, TRANSCRIBE_TOKEN
+from ...errors import ResponsivenessError
+from .. import CommonModelParams, ModelDefinition, SelectedDevice
+from . import VocabVersion
+from .languages import Language
+from .loader import build_model
+from .model import WhisperModel
+
+
+class ModelType(enum.Enum):
+    """Reference: monolingual.rs:32-46."""
+
+    QUANTIZED_TINY_EN = "quantized_tiny_en"
+    TINY_EN = "tiny_en"
+    BASE_EN = "base_en"
+    SMALL_EN = "small_en"
+    MEDIUM_EN = "medium_en"
+    DISTIL_MEDIUM_EN = "distil_medium_en"
+    DISTIL_LARGE_EN_V2 = "distil_large_en_v2"
+    DISTIL_LARGE_EN_V3 = "distil_large_en_v3"  # the default
+
+    def id(self) -> str:
+        """HF repo id (monolingual.rs:49-61)."""
+        return {
+            ModelType.QUANTIZED_TINY_EN: "lmz/candle-whisper",
+            ModelType.TINY_EN: "openai/whisper-tiny.en",
+            ModelType.BASE_EN: "openai/whisper-base.en",
+            ModelType.SMALL_EN: "openai/whisper-small.en",
+            ModelType.MEDIUM_EN: "openai/whisper-medium.en",
+            ModelType.DISTIL_MEDIUM_EN: "distil-whisper/distil-medium.en",
+            ModelType.DISTIL_LARGE_EN_V2: "distil-whisper/distil-large-v2",
+            ModelType.DISTIL_LARGE_EN_V3: "distil-whisper/distil-large-v3",
+        }[self]
+
+    def rev(self) -> str:
+        """Pinned revision (monolingual.rs:63-75; some are PR refs)."""
+        return {
+            ModelType.TINY_EN: "refs/pr/15",
+            ModelType.BASE_EN: "refs/pr/13",
+            ModelType.SMALL_EN: "refs/pr/10",
+        }.get(self, "main")
+
+    def quantized_ext(self) -> Optional[str]:
+        return "tiny-en" if self is ModelType.QUANTIZED_TINY_EN else None
+
+    def language(self) -> Language:
+        return Language.ENGLISH
+
+    def vocab_version(self) -> VocabVersion:
+        """monolingual.rs:99-110."""
+        if self in (
+            ModelType.QUANTIZED_TINY_EN,
+            ModelType.TINY_EN,
+            ModelType.BASE_EN,
+            ModelType.SMALL_EN,
+            ModelType.MEDIUM_EN,
+        ):
+            return VocabVersion.EN_V1
+        if self in (ModelType.DISTIL_MEDIUM_EN, ModelType.DISTIL_LARGE_EN_V2):
+            return VocabVersion.V1
+        return VocabVersion.V2
+
+
+@dataclass(frozen=True)
+class MultiAsMono:
+    """Treat a multilingual checkpoint as monolingual with a fixed language
+    (reference: ModelType::MultiAsMono, monolingual.rs:42-45)."""
+
+    model: "object"  # multilingual.ModelType (late import to avoid cycle)
+    lang: Language
+
+    def id(self) -> str:
+        return self.model.id()
+
+    def rev(self) -> str:
+        return self.model.rev()
+
+    def quantized_ext(self) -> Optional[str]:
+        return self.model.quantized_ext()
+
+    def language(self) -> Language:
+        return self.lang
+
+    def vocab_version(self) -> VocabVersion:
+        return self.model.vocab_version()
+
+
+class Definition(ModelDefinition):
+    """Monolingual model definition (reference: monolingual.rs:113-174)."""
+
+    def __init__(
+        self,
+        model: Union[ModelType, MultiAsMono] = ModelType.DISTIL_LARGE_EN_V3,
+        device: SelectedDevice = SelectedDevice.auto(),
+        *,
+        local_dir: Optional[str] = None,
+        dtype=jnp.float32,
+    ) -> None:
+        self.model = model
+        self.device = device
+        self.local_dir = local_dir
+        self.dtype = dtype
+        # Defaults: 25s chunks, data/string buffers of 3 (monolingual.rs:128).
+        self._common = CommonModelParams(SAMPLE_RATE * 25, 3, 3)
+
+    def common_params(self) -> CommonModelParams:
+        return self._common
+
+    def set_responsiveness(self, period: Union[float, timedelta]) -> None:
+        """How often the model attempts to decode, 1..=30 seconds
+        (reference: monolingual.rs:146-156)."""
+        if isinstance(period, timedelta):
+            millis = period.total_seconds() * 1000.0
+        else:
+            millis = float(period) * 1000.0
+        if not (1_000 <= millis <= 30_000):
+            raise ResponsivenessError()
+        self._common.set_max_chunk_len(int(SAMPLE_RATE * millis) // 1000)
+
+    def set_data_buffer_size(self, size: int) -> None:
+        self._common.set_data_buffer_size(size)
+
+    def set_string_buffer_size(self, size: int) -> None:
+        self._common.set_string_buffer_size(size)
+
+    def blocking_try_to_model(self) -> WhisperModel:
+        return build_model(
+            repo_id=self.model.id(),
+            revision=self.model.rev(),
+            quantized_ext=self.model.quantized_ext(),
+            device=self.device,
+            task_token_str=TRANSCRIBE_TOKEN,
+            const_language_token_str=self.model.language().token(),
+            local_dir=self.local_dir,
+            dtype=self.dtype,
+        )

@@ -1,0 +1,124 @@
+"""Multilingual Whisper definitions.
+
+Re-creation of ``/root/reference/src/models/whisper/multilingual.rs``: the 8
+multilingual checkpoints, the Transcribe/Translate task selection, and
+automatic per-utterance language detection (reset on every final chunk).
+"""
+
+from __future__ import annotations
+
+import enum
+from datetime import timedelta
+from typing import Optional, Union
+
+import jax.numpy as jnp
+
+from ...constants import SAMPLE_RATE, TRANSCRIBE_TOKEN, TRANSLATE_TOKEN
+from ...errors import ResponsivenessError
+from .. import CommonModelParams, ModelDefinition, SelectedDevice
+from . import VocabVersion
+from .loader import build_model
+from .model import WhisperModel
+
+
+class Task(enum.Enum):
+    """Reference: multilingual.rs:19-25."""
+
+    TRANSCRIBE = "transcribe"
+    TRANSLATE = "translate"
+
+    def token(self) -> str:
+        return TRANSCRIBE_TOKEN if self is Task.TRANSCRIBE else TRANSLATE_TOKEN
+
+
+class ModelType(enum.Enum):
+    """Reference: multilingual.rs:48-58."""
+
+    QUANTIZED_TINY = "quantized_tiny"
+    TINY = "tiny"
+    BASE = "base"
+    SMALL = "small"
+    MEDIUM = "medium"  # the default
+    LARGE = "large"
+    LARGE_V2 = "large_v2"
+    LARGE_V3 = "large_v3"
+
+    def id(self) -> str:
+        return {
+            ModelType.QUANTIZED_TINY: "lmz/candle-whisper",
+            ModelType.TINY: "openai/whisper-tiny",
+            ModelType.BASE: "openai/whisper-base",
+            ModelType.SMALL: "openai/whisper-small",
+            ModelType.MEDIUM: "openai/whisper-medium",
+            ModelType.LARGE: "openai/whisper-large",
+            ModelType.LARGE_V2: "openai/whisper-large-v2",
+            ModelType.LARGE_V3: "openai/whisper-large-v3",
+        }[self]
+
+    def rev(self) -> str:
+        """Pinned revisions (multilingual.rs:75-88)."""
+        return {
+            ModelType.BASE: "refs/pr/22",
+            ModelType.LARGE: "refs/pr/36",
+            ModelType.LARGE_V2: "refs/pr/57",
+        }.get(self, "main")
+
+    def quantized_ext(self) -> Optional[str]:
+        return "tiny" if self is ModelType.QUANTIZED_TINY else None
+
+    def vocab_version(self) -> VocabVersion:
+        return (
+            VocabVersion.V2
+            if self is ModelType.LARGE_V3
+            else VocabVersion.V1
+        )
+
+
+class Definition(ModelDefinition):
+    """Multilingual model definition (reference: multilingual.rs:108-191)."""
+
+    def __init__(
+        self,
+        model: ModelType = ModelType.MEDIUM,
+        device: SelectedDevice = SelectedDevice.auto(),
+        task: Task = Task.TRANSCRIBE,
+        *,
+        local_dir: Optional[str] = None,
+        dtype=jnp.float32,
+    ) -> None:
+        self.model = model
+        self.device = device
+        self.task = task
+        self.local_dir = local_dir
+        self.dtype = dtype
+        self._common = CommonModelParams(SAMPLE_RATE * 25, 3, 3)
+
+    def common_params(self) -> CommonModelParams:
+        return self._common
+
+    def set_responsiveness(self, period: Union[float, timedelta]) -> None:
+        if isinstance(period, timedelta):
+            millis = period.total_seconds() * 1000.0
+        else:
+            millis = float(period) * 1000.0
+        if not (1_000 <= millis <= 30_000):
+            raise ResponsivenessError()
+        self._common.set_max_chunk_len(int(SAMPLE_RATE * millis) // 1000)
+
+    def set_data_buffer_size(self, size: int) -> None:
+        self._common.set_data_buffer_size(size)
+
+    def set_string_buffer_size(self, size: int) -> None:
+        self._common.set_string_buffer_size(size)
+
+    def blocking_try_to_model(self) -> WhisperModel:
+        return build_model(
+            repo_id=self.model.id(),
+            revision=self.model.rev(),
+            quantized_ext=self.model.quantized_ext(),
+            device=self.device,
+            task_token_str=self.task.token(),
+            const_language_token_str=None,  # Detect mode
+            local_dir=self.local_dir,
+            dtype=self.dtype,
+        )

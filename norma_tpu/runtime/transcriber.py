@@ -1,0 +1,313 @@
+"""The Transcriber actor and its handle.
+
+Re-creation of the reference's runtime core
+(``/root/reference/src/lib.rs:301-695``) with the same API shape and
+semantics:
+
+  - 4 construction variants: blocking_new / new (async) / blocking_spawn /
+    spawn (lib.rs:316-391)
+  - ``run()`` control loop: wait for a start request, build the audio
+    stream, pull chunks from the lossy recycled ring, call
+    ``Model.transcribe``, push non-empty strings (lib.rs:394-495)
+  - end-of-stream protocol: a chunk shorter than max_chunk_len is final
+    (lib.rs:463)
+  - teardown mirrors the reference: transcribe error => drop stream and
+    surface the error through join(); closed string receiver => drop stream
+    and keep serving new starts; stream-build error => reply with the error
+    and terminate the run loop (lib.rs:432)
+
+The reference's poisoned-mutex self-healing (lib.rs:436-442 etc.) has no
+Python analogue — locks cannot poison here.
+
+Extension over the reference: ``Settings.source`` may inject any
+``AudioSource`` (file/synthetic), the fix for the reference's
+hardware-only integration tests (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from typing import Optional, Tuple
+
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # avoid the audio<->runtime package import cycle
+    from ..audio.pipeline import StreamPipeline
+    from ..audio.sources import AudioSource
+
+from ..errors import (
+    DeviceError,
+    NoStreamRunning,
+    StartError,
+    TranscriberDown,
+    TranscriberRunning,
+)
+from ..input import Settings
+from ..models import CommonModelParams, Model, ModelDefinition
+from .channels import (
+    ReceiverClosed,
+    RecycledRing,
+    StringChannel,
+    StringReceiver,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class JoinHandle:
+    """Thread join handle surfacing the run loop's terminal error."""
+
+    def __init__(self) -> None:
+        self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
+
+    def join(self, timeout: Optional[float] = None) -> None:
+        if self._thread is not None:
+            self._thread.join(timeout)
+            if self._thread.is_alive():
+                raise TimeoutError("transcriber thread still running")
+        if self._error is not None:
+            raise self._error
+
+
+class _StreamState:
+    """Shared keepalive slot (reference: MicStreamState, lib.rs:292)."""
+
+    def __init__(self) -> None:
+        self.lock = threading.Lock()
+        self.pipeline: Optional[StreamPipeline] = None
+
+
+class Transcriber:
+    def __init__(
+        self,
+        model: Model,
+        common_params: CommonModelParams,
+        stream_state: _StreamState,
+        ctrl: "queue.Queue",
+    ) -> None:
+        self._model = model
+        self._params = common_params
+        self._stream_state = stream_state
+        self._ctrl = ctrl
+
+    # ------------------------------------------------------------------
+    # Construction (reference: lib.rs:316-391)
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def blocking_new(
+        cls, definition: ModelDefinition
+    ) -> Tuple["Transcriber", "TranscriberHandle"]:
+        state = _StreamState()
+        params = definition.common_params()
+        ctrl: "queue.Queue" = queue.Queue(maxsize=1)
+        model = definition.blocking_try_to_model()
+        return cls(model, params, state, ctrl), TranscriberHandle(state, ctrl)
+
+    @classmethod
+    async def new(
+        cls, definition: ModelDefinition
+    ) -> Tuple["Transcriber", "TranscriberHandle"]:
+        state = _StreamState()
+        params = definition.common_params()
+        ctrl: "queue.Queue" = queue.Queue(maxsize=1)
+        model = await definition.try_to_model()
+        return cls(model, params, state, ctrl), TranscriberHandle(state, ctrl)
+
+    @classmethod
+    def blocking_spawn(
+        cls, definition: ModelDefinition
+    ) -> Tuple[JoinHandle, "TranscriberHandle"]:
+        transcriber, handle = cls.blocking_new(definition)
+        return cls._spawn_thread(transcriber), handle
+
+    @classmethod
+    async def spawn(
+        cls, definition: ModelDefinition
+    ) -> Tuple[JoinHandle, "TranscriberHandle"]:
+        transcriber, handle = await cls.new(definition)
+        return cls._spawn_thread(transcriber), handle
+
+    @staticmethod
+    def _spawn_thread(transcriber: "Transcriber") -> JoinHandle:
+        jh = JoinHandle()
+
+        def run() -> None:
+            try:
+                transcriber.run()
+            except BaseException as e:  # surfaced via join()
+                jh._error = e
+
+        t = threading.Thread(target=run, name="transcriber", daemon=True)
+        jh._thread = t
+        t.start()
+        return jh
+
+    # ------------------------------------------------------------------
+    # Control loop (reference: run(), lib.rs:394-495)
+    # ------------------------------------------------------------------
+
+    def _build_stream(
+        self, settings: Settings, ring: RecycledRing
+    ) -> "StreamPipeline":
+        from ..audio.pipeline import StreamPipeline
+
+        source = settings.source
+        if source is None:
+            from ..audio.mic import open_microphone  # C++ ALSA path
+
+            source = open_microphone(
+                settings, self._model.SAMPLE_RATE, self._model.dtype
+            )
+        pipeline = StreamPipeline(
+            source, self._model.SAMPLE_RATE, self._model.dtype, ring
+        )
+        pipeline.start()
+        return pipeline
+
+    def run(self) -> None:
+        while True:
+            msg = self._ctrl.get()
+            if msg is None:  # handle dropped -> terminate (lib.rs:494)
+                return
+            settings, res_q = msg
+
+            ring = RecycledRing(
+                self._params.data_buffer_size,
+                self._params.get_max_chunk_len(),
+                self._model.dtype,
+            )
+            schan = StringChannel(self._params.string_buffer_size)
+
+            try:
+                pipeline = self._build_stream(settings, ring)
+            except StartError as e:
+                res_q.put(e)
+                # The reference terminates the run loop on stream-build
+                # failure (lib.rs:432 break).
+                return
+            except Exception as e:
+                res_q.put(DeviceError() if not isinstance(e, StartError) else e)
+                return
+
+            with self._stream_state.lock:
+                self._stream_state.pipeline = pipeline
+            res_q.put(schan.receiver())
+
+            # Reject starts that raced in while we were setting up
+            # (lib.rs:454-460).
+            shutdown = False
+            while True:
+                try:
+                    stale = self._ctrl.get_nowait()
+                except queue.Empty:
+                    break
+                if stale is None:
+                    shutdown = True
+                else:
+                    stale[1].put(TranscriberRunning())
+
+            while True:
+                chunk = ring.recv()
+                if chunk is None:
+                    break
+                final = chunk.is_final
+                try:
+                    text = self._model.transcribe(chunk.data, final)
+                except Exception as err:
+                    logger.error("transcriber hit an unrecoverable error: %s", err)
+                    self._teardown_stream()
+                    schan.close_sender()
+                    raise
+                finally:
+                    ring.release(chunk)
+                if text:
+                    try:
+                        schan.send(text)
+                    except ReceiverClosed:
+                        self._teardown_stream()
+                        break
+            schan.close_sender()
+            if shutdown:
+                return
+            # loop back: wait for the next start request
+
+    def _teardown_stream(self) -> None:
+        with self._stream_state.lock:
+            pipeline, self._stream_state.pipeline = (
+                self._stream_state.pipeline,
+                None,
+            )
+        if pipeline is not None:
+            pipeline.stop()
+
+
+class TranscriberHandle:
+    """Cloneable remote control (reference: TranscriberHandle, lib.rs:603-695)."""
+
+    def __init__(self, stream_state: _StreamState, ctrl: "queue.Queue") -> None:
+        self._stream_state = stream_state
+        self._ctrl = ctrl
+        self._closed = False
+
+    # -- start ----------------------------------------------------------
+
+    def blocking_start(
+        self, settings: Optional[Settings] = None, timeout: Optional[float] = 30.0
+    ) -> StringReceiver:
+        settings = settings if settings is not None else Settings()
+        with self._stream_state.lock:
+            running = self._stream_state.pipeline is not None
+        if running:
+            raise TranscriberRunning()
+
+        res_q: "queue.Queue" = queue.Queue(maxsize=1)
+        try:
+            self._ctrl.put((settings, res_q), timeout=timeout)
+        except queue.Full:
+            raise TranscriberDown()
+        try:
+            res = res_q.get(timeout=timeout)
+        except queue.Empty:
+            raise TranscriberDown()
+        if isinstance(res, Exception):
+            raise res
+        return res
+
+    async def start(self, settings: Optional[Settings] = None) -> StringReceiver:
+        import asyncio
+
+        return await asyncio.to_thread(self.blocking_start, settings)
+
+    # -- stop -----------------------------------------------------------
+
+    def stop(self) -> None:
+        """Stop the running stream (reference: stop(), lib.rs:678-694)."""
+        with self._stream_state.lock:
+            pipeline, self._stream_state.pipeline = (
+                self._stream_state.pipeline,
+                None,
+            )
+        if pipeline is None:
+            raise NoStreamRunning()
+        pipeline.stop()
+
+    # -- drop semantics --------------------------------------------------
+
+    def close(self) -> None:
+        """Equivalent of dropping the handle: terminates the transcriber."""
+        if not self._closed:
+            self._closed = True
+            try:
+                self._ctrl.put_nowait(None)
+            except queue.Full:
+                pass
+
+    def __enter__(self) -> "TranscriberHandle":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

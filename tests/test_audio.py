@@ -1,0 +1,168 @@
+"""Audio-layer tests: packer/ring protocol, resampler, conversion, ranking."""
+
+import numpy as np
+import pytest
+
+from norma_tpu.audio import (
+    Packer,
+    StreamingResampler,
+    SupportedConfig,
+    rank_configs,
+    select_device,
+    to_float,
+)
+from norma_tpu.errors import DeviceError, SelectedDeviceNotFound
+from norma_tpu.input import OnError, Settings
+from norma_tpu.runtime.channels import RecycledRing
+
+
+# -- Packer / ring (reference: lib.rs:224-262) ------------------------------
+
+
+def test_packer_chunking_and_final():
+    ring = RecycledRing(5, chunk_len=100)
+    p = Packer(ring)
+    p.append(np.ones(250, np.float32))
+    p.close()  # pops one sample -> final chunk of 49
+
+    lens = []
+    finals = []
+    ring.close()
+    while (c := ring.recv()) is not None:
+        lens.append(c.length)
+        finals.append(c.is_final)
+        ring.release(c)
+    assert lens == [100, 100, 49]
+    assert finals == [False, False, True]
+
+
+def test_packer_close_on_exactly_full():
+    """A buffer holding exactly chunk_len must still emit len<capacity."""
+    ring = RecycledRing(5, chunk_len=100)
+    p = Packer(ring)
+    p.append(np.ones(100, np.float32))  # flushed on next append only
+    p.close()
+    ring.close()
+    lens = []
+    while (c := ring.recv()) is not None:
+        lens.append((c.length, c.is_final))
+        ring.release(c)
+    # append filled the buffer without flushing; close pops one -> 99, final.
+    assert lens == [(99, True)]
+
+
+def test_ring_lossy_drop():
+    ring = RecycledRing(2, chunk_len=10)
+    sent = sum(ring.try_send(np.zeros(10, np.float32), 10) for _ in range(5))
+    assert sent == 2
+    assert ring.dropped == 3
+
+
+# -- sample conversion (reference: dtype.rs / dasp to_sample) ---------------
+
+
+def test_to_float_formats():
+    assert to_float(np.array([0, 16384, -16384], np.int16)) == pytest.approx(
+        [0.0, 0.5, -0.5]
+    )
+    assert to_float(np.array([128, 255, 0], np.uint8)) == pytest.approx(
+        [0.0, 127 / 128, -1.0]
+    )
+    assert to_float(np.array([0.25], np.float32)) == pytest.approx([0.25])
+
+
+# -- resampler (reference: lib.rs:189-216) ----------------------------------
+
+
+@pytest.mark.parametrize("src,dst", [(48_000, 16_000), (44_100, 16_000), (8_000, 16_000)])
+def test_resampler_preserves_tone(src, dst):
+    f = 440.0
+    t = np.arange(int(src * 1.0)) / src
+    x = np.sin(2 * np.pi * f * t)
+    r = StreamingResampler(src, dst)
+    out = np.concatenate(
+        [r.process(x[i : i + 4800]) for i in range(0, len(x), 4800)]
+    )
+    # Expected output length ~ dst samples (minus startup/tail)
+    assert abs(len(out) - dst) < dst * 0.02 + 200
+    # Dominant frequency must be preserved.
+    skip = 400  # startup transient
+    seg = out[skip : skip + 8192]
+    spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    peak = np.argmax(spec) * dst / len(seg)
+    assert abs(peak - f) < 5.0
+    # Amplitude preserved within 5%.
+    assert np.abs(seg).max() == pytest.approx(1.0, abs=0.05)
+
+
+def test_resampler_streaming_equals_oneshot():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(20_000)
+    a = StreamingResampler(48_000, 16_000)
+    out_stream = np.concatenate(
+        [a.process(x[i : i + 1000]) for i in range(0, len(x), 1000)]
+    )
+    b = StreamingResampler(48_000, 16_000)
+    out_once = b.process(x)
+    n = min(len(out_stream), len(out_once))
+    np.testing.assert_allclose(out_stream[:n], out_once[:n], atol=1e-9)
+
+
+# -- device config ranking (reference: cmp_mic_config, lib.rs:559-600) ------
+
+
+def _cfg(minr, maxr, fmt, ch):
+    return SupportedConfig(minr, maxr, fmt, ch)
+
+
+def test_rank_prefers_model_rate_support():
+    a = _cfg(8_000, 48_000, "i16", 2)  # supports 16k
+    b = _cfg(44_100, 48_000, "f32", 1)  # does not
+    ranked = rank_configs([b, a], 16_000, np.float32)
+    assert ranked[-1] == a  # best last (popped from tail)
+
+
+def test_rank_prefers_matching_format_when_rate_supported():
+    a = _cfg(8_000, 48_000, "i16", 1)
+    b = _cfg(8_000, 48_000, "f32", 1)
+    ranked = rank_configs([a, b], 16_000, np.float32)
+    assert ranked[-1] == b
+
+
+def test_rank_fallback_prefers_f64_then_float_then_mono():
+    a = _cfg(44_100, 48_000, "i16", 1)
+    b = _cfg(44_100, 48_000, "f32", 2)
+    c = _cfg(44_100, 48_000, "f64", 2)
+    ranked = rank_configs([a, b, c], 16_000, np.float32)
+    assert ranked[-1] == c
+    assert ranked[-2] == b
+
+
+def test_rank_mono_tiebreak():
+    a = _cfg(8_000, 48_000, "f32", 2)
+    b = _cfg(8_000, 48_000, "f32", 1)
+    ranked = rank_configs([a, b], 16_000, np.float32)
+    assert ranked[-1] == b
+
+
+def test_pick_rate():
+    assert _cfg(8_000, 48_000, "f32", 1).pick_rate(16_000) == 16_000
+    assert _cfg(44_100, 48_000, "f32", 1).pick_rate(16_000) == 48_000
+
+
+# -- device selection policy (reference: lib.rs:508-525) --------------------
+
+
+def test_select_device_policies():
+    devs = ["usb-mic", "builtin"]
+    assert select_device(devs, Settings(), "builtin") == "builtin"
+    assert select_device(devs, Settings(selected_device="usb-mic"), "builtin") == "usb-mic"
+    assert (
+        select_device(devs, Settings(selected_device="nope"), "builtin") == "builtin"
+    )
+    with pytest.raises(SelectedDeviceNotFound):
+        select_device(
+            devs, Settings(selected_device="nope", on_error=OnError.ERROR), "builtin"
+        )
+    with pytest.raises(DeviceError):
+        select_device(devs, Settings(), None)
