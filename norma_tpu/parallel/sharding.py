@@ -1,0 +1,81 @@
+"""Device-mesh parallelism: sharding specs for the Whisper pytree.
+
+The reference has no distributed layer at all (SURVEY.md §2c); its survey
+mandates that the TPU build express weights with ``jax.sharding`` so
+multi-core tensor parallelism over ICI is a mesh-config change, not a
+rewrite.  This module provides exactly that:
+
+  - ``make_mesh(dp, tp)``      — data-parallel axis over concurrent streams,
+    tensor-parallel axis over attention heads / FFN (Megatron layout)
+  - ``param_shardings(params)`` — NamedSharding per leaf; GSPMD inserts the
+    all-reduces (psum over 'tp') at the o_proj/fc2 boundaries automatically
+  - ``shard_params`` / ``shard_batch`` — placement helpers
+
+Everything downstream (DecodeEngine, the batching scheduler) is written
+batched and jit-compiled, so running SPMD is just: put params with these
+shardings, put inputs with a 'dp' batch sharding, call the same functions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    dp: int = 1, tp: int = 1, devices: Optional[Sequence] = None
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if dp * tp > len(devices):
+        raise ValueError(f"mesh {dp}x{tp} needs {dp*tp} devices, have {len(devices)}")
+    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+# Megatron-style tensor parallelism over the stacked-layer pytree.
+# Keys are leaf names inside a layer dict; specs include the leading L axis.
+_COL = ("q_w", "k_w", "v_w", "xq_w", "xk_w", "xv_w", "fc1_w")  # shard out-dim
+_COL_B = ("q_b", "v_b", "xq_b", "xv_b", "fc1_b")  # shard bias
+_ROW = ("o_w", "xo_w", "fc2_w")  # shard in-dim
+
+
+def _layer_leaf_spec(name: str) -> P:
+    if name in _COL:
+        return P(None, None, "tp")
+    if name in _COL_B:
+        return P(None, "tp")
+    if name in _ROW:
+        return P(None, "tp", None)
+    return P()  # LN params, o_b/fc2_b: replicated
+
+
+def param_shardings(params, mesh: Mesh):
+    """Build a NamedSharding pytree matching ``params``."""
+
+    def spec_for(path, leaf) -> P:
+        keys = [getattr(p, "key", None) for p in path]
+        if "layers" in keys:
+            return _layer_leaf_spec(keys[-1])
+        # conv weights, positional embeddings, embeddings, final LN:
+        # replicated (they are small relative to the layer stack).
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, spec_for(path, leaf)), params
+    )
+
+
+def shard_params(params, mesh: Mesh):
+    return jax.device_put(params, param_shardings(params, mesh))
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard the leading (stream/batch) axis over 'dp', replicate the rest."""
+    return NamedSharding(mesh, P("dp", *([None] * (ndim - 1))))
+
+
+def shard_batch(x, mesh: Mesh):
+    return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
