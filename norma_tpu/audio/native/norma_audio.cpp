@@ -1,0 +1,446 @@
+// norma-tpu native audio runtime.
+//
+// TPU-native re-creation of the reference's native audio muscle, which
+// lives in its Rust deps (SURVEY.md §2b):
+//   - thingbuf lock-free recycled ring  -> SpscRing (drop-on-full try_send,
+//     recycled fixed-capacity slots, short-chunk end-of-stream protocol)
+//   - dasp 128-tap sinc resampler       -> SincResampler (streaming)
+//   - cpal capture callback DSP         -> mixdown_to_f32 + Packer
+//   - cpal/ALSA device layer            -> AlsaCapture via dlopen(libasound)
+//     so the library builds and runs (reporting "no devices") on hosts
+//     without ALSA installed.
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this environment).
+//
+// Build: g++ -O2 -std=c++17 -shared -fPIC -o libnorma_audio.so norma_audio.cpp -ldl -lpthread
+
+#include <atomic>
+#include <chrono>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <dlfcn.h>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Lock-free SPSC ring with recycled slots (thingbuf semantics).
+// ---------------------------------------------------------------------------
+
+struct Slot {
+  std::vector<float> data;
+  int64_t len = 0;
+};
+
+struct SpscRing {
+  std::vector<Slot> slots;
+  size_t n;
+  int64_t chunk_len;
+  std::atomic<uint64_t> head{0};  // next slot to write (producer)
+  std::atomic<uint64_t> tail{0};  // next slot to read (consumer)
+  std::atomic<bool> closed{false};
+  std::atomic<uint64_t> dropped{0};
+
+  SpscRing(size_t n_slots, int64_t chunk) : n(n_slots < 2 ? 2 : n_slots), chunk_len(chunk) {
+    slots.resize(n);
+    for (auto& s : slots) s.data.resize(static_cast<size_t>(chunk));
+  }
+
+  // Producer side: non-blocking, lossy (reference lib.rs:244-252).
+  bool try_send(const float* data, int64_t len) {
+    uint64_t h = head.load(std::memory_order_relaxed);
+    uint64_t t = tail.load(std::memory_order_acquire);
+    if (h - t >= n) {
+      dropped.fetch_add(1, std::memory_order_relaxed);
+      return false;
+    }
+    Slot& s = slots[h % n];
+    int64_t m = len < chunk_len ? len : chunk_len;
+    std::memcpy(s.data.data(), data, static_cast<size_t>(m) * sizeof(float));
+    s.len = m;
+    head.store(h + 1, std::memory_order_release);
+    return true;
+  }
+
+  // Consumer side: copies out; returns length, -1 on timeout, -2 when
+  // closed and drained.
+  int64_t recv(float* out, int timeout_ms) {
+    auto deadline = std::chrono::steady_clock::now() +
+                    std::chrono::milliseconds(timeout_ms);
+    int spins = 0;
+    for (;;) {
+      uint64_t t = tail.load(std::memory_order_relaxed);
+      uint64_t h = head.load(std::memory_order_acquire);
+      if (t != h) {
+        Slot& s = slots[t % n];
+        std::memcpy(out, s.data.data(), static_cast<size_t>(s.len) * sizeof(float));
+        int64_t len = s.len;
+        tail.store(t + 1, std::memory_order_release);
+        return len;
+      }
+      if (closed.load(std::memory_order_acquire)) return -2;
+      if (timeout_ms >= 0 && std::chrono::steady_clock::now() >= deadline)
+        return -1;
+      if (++spins < 64) {
+        std::this_thread::yield();
+      } else {
+        std::this_thread::sleep_for(std::chrono::microseconds(500));
+      }
+    }
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Streaming 128-tap windowed-sinc resampler (reference: dasp sinc,
+// lib.rs:189-216).  Same math as the Python fallback in audio/resample.py.
+// ---------------------------------------------------------------------------
+
+constexpr int kTaps = 128;
+
+struct SincResampler {
+  double step;       // src / dst
+  double t;          // next output position relative to hist[0]
+  std::vector<double> hist;
+  std::vector<double> win;  // blackman window over taps
+
+  SincResampler(double src_hz, double dst_hz)
+      : step(src_hz / dst_hz), t(kTaps - 1), hist(kTaps, 0.0), win(kTaps) {
+    for (int i = 0; i < kTaps; ++i) {
+      double x = static_cast<double>(i + 1) / (kTaps + 1);
+      win[i] = 0.42 - 0.5 * std::cos(2.0 * M_PI * x) +
+               0.08 * std::cos(4.0 * M_PI * x);
+    }
+  }
+
+  static double sinc(double x) {
+    if (std::fabs(x) < 1e-12) return 1.0;
+    double px = M_PI * x;
+    return std::sin(px) / px;
+  }
+
+  // Returns number of output samples written (out must hold
+  // ceil((n_in + taps) / step) + 1 floats).
+  int64_t process(const float* in, int64_t n_in, float* out) {
+    std::vector<double> x;
+    x.reserve(hist.size() + static_cast<size_t>(n_in));
+    x.insert(x.end(), hist.begin(), hist.end());
+    for (int64_t i = 0; i < n_in; ++i) x.push_back(in[i]);
+
+    const int half = kTaps / 2;
+    const int64_t n = static_cast<int64_t>(x.size());
+    int64_t n_out = 0;
+    double tt = t;
+    while (tt < static_cast<double>(n - half)) {
+      int64_t n0 = static_cast<int64_t>(std::floor(tt));
+      double frac = tt - static_cast<double>(n0);
+      double acc = 0.0, ksum = 0.0;
+      const double* w = x.data() + (n0 - half + 1);
+      for (int i = 0; i < kTaps; ++i) {
+        double k = sinc(static_cast<double>(i - half + 1) - frac) * win[i];
+        acc += w[i] * k;
+        ksum += k;
+      }
+      out[n_out++] = static_cast<float>(acc / ksum);
+      tt += step;
+    }
+    int64_t cut = static_cast<int64_t>(std::floor(tt)) - half;
+    if (cut < 0) cut = 0;
+    hist.assign(x.begin() + cut, x.end());
+    t = tt - static_cast<double>(cut);
+    return n_out;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Mixdown + sample-format conversion (reference: parse_data!, lib.rs:159-220)
+// ---------------------------------------------------------------------------
+
+enum SampleFmt : int {
+  FMT_I8 = 0, FMT_I16 = 1, FMT_I32 = 2, FMT_F32 = 3, FMT_F64 = 4,
+  FMT_U8 = 5, FMT_U16 = 6, FMT_U32 = 7,
+};
+
+template <typename T, typename Conv>
+static void mix_loop(const void* raw, int64_t frames, int ch, float* out, Conv conv) {
+  const T* p = static_cast<const T*>(raw);
+  for (int64_t f = 0; f < frames; ++f) {
+    double acc = 0.0;
+    for (int c = 0; c < ch; ++c) acc += conv(p[f * ch + c]);
+    out[f] = static_cast<float>(acc / ch);
+  }
+}
+
+static void mixdown_to_f32(const void* raw, int64_t frames, int ch, int fmt,
+                           float* out) {
+  switch (fmt) {
+    case FMT_I8:
+      mix_loop<int8_t>(raw, frames, ch, out, [](int8_t v) { return v / 128.0; });
+      break;
+    case FMT_I16:
+      mix_loop<int16_t>(raw, frames, ch, out, [](int16_t v) { return v / 32768.0; });
+      break;
+    case FMT_I32:
+      mix_loop<int32_t>(raw, frames, ch, out,
+                        [](int32_t v) { return v / 2147483648.0; });
+      break;
+    case FMT_F32:
+      mix_loop<float>(raw, frames, ch, out, [](float v) { return (double)v; });
+      break;
+    case FMT_F64:
+      mix_loop<double>(raw, frames, ch, out, [](double v) { return v; });
+      break;
+    case FMT_U8:
+      mix_loop<uint8_t>(raw, frames, ch, out,
+                        [](uint8_t v) { return (v - 128.0) / 128.0; });
+      break;
+    case FMT_U16:
+      mix_loop<uint16_t>(raw, frames, ch, out,
+                         [](uint16_t v) { return (v - 32768.0) / 32768.0; });
+      break;
+    case FMT_U32:
+      mix_loop<uint32_t>(raw, frames, ch, out, [](uint32_t v) {
+        return (v - 2147483648.0) / 2147483648.0;
+      });
+      break;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Packer (reference: lib.rs:224-262): fill to chunk_len, lossy flush; close
+// pops one sample so the final chunk is short (end-of-stream signal).
+// ---------------------------------------------------------------------------
+
+struct Packer {
+  SpscRing* ring;
+  std::vector<float> buf;
+  int64_t fill = 0;
+
+  explicit Packer(SpscRing* r) : ring(r), buf(static_cast<size_t>(r->chunk_len)) {}
+
+  void append(const float* data, int64_t n) {
+    int64_t pos = 0;
+    while (pos < n) {
+      int64_t space = ring->chunk_len - fill;
+      if (space == 0) {
+        flush();
+        continue;
+      }
+      int64_t take = std::min(space, n - pos);
+      std::memcpy(buf.data() + fill, data + pos,
+                  static_cast<size_t>(take) * sizeof(float));
+      fill += take;
+      pos += take;
+    }
+  }
+
+  void flush() {
+    ring->try_send(buf.data(), fill);
+    fill = 0;
+  }
+
+  void close() {
+    if (fill > 0) fill -= 1;
+    flush();
+  }
+};
+
+// ---------------------------------------------------------------------------
+// ALSA capture via dlopen — no ALSA headers/libs needed at build time.
+// ---------------------------------------------------------------------------
+
+struct AlsaFns {
+  void* lib = nullptr;
+  int (*pcm_open)(void**, const char*, int, int) = nullptr;
+  int (*pcm_set_params)(void*, int, int, unsigned, unsigned, int, unsigned) = nullptr;
+  long (*pcm_readi)(void*, void*, unsigned long) = nullptr;
+  int (*pcm_close)(void*) = nullptr;
+  int (*pcm_recover)(void*, int, int) = nullptr;
+  int (*hint)(int, const char*, void***) = nullptr;
+  char* (*hint_get)(const void*, const char*) = nullptr;
+  int (*hint_free)(void**) = nullptr;
+
+  bool load() {
+    if (lib) return true;
+    lib = dlopen("libasound.so.2", RTLD_NOW | RTLD_LOCAL);
+    if (!lib) lib = dlopen("libasound.so", RTLD_NOW | RTLD_LOCAL);
+    if (!lib) return false;
+    pcm_open = reinterpret_cast<decltype(pcm_open)>(dlsym(lib, "snd_pcm_open"));
+    pcm_set_params = reinterpret_cast<decltype(pcm_set_params)>(
+        dlsym(lib, "snd_pcm_set_params"));
+    pcm_readi = reinterpret_cast<decltype(pcm_readi)>(dlsym(lib, "snd_pcm_readi"));
+    pcm_close = reinterpret_cast<decltype(pcm_close)>(dlsym(lib, "snd_pcm_close"));
+    pcm_recover =
+        reinterpret_cast<decltype(pcm_recover)>(dlsym(lib, "snd_pcm_recover"));
+    hint = reinterpret_cast<decltype(hint)>(dlsym(lib, "snd_device_name_hint"));
+    hint_get = reinterpret_cast<decltype(hint_get)>(
+        dlsym(lib, "snd_device_name_get_hint"));
+    hint_free = reinterpret_cast<decltype(hint_free)>(
+        dlsym(lib, "snd_device_name_free_hint"));
+    return pcm_open && pcm_set_params && pcm_readi && pcm_close;
+  }
+};
+
+AlsaFns g_alsa;
+
+struct AlsaCapture {
+  void* pcm = nullptr;
+  SpscRing* ring = nullptr;
+  Packer* packer = nullptr;
+  SincResampler* resampler = nullptr;
+  std::thread worker;
+  std::atomic<bool> stop{false};
+  unsigned rate = 0;
+  unsigned channels = 0;
+
+  ~AlsaCapture() {
+    delete packer;
+    delete resampler;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// ---- ring ----------------------------------------------------------------
+
+void* nta_ring_new(int64_t n_slots, int64_t chunk_len) {
+  return new SpscRing(static_cast<size_t>(n_slots), chunk_len);
+}
+int nta_ring_try_send(void* r, const float* data, int64_t len) {
+  return static_cast<SpscRing*>(r)->try_send(data, len) ? 1 : 0;
+}
+int64_t nta_ring_recv(void* r, float* out, int timeout_ms) {
+  return static_cast<SpscRing*>(r)->recv(out, timeout_ms);
+}
+void nta_ring_close(void* r) {
+  static_cast<SpscRing*>(r)->closed.store(true, std::memory_order_release);
+}
+uint64_t nta_ring_dropped(void* r) {
+  return static_cast<SpscRing*>(r)->dropped.load(std::memory_order_relaxed);
+}
+int64_t nta_ring_chunk_len(void* r) { return static_cast<SpscRing*>(r)->chunk_len; }
+void nta_ring_free(void* r) { delete static_cast<SpscRing*>(r); }
+
+// ---- resampler -----------------------------------------------------------
+
+void* nta_resampler_new(double src_hz, double dst_hz) {
+  return new SincResampler(src_hz, dst_hz);
+}
+int64_t nta_resampler_process(void* rs, const float* in, int64_t n_in,
+                              float* out, int64_t max_out) {
+  (void)max_out;
+  return static_cast<SincResampler*>(rs)->process(in, n_in, out);
+}
+void nta_resampler_free(void* rs) { delete static_cast<SincResampler*>(rs); }
+
+// ---- mixdown -------------------------------------------------------------
+
+void nta_mixdown(const void* raw, int64_t frames, int channels, int fmt,
+                 float* out) {
+  mixdown_to_f32(raw, frames, channels, fmt, out);
+}
+
+// ---- packer --------------------------------------------------------------
+
+void* nta_packer_new(void* ring) {
+  return new Packer(static_cast<SpscRing*>(ring));
+}
+void nta_packer_append(void* p, const float* data, int64_t n) {
+  static_cast<Packer*>(p)->append(data, n);
+}
+void nta_packer_close(void* p) { static_cast<Packer*>(p)->close(); }
+void nta_packer_free(void* p) { delete static_cast<Packer*>(p); }
+
+// ---- ALSA ----------------------------------------------------------------
+
+int nta_alsa_available() { return g_alsa.load() ? 1 : 0; }
+
+// Enumerate capture device names into a user buffer ('\n'-separated).
+int64_t nta_alsa_devices(char* out, int64_t cap) {
+  if (!g_alsa.load() || !g_alsa.hint) return -1;
+  void** hints = nullptr;
+  if (g_alsa.hint(-1, "pcm", &hints) < 0) return -1;
+  int64_t written = 0;
+  for (void** h = hints; *h != nullptr; ++h) {
+    char* ioid = g_alsa.hint_get(*h, "IOID");
+    bool input_ok = (ioid == nullptr) || (std::strcmp(ioid, "Input") == 0);
+    if (ioid) free(ioid);
+    if (!input_ok) continue;
+    char* name = g_alsa.hint_get(*h, "NAME");
+    if (!name) continue;
+    int64_t len = static_cast<int64_t>(std::strlen(name));
+    if (written + len + 1 < cap) {
+      std::memcpy(out + written, name, static_cast<size_t>(len));
+      written += len;
+      out[written++] = '\n';
+    }
+    free(name);
+  }
+  if (g_alsa.hint_free) g_alsa.hint_free(hints);
+  if (written > 0) out[written - 1] = '\0';
+  else if (cap > 0) out[0] = '\0';
+  return written;
+}
+
+// Start capture: device -> mixdown -> (resample) -> packer -> ring.
+// target_rate is the model rate; capture runs at dev_rate/channels i16.
+void* nta_alsa_start(const char* device, unsigned dev_rate, unsigned channels,
+                     unsigned target_rate, void* ring) {
+  if (!g_alsa.load()) return nullptr;
+  auto* cap = new AlsaCapture();
+  // SND_PCM_STREAM_CAPTURE = 1, blocking mode (0).
+  if (g_alsa.pcm_open(&cap->pcm, device, 1, 0) < 0) {
+    delete cap;
+    return nullptr;
+  }
+  // SND_PCM_FORMAT_S16_LE = 2, SND_PCM_ACCESS_RW_INTERLEAVED = 3.
+  if (g_alsa.pcm_set_params(cap->pcm, 2, 3, channels, dev_rate, 1, 100000) < 0) {
+    g_alsa.pcm_close(cap->pcm);
+    delete cap;
+    return nullptr;
+  }
+  cap->rate = dev_rate;
+  cap->channels = channels;
+  cap->ring = static_cast<SpscRing*>(ring);
+  cap->packer = new Packer(cap->ring);
+  if (dev_rate != target_rate)
+    cap->resampler = new SincResampler(dev_rate, target_rate);
+
+  cap->worker = std::thread([cap]() {
+    const unsigned long frames = 1024;
+    std::vector<int16_t> raw(frames * cap->channels);
+    std::vector<float> mono(frames);
+    std::vector<float> res(frames * 4 + kTaps);
+    while (!cap->stop.load(std::memory_order_relaxed)) {
+      long got = g_alsa.pcm_readi(cap->pcm, raw.data(), frames);
+      if (got < 0) {
+        if (g_alsa.pcm_recover && g_alsa.pcm_recover(cap->pcm, (int)got, 1) == 0)
+          continue;
+        break;
+      }
+      mixdown_to_f32(raw.data(), got, (int)cap->channels, FMT_I16, mono.data());
+      if (cap->resampler) {
+        int64_t n = cap->resampler->process(mono.data(), got, res.data());
+        cap->packer->append(res.data(), n);
+      } else {
+        cap->packer->append(mono.data(), got);
+      }
+    }
+    cap->packer->close();
+    cap->ring->closed.store(true, std::memory_order_release);
+  });
+  return cap;
+}
+
+void nta_alsa_stop(void* c) {
+  auto* cap = static_cast<AlsaCapture*>(c);
+  cap->stop.store(true, std::memory_order_relaxed);
+  if (cap->worker.joinable()) cap->worker.join();
+  if (cap->pcm) g_alsa.pcm_close(cap->pcm);
+  delete cap;
+}
+
+}  // extern "C"

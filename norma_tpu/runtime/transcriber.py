@@ -150,23 +150,37 @@ class Transcriber:
     # Control loop (reference: run(), lib.rs:394-495)
     # ------------------------------------------------------------------
 
-    def _build_stream(
-        self, settings: Settings, ring: RecycledRing
-    ) -> "StreamPipeline":
-        from ..audio.pipeline import StreamPipeline
+    def _open_stream(self, settings: Settings):
+        """Build the capture pipeline; returns (pipeline, ring).
 
+        Injected sources run the Python DSP pipeline; the real microphone
+        path is fully native (C++ ALSA capture/mixdown/resample/pack into a
+        lock-free ring, see audio/native).
+        """
         source = settings.source
         if source is None:
-            from ..audio.mic import open_microphone  # C++ ALSA path
+            from ..audio.native.alsa import open_native_mic
 
-            source = open_microphone(
-                settings, self._model.SAMPLE_RATE, self._model.dtype
+            return open_native_mic(
+                settings,
+                self._model.SAMPLE_RATE,
+                self._model.dtype,
+                self._params.data_buffer_size,
+                self._params.get_max_chunk_len(),
             )
+
+        from ..audio.pipeline import StreamPipeline
+
+        ring = RecycledRing(
+            self._params.data_buffer_size,
+            self._params.get_max_chunk_len(),
+            self._model.dtype,
+        )
         pipeline = StreamPipeline(
             source, self._model.SAMPLE_RATE, self._model.dtype, ring
         )
         pipeline.start()
-        return pipeline
+        return pipeline, ring
 
     def run(self) -> None:
         while True:
@@ -175,15 +189,10 @@ class Transcriber:
                 return
             settings, res_q = msg
 
-            ring = RecycledRing(
-                self._params.data_buffer_size,
-                self._params.get_max_chunk_len(),
-                self._model.dtype,
-            )
             schan = StringChannel(self._params.string_buffer_size)
 
             try:
-                pipeline = self._build_stream(settings, ring)
+                pipeline, ring = self._open_stream(settings)
             except StartError as e:
                 res_q.put(e)
                 # The reference terminates the run loop on stream-build
