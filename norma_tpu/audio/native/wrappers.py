@@ -74,6 +74,21 @@ class NativeRing:
             buf[: int(n)] = self._scratch[: int(n)]
             return Chunk(buf, int(n))
 
+    def poll(self):
+        """Non-blocking receive: (status, chunk), status in
+        {'chunk', 'empty', 'closed'}."""
+        n = self._lib.nta_ring_recv(self._ptr, self._scratch.ctypes.data_as(_FP), 0)
+        if n == -2:
+            return "closed", None
+        if n == -1:
+            return "empty", None
+        try:
+            buf = self._free.get_nowait()
+        except queue.Empty:
+            buf = np.zeros(self._chunk_len, self._out_dtype)
+        buf[: int(n)] = self._scratch[: int(n)]
+        return "chunk", Chunk(buf, int(n))
+
     def release(self, chunk: Chunk) -> None:
         self._free.put(chunk.buf)
 

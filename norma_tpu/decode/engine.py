@@ -281,16 +281,31 @@ class DecodeEngine:
         state = _prefill_state or self.prefill(feats, lang_token)
         return self.run_loop(state, temperature, seed)[0]
 
-    def prefill(self, feats: jax.Array, lang_token: Optional[int]):
+    def prefill(self, feats: jax.Array, lang_token):
+        """lang_token: None (no language slot), an int, or a per-stream
+        sequence of ints (batched mode: heterogeneous languages)."""
         B = feats.shape[0]
-        prefix = [self.st.sot]
-        if lang_token is not None:
-            prefix.append(int(lang_token))
-        prefix.append(self.st.task)
-        prefix_arr = jnp.tile(jnp.asarray(prefix, jnp.int32)[None], (B, 1))
-        xk, xv, ck, cv, nl, nsp = self._prefill(self.params, feats, prefix_arr)
+        if lang_token is None:
+            prefix_arr = np.tile(
+                np.asarray([self.st.sot, self.st.task], np.int32)[None], (B, 1)
+            )
+        else:
+            langs = np.broadcast_to(
+                np.asarray(lang_token, np.int32).reshape(-1), (B,)
+            )
+            prefix_arr = np.stack(
+                [
+                    np.full(B, self.st.sot, np.int32),
+                    langs,
+                    np.full(B, self.st.task, np.int32),
+                ],
+                axis=1,
+            )
+        xk, xv, ck, cv, nl, nsp = self._prefill(
+            self.params, feats, jnp.asarray(prefix_arr)
+        )
         return dict(
-            prefix=prefix,
+            prefix=prefix_arr,
             B=B,
             xk=xk,
             xv=xv,
@@ -302,9 +317,9 @@ class DecodeEngine:
 
     def run_loop(self, state, temperature: float, seed: int) -> List[DecodingResult]:
         st = self.st
-        prefix = state["prefix"]
+        prefix = np.asarray(state["prefix"])  # [B, P]
         B = state["B"]
-        P = len(prefix)
+        P = prefix.shape[1]
         Tmax = self.cfg.max_target_positions
         tokens_init = np.zeros((B, Tmax), np.int32)
         tokens_init[:, :P] = prefix
@@ -317,8 +332,8 @@ class DecodeEngine:
             state["next_logits"],
             jnp.asarray(tokens_init),
             jnp.int32(P),
-            jnp.full((B,), prefix[-1], jnp.int32),
-            jnp.full((B,), prefix[-2], jnp.int32),
+            jnp.asarray(prefix[:, -1]),
+            jnp.asarray(prefix[:, -2]),
             jnp.float32(temperature),
             jnp.uint32(seed),
         )
@@ -362,7 +377,9 @@ class DecodeEngine:
         nsp = float(state["no_speech_prob"][0])
         if nsp > NO_SPEECH_THRESHOLD:
             return DecodingResult(
-                tokens=list(state["prefix"]), avg_logprob=0.0, no_speech_prob=nsp
+                tokens=np.asarray(state["prefix"])[0].tolist(),
+                avg_logprob=0.0,
+                no_speech_prob=nsp,
             )
         for i, t in enumerate(TEMPERATURES):
             dr = self.run_loop(state, t, seed + i)[0]

@@ -88,6 +88,7 @@ class LongFormDecoder:
         # Token id per Language-enum index, for mapping argmax -> token id.
         self.language_tokens = list(language_tokens) if language_tokens else None
         self.buf = np.zeros(0, np.float32)
+        self.pending_text: List[str] = []
         self._seed = seed
         # Window geometry derives from the model config: a full window is
         # 2 * max_source_positions mel frames (3000 => 480_000 samples, the
@@ -122,88 +123,105 @@ class LongFormDecoder:
 
     # -- public ------------------------------------------------------------
 
-    def transcribe(self, data: np.ndarray, final_chunk: bool) -> str:
-        """Feed one chunk; return any newly-final transcript text."""
-        st = self.engine.st
+    def feed(self, data: np.ndarray) -> None:
         if self.buf.size == 0:
             self.buf = np.asarray(data, np.float32)
         else:
             self.buf = np.concatenate([self.buf, np.asarray(data, np.float32)])
 
-        res: List[str] = []
+    def next_window(self) -> Optional[np.ndarray]:
+        """The window the engine should decode next, or None if drained."""
+        if self.buf.size == 0:
+            return None
+        return self.buf[: min(self.buf.size, self.window_samples)]
 
-        while self.buf.size > 0:
-            slice_len = min(self.buf.size, self.window_samples)
-            window = self.buf[:slice_len]
+    def apply_result(self, dr: Optional[DecodingResult], final_chunk: bool) -> bool:
+        """Consume one window's DecodingResult: drain audio, collect text.
 
-            dr = self._decode_window(window)
+        Returns True if another window should be decoded now, False when
+        decoding must pause for more audio (reference break 'new_chunk) or
+        the buffer is drained.  Emitted text accumulates in
+        ``self.pending_text``.
+        """
+        st = self.engine.st
+        slice_len = min(self.buf.size, self.window_samples)
 
-            if dr is None:
-                # All temperatures failed quality gates (model.rs:90-93).
-                self.buf = self.buf[slice_len:]
-                continue
+        if dr is None:
+            # All temperatures failed quality gates (model.rs:90-93).
+            self.buf = self.buf[slice_len:]
+            return self.buf.size > 0
 
-            if (
-                dr.no_speech_prob > NO_SPEECH_THRESHOLD
-                and dr.avg_logprob < LOGPROB_THRESHOLD
-            ):
-                self.buf = self.buf[slice_len:]
-                continue
+        if (
+            dr.no_speech_prob > NO_SPEECH_THRESHOLD
+            and dr.avg_logprob < LOGPROB_THRESHOLD
+        ):
+            self.buf = self.buf[slice_len:]
+            return self.buf.size > 0
 
-            prefix_only = dr.tokens and dr.tokens[-1] != st.eot
-            if prefix_only:
-                # Deviation 1: silence probe fired; drain (see module doc).
-                self.buf = self.buf[slice_len:]
-                continue
+        if dr.tokens and dr.tokens[-1] != st.eot:
+            # Deviation 1: silence probe fired; drain (see module doc).
+            self.buf = self.buf[slice_len:]
+            return self.buf.size > 0
 
-            segs = list(
-                inclusive_segments(
-                    dr.tokens, lambda t: t > st.no_timestamps or t == st.eot
-                )
+        segs = list(
+            inclusive_segments(
+                dr.tokens, lambda t: t > st.no_timestamps or t == st.eot
             )
-            if not segs:
-                # Deviation 2: no consumable segment; drain (see module doc).
-                self.buf = self.buf[slice_len:]
-                continue
+        )
+        if not segs:
+            # Deviation 2: no consumable segment; drain (see module doc).
+            self.buf = self.buf[slice_len:]
+            return self.buf.size > 0
 
-            stop_all = False  # break 'new_chunk in the reference
-            for tokens in segs:
-                s_timestamp = tokens[0] - st.no_timestamps - 1
-                e_token = tokens[-1]
+        stop_all = False  # break 'new_chunk in the reference
+        for tokens in segs:
+            s_timestamp = tokens[0] - st.no_timestamps - 1
+            e_token = tokens[-1]
 
-                if e_token == st.eot:
-                    if s_timestamp == 0 or final_chunk:
-                        if slice_len == self.window_samples or final_chunk:
-                            self.buf = self.buf[slice_len:]
-                            logger.debug("Transcribed all remaining data")
-                            # fall through: emit this segment's text
-                        else:
-                            logger.debug("Transcribed, waiting for more data")
-                            stop_all = True
-                            break
+            if e_token == st.eot:
+                if s_timestamp == 0 or final_chunk:
+                    if slice_len == self.window_samples or final_chunk:
+                        self.buf = self.buf[slice_len:]
+                        logger.debug("Transcribed all remaining data")
+                        # fall through: emit this segment's text
                     else:
-                        pre_drain_len = self.buf.size
-                        drain = min(
-                            s_timestamp * SAMPLES_PER_TIMESTAMP_TICK, slice_len
-                        )
-                        self.buf = self.buf[drain:]
-                        if pre_drain_len > slice_len:
-                            logger.debug("Transcribed, getting a new slice")
-                            break  # next window immediately
                         logger.debug("Transcribed, waiting for more data")
                         stop_all = True
                         break
+                else:
+                    pre_drain_len = self.buf.size
+                    drain = min(s_timestamp * SAMPLES_PER_TIMESTAMP_TICK, slice_len)
+                    self.buf = self.buf[drain:]
+                    if pre_drain_len > slice_len:
+                        logger.debug("Transcribed, getting a new slice")
+                        break  # next window immediately
+                    logger.debug("Transcribed, waiting for more data")
+                    stop_all = True
+                    break
 
-                text = self.tokenizer.decode(tokens[1:-1], skip_special_tokens=True)
-                if text:
-                    res.append(text)
+            text = self.tokenizer.decode(tokens[1:-1], skip_special_tokens=True)
+            if text:
+                self.pending_text.append(text)
 
-            if stop_all:
-                break
+        if stop_all:
+            return False
+        return self.buf.size > 0
 
+    def finish_call(self, final_chunk: bool) -> str:
+        """End-of-transcribe bookkeeping; returns and clears pending text."""
         if final_chunk:
             # Reference also resets the (cross-attn) KV cache here; our
             # functional design recomputes it per window, nothing to reset.
             self.lang.clear()
+        out = "".join(self.pending_text)
+        self.pending_text = []
+        return out
 
-        return "".join(res)
+    def transcribe(self, data: np.ndarray, final_chunk: bool) -> str:
+        """Feed one chunk; return any newly-final transcript text."""
+        self.feed(data)
+        while self.next_window() is not None:
+            dr = self._decode_window(self.next_window())
+            if not self.apply_result(dr, final_chunk):
+                break
+        return self.finish_call(final_chunk)

@@ -99,6 +99,16 @@ class RecycledRing:
                 if timeout is not None:
                     return None
 
+    def poll(self):
+        """Non-blocking receive: (status, chunk) with status in
+        {'chunk', 'empty', 'closed'}."""
+        try:
+            return "chunk", self._full.get_nowait()
+        except queue.Empty:
+            if self._closed.is_set():
+                return "closed", None
+            return "empty", None
+
     def release(self, chunk: Chunk) -> None:
         """Recycle a consumed slot."""
         self._free.put(chunk.buf)
@@ -157,6 +167,18 @@ class StringChannel:
                 return
             except queue.Full:
                 continue
+
+    def try_send(self, s: str, timeout: float = 0.2) -> bool:
+        """Bounded-wait send for the batched scheduler: dropping beats
+        stalling the shared decode loop.  Raises ReceiverClosed."""
+        if self._receiver_closed.is_set():
+            raise ReceiverClosed()
+        try:
+            self._q.put(s, timeout=timeout)
+            return True
+        except queue.Full:
+            logger.warning("transcript channel full; dropping segment")
+            return False
 
     def close_sender(self) -> None:
         self._sender_closed.set()
