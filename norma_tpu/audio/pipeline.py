@@ -105,7 +105,15 @@ class StreamPipeline:
         self._stopped = False
 
     def start(self) -> None:
-        self.source.start(self._on_data)
+        self.source.start(self._on_data, on_end=self._on_source_end)
+
+    def _on_source_end(self) -> None:
+        """Source ended on its own (file EOF / fixed duration): finalize."""
+        if self._stopped:
+            return
+        self._stopped = True
+        self.packer.close()
+        self.ring.close()
 
     def _on_data(self, frames: np.ndarray) -> None:
         ch = self.source.channels

@@ -26,14 +26,18 @@ OnData = Callable[[np.ndarray], None]
 
 
 class AudioSource(abc.ABC):
-    """A stream of interleaved PCM frames."""
+    """A stream of interleaved PCM frames.
+
+    ``on_end`` (optional) fires when the source ends on its own (file EOF,
+    fixed duration) — real microphones never call it.
+    """
 
     sample_rate: int
     channels: int
     dtype: np.dtype  # native sample format of the source
 
     @abc.abstractmethod
-    def start(self, on_data: OnData) -> None: ...
+    def start(self, on_data: OnData, on_end=None) -> None: ...
 
     @abc.abstractmethod
     def stop(self) -> None: ...
@@ -52,21 +56,25 @@ class _ThreadedSource(AudioSource):
     def _next_block(self) -> Optional[np.ndarray]:
         """Produce the next interleaved block, or None at end of stream."""
 
-    def start(self, on_data: OnData) -> None:
+    def start(self, on_data: OnData, on_end=None) -> None:
         self._stop.clear()
 
         def run() -> None:
             period = self.block_frames / self.sample_rate
+            ended = False
             while not self._stop.is_set():
                 t0 = time.monotonic()
                 block = self._next_block()
                 if block is None:
+                    ended = True
                     break
                 on_data(block)
                 if self.realtime:
                     delay = period - (time.monotonic() - t0)
                     if delay > 0:
                         self._stop.wait(delay)
+            if ended and on_end is not None and not self._stop.is_set():
+                on_end()
 
         self._thread = threading.Thread(target=run, daemon=True, name="audio-src")
         self._thread.start()

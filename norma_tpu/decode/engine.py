@@ -34,8 +34,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import logging
+
 from ..constants import LOGPROB_THRESHOLD, NO_SPEECH_THRESHOLD, TEMPERATURES
 from ..model.config import WhisperConfig
+from ..tracing import decode_telemetry
+
+logger = logging.getLogger(__name__)
 from ..model.whisper import cross_kv, decoder_prefill, decoder_step, encode
 from .masks import Masks, SpecialTokens, build_masks
 
@@ -388,5 +393,7 @@ class DecodeEngine:
                 or dr.avg_logprob < LOGPROB_THRESHOLD
             )
             if not needs_fallback or dr.no_speech_prob > NO_SPEECH_THRESHOLD:
+                decode_telemetry(t, dr.avg_logprob, dr.no_speech_prob)
                 return dr
+        logger.debug("failed to decode at all temperatures, returning None")
         return None

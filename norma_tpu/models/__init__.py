@@ -103,6 +103,20 @@ class CommonModelParams:
     def set_string_buffer_size(self, v: int) -> None:
         self.string_buffer_size = max(v, MIN_STRING_BUF_SIZE)
 
+    # Optional (de)serialization, mirroring the reference's serde feature.
+    def to_dict(self) -> dict:
+        return {
+            "max_chunk_len": self.max_chunk_len,
+            "data_buffer_size": self.data_buffer_size,
+            "string_buffer_size": self.string_buffer_size,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "CommonModelParams":
+        p = cls(d["max_chunk_len"], 0, d["string_buffer_size"])
+        p.data_buffer_size = d["data_buffer_size"]
+        return p
+
 
 class Model(abc.ABC):
     """A runnable transcription model (reference: Model trait, mod.rs:24-34).

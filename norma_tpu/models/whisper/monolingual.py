@@ -151,3 +151,34 @@ class Definition(ModelDefinition):
             local_dir=self.local_dir,
             dtype=self.dtype,
         )
+
+    # Optional (de)serialization (reference serde feature, monolingual.rs:29).
+    def to_dict(self) -> dict:
+        model = (
+            {"multi_as_mono": self.model.model.value, "lang": self.model.lang.value}
+            if isinstance(self.model, MultiAsMono)
+            else self.model.value
+        )
+        return {
+            "model": model,
+            "device": {"kind": self.device.kind, "ordinal": self.device.ordinal},
+            "common_params": self._common.to_dict(),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Definition":
+        from .. import CommonModelParams
+        from . import multilingual
+
+        m = d["model"]
+        if isinstance(m, dict):
+            model = MultiAsMono(
+                model=multilingual.ModelType(m["multi_as_mono"]),
+                lang=Language(m["lang"]),
+            )
+        else:
+            model = ModelType(m)
+        dev = SelectedDevice(d["device"]["kind"], d["device"]["ordinal"])
+        out = cls(model, dev)
+        out._common = CommonModelParams.from_dict(d["common_params"])
+        return out

@@ -122,3 +122,24 @@ class Definition(ModelDefinition):
             local_dir=self.local_dir,
             dtype=self.dtype,
         )
+
+    # Optional (de)serialization (reference serde feature).
+    def to_dict(self) -> dict:
+        return {
+            "model": self.model.value,
+            "device": {"kind": self.device.kind, "ordinal": self.device.ordinal},
+            "task": self.task.value,
+            "common_params": self._common.to_dict(),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Definition":
+        from .. import CommonModelParams
+
+        out = cls(
+            ModelType(d["model"]),
+            SelectedDevice(d["device"]["kind"], d["device"]["ordinal"]),
+            Task(d["task"]),
+        )
+        out._common = CommonModelParams.from_dict(d["common_params"])
+        return out

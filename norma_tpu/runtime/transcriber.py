@@ -240,6 +240,9 @@ class Transcriber:
                         self._teardown_stream()
                         break
             schan.close_sender()
+            # Stream ended (stop() or source EOF): clear the keepalive so a
+            # new start is accepted.
+            self._teardown_stream()
             if shutdown:
                 return
             # loop back: wait for the next start request

@@ -1,0 +1,88 @@
+"""Structured tracing and profiling.
+
+Re-creation of the reference's observability layer (SURVEY.md §5): the
+reference instruments every public entry with ``tracing`` spans carrying
+hot-path metrics (``#[instrument]`` at lib.rs:315,342,369,381,393,502,559;
+model.rs:54,163; decode telemetry at model.rs:180-185,208).  TPU-native
+equivalents here:
+
+  - ``span`` / ``instrument`` — structured spans on Python ``logging`` with
+    wall-time and user fields (the subscriber/handler choice is left to the
+    application, as in the reference)
+  - ``decode_telemetry`` — the reference's per-decode trace fields
+    (at_temp, logprob, no_speech_prob)
+  - ``profile`` — wraps a region in a ``jax.profiler`` trace so device-side
+    encoder/decoder timings land in TensorBoard-compatible traces
+"""
+
+from __future__ import annotations
+
+import contextlib
+import functools
+import logging
+import time
+from typing import Any, Dict, Optional
+
+logger = logging.getLogger("norma_tpu")
+
+
+@contextlib.contextmanager
+def span(name: str, level: int = logging.DEBUG, **fields: Any):
+    """A timed, structured span: logs entry fields and exit duration."""
+    t0 = time.perf_counter()
+    logger.log(level, "%s enter %s", name, fields if fields else "")
+    try:
+        yield fields
+    except Exception as e:
+        logger.log(logging.ERROR, "%s error after %.3fms: %r",
+                   name, (time.perf_counter() - t0) * 1e3, e)
+        raise
+    else:
+        logger.log(level, "%s exit %.3fms", name, (time.perf_counter() - t0) * 1e3)
+
+
+def instrument(_fn=None, *, name: Optional[str] = None, level: int = logging.DEBUG):
+    """Decorator mirroring the reference's #[instrument] spans."""
+
+    def deco(fn):
+        span_name = name or fn.__qualname__
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            with span(span_name, level=level):
+                return fn(*args, **kwargs)
+
+        return wrapper
+
+    return deco(_fn) if _fn is not None else deco
+
+
+def decode_telemetry(at_temp: float, avg_logprob: float, no_speech_prob: float) -> None:
+    """The reference's decode trace fields (model.rs:180-185)."""
+    logger.debug(
+        "decoded at_temp=%.1f logprob=%.3f no_speech_prob=%.3f",
+        at_temp,
+        avg_logprob,
+        no_speech_prob,
+    )
+
+
+@contextlib.contextmanager
+def profile(log_dir: str = "/tmp/norma_tpu_profile"):
+    """Capture a jax.profiler device trace for the enclosed region."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
+def annotate(name: str):
+    """Named sub-region inside a profiler trace (shows up on the timeline)."""
+    import jax
+
+    with jax.profiler.TraceAnnotation(name):
+        yield
