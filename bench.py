@@ -1,17 +1,22 @@
 """Benchmark: distil-large-v3 streaming real-time factor on one TPU chip.
 
-Measures the per-30s-window compute of the flagship model (distil-large-v3
-dimensions, bf16, random weights — checkpoints are not downloadable in this
-environment and RTF is weight-independent):
+Times the PRODUCTION path wall-clock: ``LongFormDecoder.transcribe`` over a
+30s window — log-mel, encoder forward, cross-KV, prefill, no-speech probe,
+and the on-device token loop, plus all host orchestration — on the flagship
+model dims (distil-large-v3, bf16; random weights, since checkpoints are
+not downloadable in this environment and RTF is weight-independent).
 
-  window = log-mel + encoder forward + cross-KV + 3-token prefill
-  step   = one grammar-masked sampling step + incremental decoder step
+To make the decoded-token count deterministic with random weights, the EOT
+id is set to an unreachable value and max_target_positions to 136, so every
+window decodes exactly 132 tokens (a realistic-to-pessimistic count for 30s
+of speech; Whisper emits ~60-100 text+timestamp tokens per window).
 
-RTF = (t_window + TOKENS_PER_WINDOW * t_step) / 30s, with a conservative
-100 tokens per 30s window (real speech decodes 60-100 incl. timestamps).
+Also reports the batched path: the same engine calls at B=8 (the
+multi-stream scheduler's shape), giving per-stream RTF when 8 microphones
+share the chip.
 
 Baseline (BASELINE.md): target RTF <= 0.05 (>= 20x real-time) per stream.
-``vs_baseline`` reports target/actual, so > 1.0 beats the target.
+``vs_baseline`` = target/actual, so > 1.0 beats the target.
 
 Prints ONE JSON line.
 """
@@ -21,6 +26,16 @@ import time
 
 import numpy as np
 
+TOKENS_PER_WINDOW = 132  # max_target_positions=136 minus prefix+final slot
+
+
+class _NullTokenizer:
+    def decode(self, ids, skip_special_tokens=True):
+        return ""
+
+    def token_to_id(self, s):
+        return None
+
 
 def main() -> None:
     import jax
@@ -29,93 +44,77 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    from norma_tpu.constants import N_FRAMES
-    from norma_tpu.decode import DecodeEngine
+    from norma_tpu.constants import N_SAMPLES
+    from norma_tpu.decode import DecodeEngine, LanguageState, LongFormDecoder
     from norma_tpu.decode.masks import SpecialTokens
-    from norma_tpu.frontend.mel import log_mel_spectrogram
     from norma_tpu.model import PRESETS, init_params
-    from norma_tpu.model.whisper import cross_kv, decoder_prefill, decoder_step, encode
 
-    cfg = PRESETS["distil-large-v3"]
-    dtype = jnp.bfloat16
-    params = init_params(cfg, seed=0, dtype=dtype)
+    cfg = PRESETS["distil-large-v3"].with_(max_target_positions=136)
+    params = init_params(cfg, seed=0, dtype=jnp.bfloat16)
     params = jax.device_put(params, jax.devices()[0])
 
     st = SpecialTokens(
-        sot=50258, eot=50257, task=50360, no_speech=50363,
+        sot=50258, eot=-1, task=50360, no_speech=50363,
         no_timestamps=50364, zero_sec=50365, one_sec=50415,
     )
     engine = DecodeEngine(params, cfg, st)
 
-    B = 1
-    audio = jnp.zeros((B, (N_FRAMES - 1) * 160 + 400), jnp.float32)
-    prefix = jnp.asarray(np.tile([[st.sot, 50259, st.task]], (B, 1)), jnp.int32)
+    rng = np.random.default_rng(0)
+    audio = (0.1 * rng.standard_normal(N_SAMPLES)).astype(np.float32)
 
-    @jax.jit
-    def window_fn(params, audio, prefix):
-        mel = log_mel_spectrogram(audio, n_mels=cfg.num_mel_bins)
-        feats = encode(params, cfg, mel)
-        xk, xv = cross_kv(params, cfg, feats)
-        logits, ck, cv = decoder_prefill(params, cfg, prefix, xk, xv)
-        return logits[:, -1], ck, cv, xk, xv
-
-    K = 32  # chained steps per timing call
-
-    @jax.jit
-    def steps_fn(params, ll, ck, cv, xk, xv):
-        def body(i, carry):
-            ll, ck, cv, key = carry
-            probs = jax.nn.softmax(ll, axis=-1)
-            masked = engine._grammar_mask_step(
-                probs,
-                jnp.full((B,), st.task, jnp.int32),
-                jnp.full((B,), st.sot, jnp.int32),
-                jnp.zeros((B,), jnp.int32),
-                i == 0,
-            )
-            nxt = jnp.argmax(masked, axis=-1).astype(jnp.int32)
-            ll2, ck, cv = decoder_step(params, cfg, nxt, 3 + i, ck, cv, xk, xv)
-            return ll2, ck, cv, key
-
-        ll, ck, cv, _ = jax.lax.fori_loop(
-            0, K, body, (ll, ck, cv, jax.random.PRNGKey(0))
+    def make_lf():
+        return LongFormDecoder(
+            engine, _NullTokenizer(), LanguageState(const=50259)
         )
-        return ll
 
-    # Warmup / compile.
-    ll, ck, cv, xk, xv = window_fn(params, audio, prefix)
-    jax.block_until_ready(ll)
-    jax.block_until_ready(steps_fn(params, ll, ck, cv, xk, xv))
+    # Warmup (compiles everything the production path uses).
+    make_lf().transcribe(audio, final_chunk=True)
 
-    def timeit(f, n=5):
-        best = float("inf")
-        for _ in range(n):
-            t0 = time.perf_counter()
-            jax.block_until_ready(f())
-            best = min(best, time.perf_counter() - t0)
-        return best
+    def run_single():
+        t0 = time.perf_counter()
+        make_lf().transcribe(audio, final_chunk=True)
+        return time.perf_counter() - t0
 
-    t_window = timeit(lambda: window_fn(params, audio, prefix))
-    t_steps = timeit(lambda: steps_fn(params, ll, ck, cv, xk, xv))
-    t_step = t_steps / K
+    t_single = min(run_single() for _ in range(4))
+    rtf = t_single / 30.0
 
-    tokens_per_window = 100
-    window_total = t_window + tokens_per_window * t_step
-    rtf = window_total / 30.0
+    # Batched shape: B=8 windows through the same engine calls.
+    from norma_tpu.frontend.mel import log_mel_spectrogram, prepare_audio
+
+    B = 8
+    windows = np.stack(
+        [prepare_audio((0.1 * rng.standard_normal(N_SAMPLES)).astype(np.float32))
+         for _ in range(B)]
+    )
+    wj = jnp.asarray(windows)
+
+    def run_batched():
+        t0 = time.perf_counter()
+        mel = log_mel_spectrogram(wj, n_mels=cfg.num_mel_bins)
+        feats = engine.encode(mel)
+        state = engine.prefill(feats, 50259)
+        engine.run_loop(state, 0.0, seed=0)
+        return time.perf_counter() - t0
+
+    run_batched()  # warmup/compile
+    t_batched = min(run_batched() for _ in range(4))
+    rtf8 = t_batched / 30.0 / B
+
     target = 0.05
-
     print(
         json.dumps(
             {
                 "metric": "rtf_distil_large_v3_stream",
                 "value": round(rtf, 6),
-                "unit": "rtf (lower is better; 30s window compute / 30s)",
+                "unit": "rtf (wall-clock per 30s window / 30s; lower is better)",
                 "vs_baseline": round(target / rtf, 2),
                 "detail": {
-                    "t_window_ms": round(t_window * 1e3, 2),
-                    "t_step_ms": round(t_step * 1e3, 3),
-                    "tokens_per_window": tokens_per_window,
-                    "realtime_streams_per_chip": int(1.0 / rtf),
+                    "t_window_single_ms": round(t_single * 1e3, 1),
+                    "t_window_batched8_ms": round(t_batched * 1e3, 1),
+                    "rtf_per_stream_batched8": round(rtf8, 6),
+                    "realtime_streams_per_chip_batched": int(1.0 / rtf8),
+                    "tokens_per_window": TOKENS_PER_WINDOW,
+                    "methodology": "production LongFormDecoder.transcribe wall-clock, forced 132-token decode",
                     "device": str(jax.devices()[0]),
                     "dtype": "bfloat16",
                 },

@@ -159,7 +159,7 @@ struct SincResampler {
 
 enum SampleFmt : int {
   FMT_I8 = 0, FMT_I16 = 1, FMT_I32 = 2, FMT_F32 = 3, FMT_F64 = 4,
-  FMT_U8 = 5, FMT_U16 = 6, FMT_U32 = 7,
+  FMT_U8 = 5, FMT_U16 = 6, FMT_U32 = 7, FMT_I64 = 8, FMT_U64 = 9,
 };
 
 template <typename T, typename Conv>
@@ -202,6 +202,15 @@ static void mixdown_to_f32(const void* raw, int64_t frames, int ch, int fmt,
     case FMT_U32:
       mix_loop<uint32_t>(raw, frames, ch, out, [](uint32_t v) {
         return (v - 2147483648.0) / 2147483648.0;
+      });
+      break;
+    case FMT_I64:
+      mix_loop<int64_t>(raw, frames, ch, out,
+                        [](int64_t v) { return v / 9223372036854775808.0; });
+      break;
+    case FMT_U64:
+      mix_loop<uint64_t>(raw, frames, ch, out, [](uint64_t v) {
+        return (v - 9223372036854775808.0) / 9223372036854775808.0;
       });
       break;
   }

@@ -129,7 +129,7 @@ class NativeResampler:
 def native_mixdown(raw: np.ndarray, channels: int, fmt: str) -> np.ndarray:
     """Interleaved native-format frames -> mono f32 via C++."""
     lib = _lib()
-    fmts = {"i8": 0, "i16": 1, "i32": 2, "f32": 3, "f64": 4, "u8": 5, "u16": 6, "u32": 7}
+    fmts = {"i8": 0, "i16": 1, "i32": 2, "f32": 3, "f64": 4, "u8": 5, "u16": 6, "u32": 7, "i64": 8, "u64": 9}
     frames = len(raw) // channels
     out = np.zeros(frames, np.float32)
     raw = np.ascontiguousarray(raw)

@@ -85,6 +85,7 @@ class DecodeEngine:
 
         self._encode = jax.jit(lambda p, mel: encode(p, cfg, mel))
         self._prefill = jax.jit(self._prefill_impl)
+        self._prefill_full = jax.jit(self._prefill_full_impl)
         self._loop = jax.jit(self._loop_impl)
         self._detect = jax.jit(self._detect_impl)
 
@@ -110,6 +111,21 @@ class DecodeEngine:
         probe = jax.nn.softmax(logits[:, 0, :], axis=-1)
         no_speech_prob = probe[:, self.st.no_speech]
         return xk, xv, cache_k, cache_v, logits[:, -1, :], no_speech_prob
+
+    def _prefill_full_impl(self, params, audio, prefix_tokens):
+        """Fused window dispatch: raw padded PCM -> mel -> encoder -> prefill.
+
+        One device call instead of three (mel/encode/prefill); used on the
+        hot path when the language token is already known.
+        """
+        from ..frontend.mel import log_mel_spectrogram
+
+        n_frames = 2 * self.cfg.max_source_positions
+        mel = log_mel_spectrogram(
+            audio, n_mels=self.cfg.num_mel_bins, n_frames=n_frames
+        )
+        feats = encode(params, self.cfg, mel)
+        return self._prefill_impl(params, feats, prefix_tokens)
 
     def _detect_impl(self, params, feats):
         """Language-id probe: decode one step on [sot] and softmax over the
@@ -286,28 +302,47 @@ class DecodeEngine:
         state = _prefill_state or self.prefill(feats, lang_token)
         return self.run_loop(state, temperature, seed)[0]
 
-    def prefill(self, feats: jax.Array, lang_token):
+    def _prefix_array(self, B: int, lang_token) -> np.ndarray:
         """lang_token: None (no language slot), an int, or a per-stream
         sequence of ints (batched mode: heterogeneous languages)."""
-        B = feats.shape[0]
         if lang_token is None:
-            prefix_arr = np.tile(
+            return np.tile(
                 np.asarray([self.st.sot, self.st.task], np.int32)[None], (B, 1)
             )
-        else:
-            langs = np.broadcast_to(
-                np.asarray(lang_token, np.int32).reshape(-1), (B,)
-            )
-            prefix_arr = np.stack(
-                [
-                    np.full(B, self.st.sot, np.int32),
-                    langs,
-                    np.full(B, self.st.task, np.int32),
-                ],
-                axis=1,
-            )
+        langs = np.broadcast_to(np.asarray(lang_token, np.int32).reshape(-1), (B,))
+        return np.stack(
+            [
+                np.full(B, self.st.sot, np.int32),
+                langs,
+                np.full(B, self.st.task, np.int32),
+            ],
+            axis=1,
+        )
+
+    def prefill(self, feats: jax.Array, lang_token):
+        B = feats.shape[0]
+        prefix_arr = self._prefix_array(B, lang_token)
         xk, xv, ck, cv, nl, nsp = self._prefill(
             self.params, feats, jnp.asarray(prefix_arr)
+        )
+        return dict(
+            prefix=prefix_arr,
+            B=B,
+            xk=xk,
+            xv=xv,
+            cache_k=ck,
+            cache_v=cv,
+            next_logits=nl,
+            no_speech_prob=np.asarray(nsp),
+        )
+
+    def prefill_window(self, audio: jax.Array, lang_token):
+        """Fused raw-PCM prefill (one dispatch); audio [B, samples] padded
+        to (2*max_source_positions + 3) * hop samples or more."""
+        B = audio.shape[0]
+        prefix_arr = self._prefix_array(B, lang_token)
+        xk, xv, ck, cv, nl, nsp = self._prefill_full(
+            self.params, audio, jnp.asarray(prefix_arr)
         )
         return dict(
             prefix=prefix_arr,
@@ -379,6 +414,16 @@ class DecodeEngine:
         DecodingResult; the long-form layer treats it as "discard slice".
         """
         state = self.prefill(feats, lang_token)
+        return self._fallback_from_state(state, seed)
+
+    def decode_with_fallback_windowed(
+        self, audio: jax.Array, lang_token, seed: int
+    ) -> Optional[DecodingResult]:
+        """Fused-dispatch variant: raw padded PCM window in, ladder out."""
+        state = self.prefill_window(audio, lang_token)
+        return self._fallback_from_state(state, seed)
+
+    def _fallback_from_state(self, state, seed: int) -> Optional[DecodingResult]:
         nsp = float(state["no_speech_prob"][0])
         if nsp > NO_SPEECH_THRESHOLD:
             return DecodingResult(

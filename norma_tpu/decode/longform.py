@@ -105,20 +105,25 @@ class LongFormDecoder:
 
     def _decode_window(self, window: np.ndarray) -> Optional[DecodingResult]:
         cfg = self.engine.cfg
-        mel = log_mel_spectrogram(
-            jnp.asarray(prepare_audio(window, n_frames=self.n_frames)),
-            n_mels=cfg.num_mel_bins,
-            n_frames=self.n_frames,
-        )
-        feats = self.engine.encode(mel)
         if self.lang.needs_detection:
+            mel = log_mel_spectrogram(
+                jnp.asarray(prepare_audio(window, n_frames=self.n_frames)),
+                n_mels=cfg.num_mel_bins,
+                n_frames=self.n_frames,
+            )
+            feats = self.engine.encode(mel)
             probs = self.engine.detect_language(feats)
             idx = int(np.argmax(probs[0]))
             tok = self.language_tokens[idx]
             logger.debug("Detected language idx=%d prob=%.3f", idx, probs[0][idx])
             self.lang.set_detected(tok)
-        return self.engine.decode_with_fallback(
-            feats, self.lang.token, self._next_seed()
+            return self.engine.decode_with_fallback(
+                feats, self.lang.token, self._next_seed()
+            )
+        # Known language: fused single-dispatch window prefill.
+        audio = jnp.asarray(prepare_audio(window, n_frames=self.n_frames))[None]
+        return self.engine.decode_with_fallback_windowed(
+            audio, self.lang.token, self._next_seed()
         )
 
     # -- public ------------------------------------------------------------

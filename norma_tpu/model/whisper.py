@@ -158,6 +158,26 @@ def encode(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Array:
 # --------------------------------------------------------------------------
 
 
+def logits_head(dec: Params, x: jax.Array) -> jax.Array:
+    """Tied-embedding logits head: [..., D] -> [..., V] f32.
+
+    Uses the int8 weight-quantized path (ops/quant_matmul) when the params
+    carry a ``tok_emb_q8`` entry; Pallas on TPU, XLA elsewhere.
+    """
+    if "tok_emb_q8" in dec:
+        from ..ops.quant_matmul import w8_matmul_jnp, w8_matmul_pallas
+
+        q8 = dec["tok_emb_q8"]
+        lead = x.shape[:-1]
+        flat = x.reshape(-1, x.shape[-1])
+        if jax.default_backend() == "tpu":
+            y = w8_matmul_pallas(flat, q8["q"], q8["s"])
+        else:
+            y = w8_matmul_jnp(flat, q8["q"], q8["s"])
+        return y.reshape(*lead, y.shape[-1])
+    return jnp.dot(x, dec["tok_emb"].T, preferred_element_type=jnp.float32)
+
+
 def cross_kv(params: Params, cfg: WhisperConfig, xa: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Precompute cross-attention K/V for all decoder layers.
 
@@ -227,9 +247,7 @@ def decoder_prefill(
     x, (ks, vs) = jax.lax.scan(body, x, (dec["layers"], xk, xv))
 
     x = layer_norm(x, dec["ln_g"], dec["ln_b"])
-    logits = jnp.dot(
-        x, dec["tok_emb"].T, preferred_element_type=jnp.float32
-    )  # tied embedding head
+    logits = logits_head(dec, x)  # tied embedding head
 
     cache_k = jnp.zeros((L, B, Tmax, D), dtype)
     cache_v = jnp.zeros((L, B, Tmax, D), dtype)
@@ -286,7 +304,7 @@ def decoder_step(
     x, (new_k, new_v) = jax.lax.scan(body, x, (dec["layers"], cache_k, cache_v, xk, xv))
 
     x = layer_norm(x, dec["ln_g"], dec["ln_b"])
-    logits = jnp.dot(x[:, 0, :], dec["tok_emb"].T, preferred_element_type=jnp.float32)
+    logits = logits_head(dec, x[:, 0, :])
     return logits, new_k, new_v
 
 

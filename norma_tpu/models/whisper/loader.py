@@ -88,6 +88,7 @@ def build_model(
     local_dir: Optional[str] = None,
     dtype=jnp.float32,
     seed: int = 0,
+    quantize_logits: bool = False,
 ) -> WhisperModel:
     """Build a WhisperModel from a checkpoint.
 
@@ -107,6 +108,10 @@ def build_model(
         params = load_gguf_q8(files.weights, cfg, dtype)
     else:
         params = load_safetensors(files.weights, cfg, dtype)
+    if quantize_logits:
+        from ...model.quant import quantize_logits_head
+
+        params = quantize_logits_head(params)
     params = jax.device_put(params, jdev)
 
     st = SpecialTokens.from_tokenizer(tokenizer, task_token_str)

@@ -112,11 +112,13 @@ class Definition(ModelDefinition):
         *,
         local_dir: Optional[str] = None,
         dtype=jnp.float32,
+        quantize_logits: bool = False,
     ) -> None:
         self.model = model
         self.device = device
         self.local_dir = local_dir
         self.dtype = dtype
+        self.quantize_logits = quantize_logits
         # Defaults: 25s chunks, data/string buffers of 3 (monolingual.rs:128).
         self._common = CommonModelParams(SAMPLE_RATE * 25, 3, 3)
 
@@ -150,6 +152,7 @@ class Definition(ModelDefinition):
             const_language_token_str=self.model.language().token(),
             local_dir=self.local_dir,
             dtype=self.dtype,
+            quantize_logits=self.quantize_logits,
         )
 
     # Optional (de)serialization (reference serde feature, monolingual.rs:29).

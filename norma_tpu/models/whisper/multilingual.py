@@ -85,12 +85,14 @@ class Definition(ModelDefinition):
         *,
         local_dir: Optional[str] = None,
         dtype=jnp.float32,
+        quantize_logits: bool = False,
     ) -> None:
         self.model = model
         self.device = device
         self.task = task
         self.local_dir = local_dir
         self.dtype = dtype
+        self.quantize_logits = quantize_logits
         self._common = CommonModelParams(SAMPLE_RATE * 25, 3, 3)
 
     def common_params(self) -> CommonModelParams:
@@ -121,6 +123,7 @@ class Definition(ModelDefinition):
             const_language_token_str=None,  # Detect mode
             local_dir=self.local_dir,
             dtype=self.dtype,
+            quantize_logits=self.quantize_logits,
         )
 
     # Optional (de)serialization (reference serde feature).

@@ -189,31 +189,36 @@ class BatchedTranscriber:
         if n < B:
             windows[n:] = windows[0]  # pad rows; results discarded
 
-        mel = log_mel_spectrogram(
-            jnp.asarray(windows[:, : (n_frames - 1) * 160 + 400]),
-            n_mels=self.engine.cfg.num_mel_bins,
-            n_frames=n_frames,
-        )
-        feats = self.engine.encode(mel)
-
-        # Per-stream language resolution (batched detection probe).
-        langs = np.zeros(B, np.int32)
+        audio_j = jnp.asarray(windows[:, : (n_frames - 1) * 160 + 400])
         need_detect = [
             i for i, s in enumerate(ready) if s.state.lang.needs_detection
         ]
+        feats = None
         if need_detect:
+            mel = log_mel_spectrogram(
+                audio_j,
+                n_mels=self.engine.cfg.num_mel_bins,
+                n_frames=n_frames,
+            )
+            feats = self.engine.encode(mel)
             probs = self.engine.detect_language(feats)
             for i in need_detect:
                 tok = self._language_tokens[int(np.argmax(probs[i]))]
                 ready[i].state.lang.set_detected(tok)
+
+        langs = np.zeros(B, np.int32)
         for i, s in enumerate(ready):
             tok = s.state.lang.token
             langs[i] = tok if tok is not None else self.engine.st.sot
         if n < B:
             langs[n:] = langs[0]
 
-        # Batched prefill + t=0 decode (the common accepted rung).
-        state = self.engine.prefill(feats, langs)
+        # Batched prefill + t=0 decode (the common accepted rung).  With
+        # no detection pending, mel+encode+prefill fuse into one dispatch.
+        if feats is not None:
+            state = self.engine.prefill(feats, langs)
+        else:
+            state = self.engine.prefill_window(audio_j, langs)
         drs = self.engine.run_loop(state, 0.0, seed=ready[0].seed)
 
         for i, s in enumerate(ready):
@@ -235,15 +240,17 @@ class BatchedTranscriber:
                     or dr.avg_logprob < LOGPROB_THRESHOLD
                 ) or nsp > NO_SPEECH_THRESHOLD
                 if not accepted:
-                    dr = self._fallback_ladder(feats, i, langs[i], s)
+                    dr = self._fallback_ladder(feats, audio_j, i, langs[i], s)
             cont = s.state.apply_result(dr, s.final)
             s.want_decode = bool(cont)
             self._emit(s)
 
-    def _fallback_ladder(self, feats, idx, lang, s: _Stream):
-        """Per-stream ladder t>0 re-using the already-encoded features."""
-        sub = feats[idx : idx + 1]
-        st1 = self.engine.prefill(sub, int(lang))
+    def _fallback_ladder(self, feats, audio_j, idx, lang, s: _Stream):
+        """Per-stream ladder t>0 (rare path: re-prefills one stream)."""
+        if feats is not None:
+            st1 = self.engine.prefill(feats[idx : idx + 1], int(lang))
+        else:
+            st1 = self.engine.prefill_window(audio_j[idx : idx + 1], int(lang))
         for k, t in enumerate(TEMPERATURES[1:], start=1):
             dr = self.engine.run_loop(st1, t, seed=s.seed + k)[0]
             needs_fallback = (

@@ -1,0 +1,62 @@
+"""Int8 weight-quantized matmul path tests (CPU: jnp path + Pallas interpret)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from helpers import TEST_LANG_IDS, TEST_ST, tiny_config
+from norma_tpu.model import init_params
+from norma_tpu.model.quant import quantize_logits_head
+from norma_tpu.ops.quant_matmul import (
+    quantize_per_channel,
+    w8_matmul_jnp,
+    w8_matmul_pallas,
+)
+
+
+def test_quantize_roundtrip_error():
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((64, 300)).astype(np.float32)
+    q, s = quantize_per_channel(w)
+    deq = np.asarray(q, np.float32) * np.asarray(s)[None, :]
+    rel = np.abs(deq - w).max() / np.abs(w).max()
+    assert rel < 0.01  # int8 grid error
+
+
+def test_w8_matmul_close_to_f32():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 64)).astype(np.float32)
+    w = rng.standard_normal((64, 300)).astype(np.float32)
+    q, s = quantize_per_channel(w)
+    want = x @ w
+    got = np.asarray(w8_matmul_jnp(jnp.asarray(x), q, s))
+    # bf16 activations + int8 weights: ~1% relative error budget.
+    assert np.abs(got - want).max() / np.abs(want).max() < 0.05
+
+
+def test_pallas_matches_jnp_interpret():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 128)).astype(np.float32)
+    w = rng.standard_normal((128, 700)).astype(np.float32)  # needs padding
+    q, s = quantize_per_channel(w)
+    a = np.asarray(w8_matmul_jnp(jnp.asarray(x), q, s))
+    b = np.asarray(
+        w8_matmul_pallas(jnp.asarray(x), q, s, block_out=512, interpret=True)
+    )
+    np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
+
+
+def test_quantized_engine_decodes():
+    """Engine with q8 logits head produces a sane token stream."""
+    from norma_tpu.decode.engine import DecodeEngine
+
+    cfg = tiny_config()
+    params = quantize_logits_head(init_params(cfg, seed=0))
+    engine = DecodeEngine(params, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS)
+    feats = jnp.asarray(
+        np.random.default_rng(3).standard_normal((1, 16, cfg.d_model)), jnp.float32
+    )
+    state = engine.prefill(feats, TEST_LANG_IDS[0])
+    dr = engine.run_loop(state, 0.0, seed=0)[0]
+    assert dr.tokens[0] == TEST_ST.sot
+    assert dr.tokens[-1] == TEST_ST.eot or len(dr.tokens) == cfg.max_target_positions
