@@ -17,6 +17,12 @@ consumable):
   2. a decode whose tokens contain fewer than two segment boundaries after
      trailing-timestamp cleanup (e.g. ``[... task, eot]``) yields zero
      segments -> we drain the window.
+  3. a decode where the EOT-terminated tail is dropped by the two-boundary
+     rule (odd boundary count) leaves only timestamp-terminated segments;
+     the reference's loop would re-decode the identical window forever
+     (model.rs:100-151 drains only via the eot segment) -> if a pass over
+     the segments neither drained audio nor decided to wait, we drain the
+     window.
 """
 
 from __future__ import annotations
@@ -178,6 +184,7 @@ class LongFormDecoder:
             self.buf = self.buf[slice_len:]
             return self.buf.size > 0
 
+        size_before = self.buf.size
         stop_all = False  # break 'new_chunk in the reference
         for tokens in segs:
             s_timestamp = tokens[0] - st.no_timestamps - 1
@@ -210,6 +217,9 @@ class LongFormDecoder:
 
         if stop_all:
             return False
+        if self.buf.size == size_before:
+            # Deviation 3: no segment drained or paused; force progress.
+            self.buf = self.buf[slice_len:]
         return self.buf.size > 0
 
     def finish_call(self, final_chunk: bool) -> str:

@@ -1,0 +1,115 @@
+"""Full offline pipeline: Definition -> local checkpoint -> Transcriber.
+
+Exercises everything the reference's loader does (monolingual.rs:320-451):
+config parse, real `tokenizers` tokenizer, safetensors/gguf weight load,
+special-token resolution (incl. all 99 language tokens), suppression-mask
+build — then runs live audio through the public Transcriber API.
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+pytest.importorskip("tokenizers")
+
+from checkpoint_fixture import make_checkpoint_dir
+from norma_tpu import Transcriber
+from norma_tpu.audio.sources import SyntheticSource
+from norma_tpu.input import Settings
+from norma_tpu.models import SelectedDevice
+from norma_tpu.models.whisper import monolingual, multilingual
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ckpt")
+    make_checkpoint_dir(d)
+    return str(d)
+
+
+def _source(seconds=0.8):
+    return SyntheticSource(
+        sample_rate=16_000, channels=1, dtype=np.float32,
+        freq=440.0, noise=0.02, duration=seconds, realtime=False,
+    )
+
+
+def test_monolingual_definition_end_to_end(ckpt):
+    d = monolingual.Definition(
+        monolingual.ModelType.TINY_EN, SelectedDevice.cpu(), local_dir=ckpt
+    )
+    d.set_responsiveness(1.0)  # 16000-sample chunks
+
+    jh, th = Transcriber.blocking_spawn(d)
+    stream = th.blocking_start(Settings(source=_source()))
+    texts = list(stream)  # EOF finalizes
+    th.close()
+    jh.join(timeout=30)
+
+    assert all(isinstance(t, str) and t for t in texts)
+    # WordLevel decode of sampled text ids: every piece must be wN words.
+    for t in texts:
+        for w in t.split():
+            assert w.startswith("w"), t
+
+
+def test_multilingual_detect_end_to_end(ckpt):
+    d = multilingual.Definition(
+        multilingual.ModelType.TINY,
+        SelectedDevice.cpu(),
+        multilingual.Task.TRANSCRIBE,
+        local_dir=ckpt,
+    )
+    d.set_responsiveness(1.0)
+    model = d.blocking_try_to_model()
+    # Detect mode: no const language, detection list covers all 99.
+    assert model.longform.lang.const is None
+    assert len(model.longform.language_tokens) == 99
+    out = model.transcribe(
+        (0.2 * np.random.default_rng(0).standard_normal(12_000)).astype(np.float32),
+        final_chunk=True,
+    )
+    assert isinstance(out, str)
+    assert model.longform.lang.detected is None  # cleared after final
+
+
+def test_quantized_gguf_definition(tmp_path):
+    make_checkpoint_dir(tmp_path, quantized_ext="tiny-en")
+    d = monolingual.Definition(
+        monolingual.ModelType.QUANTIZED_TINY_EN,
+        SelectedDevice.cpu(),
+        local_dir=str(tmp_path),
+    )
+    model = d.blocking_try_to_model()
+    out = model.transcribe(
+        (0.2 * np.random.default_rng(1).standard_normal(12_000)).astype(np.float32),
+        final_chunk=True,
+    )
+    assert isinstance(out, str)
+
+
+def test_quantize_logits_flag(ckpt):
+    d = monolingual.Definition(
+        monolingual.ModelType.TINY_EN,
+        SelectedDevice.cpu(),
+        local_dir=ckpt,
+        quantize_logits=True,
+    )
+    model = d.blocking_try_to_model()
+    assert "tok_emb_q8" in model.engine.params["decoder"]
+    out = model.transcribe(
+        (0.2 * np.random.default_rng(2).standard_normal(12_000)).astype(np.float32),
+        final_chunk=True,
+    )
+    assert isinstance(out, str)
+
+
+def test_missing_local_file_errors(tmp_path):
+    from norma_tpu.errors import WhisperError
+
+    d = monolingual.Definition(
+        monolingual.ModelType.TINY_EN, SelectedDevice.cpu(), local_dir=str(tmp_path)
+    )
+    with pytest.raises(WhisperError, match="not found"):
+        d.blocking_try_to_model()

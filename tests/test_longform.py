@@ -111,6 +111,19 @@ def test_final_chunk_drains_and_emits_everything():
     assert lf.buf.size == 0
 
 
+def test_ts_only_segments_force_drain():
+    """Deviation 3: all segments timestamp-terminated (the eot tail was
+    dropped by the two-boundary rule) must not wedge the decoder."""
+    toks = [TS0, 5, TS0 + 3, TS0 + 4, 6, TS0 + 8, 7, EOT]
+    # segments: [ts0,5,ts3], [ts4,6,ts8] -- then [7, EOT] has one boundary
+    # and is dropped; nothing would drain in the reference.
+    eng, lf = make([dr(toks), dr(toks)])
+    out = lf.transcribe(np.zeros(4000, np.float32), final_chunk=False)
+    assert out == " w5 w6"  # completed segments emitted once
+    assert lf.buf.size == 0  # forced drain instead of spinning
+    assert len(eng.results) == 1  # only one decode consumed
+
+
 def test_detect_language_cleared_on_final_only():
     eng, lf = make([dr([TS0, 5, EOT]), dr([TS0, 6, EOT])])
     lf.lang = LanguageState()  # Detect mode
