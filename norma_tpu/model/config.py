@@ -40,6 +40,9 @@ class WhisperConfig:
     max_source_positions: int = 1500
     max_target_positions: int = 448
     suppress_tokens: Tuple[int, ...] = field(default=_DEFAULT_SUPPRESS_V1)
+    # Use the fused flash-attention kernel for encoder self-attention
+    # (TPU backend only; ignored elsewhere).
+    flash_attention: bool = False
 
     @property
     def head_dim(self) -> int:

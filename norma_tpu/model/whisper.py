@@ -128,9 +128,20 @@ def _conv1d(x: jax.Array, w: jax.Array, b: jax.Array, stride: int) -> jax.Array:
     return (y + b.astype(jnp.float32)).astype(x.dtype)
 
 
-def encoder_layer(p: Params, x: jax.Array, n_heads: int) -> jax.Array:
+def encoder_layer(
+    p: Params, x: jax.Array, n_heads: int, use_flash: bool = False
+) -> jax.Array:
     h = layer_norm(x, p["attn_ln_g"], p["attn_ln_b"])
-    x = x + _self_attn(p, "", h, n_heads)
+    if use_flash:
+        from ..ops.flash_encoder import flash_self_attention
+
+        q = dense(h, p["q_w"], p["q_b"])
+        k = dense(h, p["k_w"])
+        v = dense(h, p["v_w"], p["v_b"])
+        a = flash_self_attention(q, k, v, n_heads)
+        x = x + dense(a, p["o_w"], p["o_b"])
+    else:
+        x = x + _self_attn(p, "", h, n_heads)
     h = layer_norm(x, p["mlp_ln_g"], p["mlp_ln_b"])
     return x + _mlp(p, h)
 
@@ -145,9 +156,12 @@ def encode(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Array:
     x = x + enc["pos"][: x.shape[1]].astype(x.dtype)
 
     n_heads = cfg.encoder_attention_heads
+    # Flash kernel: opt-in, TPU-only (trace-time backend check keeps CPU
+    # tests and the virtual-device mesh on the XLA attention).
+    use_flash = bool(cfg.flash_attention) and jax.default_backend() == "tpu"
 
     def body(carry, layer_p):
-        return encoder_layer(layer_p, carry, n_heads), None
+        return encoder_layer(layer_p, carry, n_heads, use_flash), None
 
     x, _ = jax.lax.scan(body, x, enc["layers"])
     return layer_norm(x, enc["ln_g"], enc["ln_b"])
