@@ -8,7 +8,7 @@ shape (blocking_spawn / blocking_start / stop, streamed partial
 transcripts, final-chunk protocol).
 """
 
-from . import audio, input, models
+from . import audio, eval, input, models, parallel, tracing
 from .errors import (
     NormaError,
     NoStreamRunning,
@@ -18,13 +18,18 @@ from .errors import (
     TranscriberRunning,
 )
 from .runtime import JoinHandle, StringReceiver, Transcriber, TranscriberHandle
+from .runtime.batching import BatchedTranscriber
 
 __version__ = "0.1.0"
 
 __all__ = [
     "audio",
+    "eval",
     "input",
     "models",
+    "parallel",
+    "tracing",
+    "BatchedTranscriber",
     "Transcriber",
     "TranscriberHandle",
     "JoinHandle",
