@@ -109,6 +109,10 @@ def main() -> None:
                 "unit": "rtf (wall-clock per 30s window / 30s; lower is better)",
                 "vs_baseline": round(target / rtf, 2),
                 "detail": {
+                    # Partial-transcript latency == time from a window's
+                    # audio being complete to its text being available,
+                    # i.e. one window's decode wall-clock.
+                    "p50_partial_latency_ms": round(t_single * 1e3, 1),
                     "t_window_single_ms": round(t_single * 1e3, 1),
                     "t_window_batched8_ms": round(t_batched * 1e3, 1),
                     "rtf_per_stream_batched8": round(rtf8, 6),
