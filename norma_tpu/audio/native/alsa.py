@@ -63,7 +63,8 @@ def open_native_mic(
         raise DeviceError()
 
     devices = list_devices()
-    name = select_device(devices, settings, "default" if devices or True else None)
+    # ALSA always exposes the "default" PCM even when enumeration is empty.
+    name = select_device(devices, settings, "default")
 
     ring = NativeRing(n_slots, chunk_len, out_dtype=model_dtype)
 

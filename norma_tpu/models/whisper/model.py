@@ -35,3 +35,28 @@ class WhisperModel(Model):
 
     def transcribe(self, data: np.ndarray, final_chunk: bool) -> str:
         return self.longform.transcribe(np.asarray(data, np.float32), final_chunk)
+
+    def warmup(self) -> None:
+        """Pre-compile the serving path (fused window prefill + token loop,
+        and the detection path for multilingual models) so the first real
+        audio chunk doesn't pay compilation latency."""
+        import jax.numpy as jnp
+
+        from ...frontend.mel import prepare_audio
+
+        lf = self.longform
+        audio = jnp.asarray(
+            prepare_audio(np.zeros(lf.window_samples, np.float32), lf.n_frames)
+        )[None]
+        lang = lf.lang.token
+        if lang is None:
+            from ...frontend.mel import log_mel_spectrogram
+
+            mel = log_mel_spectrogram(
+                audio, n_mels=self.engine.cfg.num_mel_bins, n_frames=lf.n_frames
+            )
+            feats = self.engine.encode(mel)
+            self.engine.detect_language(feats)
+            lang = self.engine.st.sot  # any valid slot token compiles the loop
+        state = self.engine.prefill_window(audio, int(lang))
+        self.engine.run_loop(state, 0.0, seed=0)
