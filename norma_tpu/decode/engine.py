@@ -68,10 +68,14 @@ class DecodeEngine:
         cfg: WhisperConfig,
         st: SpecialTokens,
         language_token_ids: Optional[Sequence[int]] = None,
+        mel_center: bool = False,
     ):
         self.params = params
         self.cfg = cfg
         self.st = st
+        # False = reference (whisper.cpp/candle) framing; True = OpenAI/HF
+        # centered STFT (matches how the checkpoints were trained).
+        self.mel_center = bool(mel_center)
         masks = build_masks(cfg.vocab_size, cfg.suppress_tokens, st)
         self._m_suppress = jnp.asarray(masks.suppress)
         self._m_non_ts = jnp.asarray(masks.non_timestamps)
@@ -122,7 +126,10 @@ class DecodeEngine:
 
         n_frames = 2 * self.cfg.max_source_positions
         mel = log_mel_spectrogram(
-            audio, n_mels=self.cfg.num_mel_bins, n_frames=n_frames
+            audio,
+            n_mels=self.cfg.num_mel_bins,
+            n_frames=n_frames,
+            center=self.mel_center,
         )
         feats = encode(params, self.cfg, mel)
         return self._prefill_impl(params, feats, prefix_tokens)

@@ -116,6 +116,7 @@ class LongFormDecoder:
                 jnp.asarray(prepare_audio(window, n_frames=self.n_frames)),
                 n_mels=cfg.num_mel_bins,
                 n_frames=self.n_frames,
+                center=getattr(self.engine, "mel_center", False),
             )
             feats = self.engine.encode(mel)
             probs = self.engine.detect_language(feats)

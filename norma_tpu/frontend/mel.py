@@ -51,9 +51,12 @@ def pad_or_trim(audio: np.ndarray, length: int = N_SAMPLES) -> np.ndarray:
     return np.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(0, pad)])
 
 
-@functools.partial(jax.jit, static_argnames=("n_mels", "n_frames"))
+@functools.partial(jax.jit, static_argnames=("n_mels", "n_frames", "center"))
 def log_mel_spectrogram(
-    audio: jax.Array, n_mels: int = 80, n_frames: int = N_FRAMES
+    audio: jax.Array,
+    n_mels: int = 80,
+    n_frames: int = N_FRAMES,
+    center: bool = False,
 ) -> jax.Array:
     """Compute the whisper log-mel spectrogram.
 
@@ -63,6 +66,10 @@ def log_mel_spectrogram(
         :func:`prepare_audio` to pad a raw window.
       n_mels: 80 or 128.
       n_frames: number of output frames (3000 for a 30s window).
+      center: False (default) follows the reference's whisper.cpp/candle
+        framing (frame i starts at i*hop); True follows OpenAI/HF
+        torch.stft conventions (frames centered at i*hop with reflect
+        padding) — bit-compatible with transformers' WhisperFeatureExtractor.
 
     Returns:
       [B, n_mels, n_frames] f32 log-mel features in [-1.5, ...] whisper scale.
@@ -71,6 +78,14 @@ def log_mel_spectrogram(
         audio = audio[None]
     window = jnp.asarray(hann_window())
     filters = jnp.asarray(mel_filterbank(n_mels))
+
+    if center:
+        # Reflect-pad n_fft//2 on each side; frame i is centered at i*hop.
+        audio = jnp.pad(
+            audio[:, : n_frames * HOP_LENGTH],
+            ((0, 0), (N_FFT // 2, N_FFT // 2)),
+            mode="reflect",
+        )
 
     # Frame: [B, n_frames, n_fft].  Static shapes -> XLA gathers efficiently.
     starts = np.arange(n_frames) * HOP_LENGTH

@@ -89,6 +89,7 @@ def build_model(
     dtype=jnp.float32,
     seed: int = 0,
     quantize_logits: bool = False,
+    mel_center: bool = False,
 ) -> WhisperModel:
     """Build a WhisperModel from a checkpoint.
 
@@ -125,7 +126,9 @@ def build_model(
     else:
         lang_state = LanguageState()
 
-    engine = DecodeEngine(params, cfg, st, language_token_ids=lang_token_ids)
+    engine = DecodeEngine(
+        params, cfg, st, language_token_ids=lang_token_ids, mel_center=mel_center
+    )
     return WhisperModel(
         engine, tokenizer, lang_state, language_tokens=lang_token_ids, seed=seed
     )

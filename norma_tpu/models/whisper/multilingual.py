@@ -86,6 +86,7 @@ class Definition(ModelDefinition):
         local_dir: Optional[str] = None,
         dtype=jnp.float32,
         quantize_logits: bool = False,
+        mel_center: bool = False,
     ) -> None:
         self.model = model
         self.device = device
@@ -93,6 +94,9 @@ class Definition(ModelDefinition):
         self.local_dir = local_dir
         self.dtype = dtype
         self.quantize_logits = quantize_logits
+        # OpenAI/HF centered STFT framing instead of the reference's
+        # whisper.cpp convention (see frontend/mel.py).
+        self.mel_center = mel_center
         self._common = CommonModelParams(SAMPLE_RATE * 25, 3, 3)
 
     def common_params(self) -> CommonModelParams:
@@ -124,6 +128,7 @@ class Definition(ModelDefinition):
             local_dir=self.local_dir,
             dtype=self.dtype,
             quantize_logits=self.quantize_logits,
+            mel_center=self.mel_center,
         )
 
     # Optional (de)serialization (reference serde feature).
