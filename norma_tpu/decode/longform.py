@@ -136,8 +136,11 @@ class LongFormDecoder:
     # -- public ------------------------------------------------------------
 
     def feed(self, data: np.ndarray) -> None:
+        # MUST copy: ``data`` is typically a view of a recycled ring slot
+        # that the producer overwrites as soon as the chunk is released,
+        # while this buffer can outlive the call (hold-for-more-data paths).
         if self.buf.size == 0:
-            self.buf = np.asarray(data, np.float32)
+            self.buf = np.array(data, np.float32, copy=True)
         else:
             self.buf = np.concatenate([self.buf, np.asarray(data, np.float32)])
 

@@ -199,7 +199,9 @@ class Transcriber:
                 # failure (lib.rs:432 break).
                 return
             except Exception as e:
-                res_q.put(DeviceError() if not isinstance(e, StartError) else e)
+                err = DeviceError()
+                err.__cause__ = e  # preserve the underlying failure
+                res_q.put(err)
                 return
 
             with self._stream_state.lock:

@@ -124,6 +124,15 @@ def test_ts_only_segments_force_drain():
     assert len(eng.results) == 1  # only one decode consumed
 
 
+def test_feed_copies_ring_slot_views():
+    """Regression: feed() must not alias the caller's (recycled) buffer."""
+    eng, lf = make([dr([TS0, 5, EOT])])
+    slot = np.arange(5000, dtype=np.float32)
+    lf.feed(slot[:4000])  # a view, like Chunk.data
+    slot[:] = -1.0  # producer recycles the slot
+    assert lf.buf[0] == 0.0 and lf.buf[3999] == 3999.0
+
+
 def test_detect_language_cleared_on_final_only():
     eng, lf = make([dr([TS0, 5, EOT]), dr([TS0, 6, EOT])])
     lf.lang = LanguageState()  # Detect mode
