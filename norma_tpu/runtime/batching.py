@@ -176,9 +176,18 @@ class BatchedTranscriber:
             if not s.dead and s.want_decode and s.state.next_window() is not None
         ]
 
+    @staticmethod
+    def _batch_size(n: int, cap: int) -> int:
+        """Pad to the next power of two (<= cap): low-occupancy rounds skip
+        the full-width batch while keeping compiled variants to log2(cap)."""
+        b = 1
+        while b < n:
+            b *= 2
+        return min(b, cap)
+
     def _decode_round(self, ready: List[_Stream]) -> None:
-        B = self.max_streams
         n = len(ready)
+        B = self._batch_size(n, self.max_streams)
         lf0 = ready[0].state
         n_frames = lf0.n_frames
 

@@ -40,6 +40,12 @@ def _source(seed, seconds=1.2, freq=330.0):
     )
 
 
+def test_batch_size_padding():
+    bs = BatchedTranscriber._batch_size
+    assert [bs(n, 8) for n in (1, 2, 3, 4, 5, 8)] == [1, 2, 4, 4, 8, 8]
+    assert bs(7, 4) == 4
+
+
 def test_three_concurrent_streams(model):
     bt = BatchedTranscriber(model, max_streams=4)
     handles = []
