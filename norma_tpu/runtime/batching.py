@@ -208,6 +208,7 @@ class BatchedTranscriber:
                 audio_j,
                 n_mels=self.engine.cfg.num_mel_bins,
                 n_frames=n_frames,
+                center=getattr(self.engine, "mel_center", False),
             )
             feats = self.engine.encode(mel)
             probs = self.engine.detect_language(feats)
