@@ -87,6 +87,7 @@ class LongFormDecoder:
         lang: LanguageState,
         language_tokens: Optional[Sequence[int]] = None,
         seed: int = 0,
+        timestamps: bool = False,
     ):
         self.engine = engine
         self.tokenizer = tokenizer
@@ -96,6 +97,11 @@ class LongFormDecoder:
         self.buf = np.zeros(0, np.float32)
         self.pending_text: List[str] = []
         self._seed = seed
+        # Opt-in timestamped emission: segments become
+        # "[<start>s -> <end>s] text" with ABSOLUTE stream offsets
+        # (BASELINE config: "language detection + timestamped output").
+        self.timestamps = timestamps
+        self.time_offset_s = 0.0  # audio consumed so far, in seconds
         # Window geometry derives from the model config: a full window is
         # 2 * max_source_positions mel frames (3000 => 480_000 samples, the
         # reference's N_SAMPLES).  Deriving keeps small test models usable.
@@ -150,6 +156,11 @@ class LongFormDecoder:
             return None
         return self.buf[: min(self.buf.size, self.window_samples)]
 
+    def _drain(self, n: int) -> None:
+        n = min(int(n), self.buf.size)
+        self.buf = self.buf[n:]
+        self.time_offset_s += n / 16_000.0
+
     def apply_result(self, dr: Optional[DecodingResult], final_chunk: bool) -> bool:
         """Consume one window's DecodingResult: drain audio, collect text.
 
@@ -161,21 +172,23 @@ class LongFormDecoder:
         st = self.engine.st
         slice_len = min(self.buf.size, self.window_samples)
 
+        window_offset = self.time_offset_s
+
         if dr is None:
             # All temperatures failed quality gates (model.rs:90-93).
-            self.buf = self.buf[slice_len:]
+            self._drain(slice_len)
             return self.buf.size > 0
 
         if (
             dr.no_speech_prob > NO_SPEECH_THRESHOLD
             and dr.avg_logprob < LOGPROB_THRESHOLD
         ):
-            self.buf = self.buf[slice_len:]
+            self._drain(slice_len)
             return self.buf.size > 0
 
         if dr.tokens and dr.tokens[-1] != st.eot:
             # Deviation 1: silence probe fired; drain (see module doc).
-            self.buf = self.buf[slice_len:]
+            self._drain(slice_len)
             return self.buf.size > 0
 
         segs = list(
@@ -185,7 +198,7 @@ class LongFormDecoder:
         )
         if not segs:
             # Deviation 2: no consumable segment; drain (see module doc).
-            self.buf = self.buf[slice_len:]
+            self._drain(slice_len)
             return self.buf.size > 0
 
         size_before = self.buf.size
@@ -197,7 +210,7 @@ class LongFormDecoder:
             if e_token == st.eot:
                 if s_timestamp == 0 or final_chunk:
                     if slice_len == self.window_samples or final_chunk:
-                        self.buf = self.buf[slice_len:]
+                        self._drain(slice_len)
                         logger.debug("Transcribed all remaining data")
                         # fall through: emit this segment's text
                     else:
@@ -206,8 +219,7 @@ class LongFormDecoder:
                         break
                 else:
                     pre_drain_len = self.buf.size
-                    drain = min(s_timestamp * SAMPLES_PER_TIMESTAMP_TICK, slice_len)
-                    self.buf = self.buf[drain:]
+                    self._drain(min(s_timestamp * SAMPLES_PER_TIMESTAMP_TICK, slice_len))
                     if pre_drain_len > slice_len:
                         logger.debug("Transcribed, getting a new slice")
                         break  # next window immediately
@@ -216,6 +228,13 @@ class LongFormDecoder:
                     break
 
             text = self.tokenizer.decode(tokens[1:-1], skip_special_tokens=True)
+            if text and self.timestamps:
+                start = window_offset + s_timestamp * 0.02
+                if e_token == st.eot:
+                    end = window_offset + slice_len / 16_000.0
+                else:
+                    end = window_offset + (e_token - st.no_timestamps - 1) * 0.02
+                text = f"[{start:.2f}s -> {end:.2f}s]{text}"
             if text:
                 self.pending_text.append(text)
 
@@ -223,7 +242,7 @@ class LongFormDecoder:
             return False
         if self.buf.size == size_before:
             # Deviation 3: no segment drained or paused; force progress.
-            self.buf = self.buf[slice_len:]
+            self._drain(slice_len)
         return self.buf.size > 0
 
     def finish_call(self, final_chunk: bool) -> str:

@@ -90,6 +90,7 @@ def build_model(
     seed: int = 0,
     quantize_logits: bool = False,
     mel_center: bool = False,
+    timestamps: bool = False,
 ) -> WhisperModel:
     """Build a WhisperModel from a checkpoint.
 
@@ -130,5 +131,10 @@ def build_model(
         params, cfg, st, language_token_ids=lang_token_ids, mel_center=mel_center
     )
     return WhisperModel(
-        engine, tokenizer, lang_state, language_tokens=lang_token_ids, seed=seed
+        engine,
+        tokenizer,
+        lang_state,
+        language_tokens=lang_token_ids,
+        seed=seed,
+        timestamps=timestamps,
     )

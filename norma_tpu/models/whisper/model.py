@@ -26,11 +26,17 @@ class WhisperModel(Model):
         lang: LanguageState,
         language_tokens: Optional[Sequence[int]] = None,
         seed: int = 0,
+        timestamps: bool = False,
     ) -> None:
         self.engine = engine
         self.tokenizer = tokenizer
         self.longform = LongFormDecoder(
-            engine, tokenizer, lang, language_tokens=language_tokens, seed=seed
+            engine,
+            tokenizer,
+            lang,
+            language_tokens=language_tokens,
+            seed=seed,
+            timestamps=timestamps,
         )
 
     def transcribe(self, data: np.ndarray, final_chunk: bool) -> str:

@@ -114,6 +114,7 @@ class Definition(ModelDefinition):
         dtype=jnp.float32,
         quantize_logits: bool = False,
         mel_center: bool = False,
+        timestamps: bool = False,
     ) -> None:
         self.model = model
         self.device = device
@@ -123,6 +124,8 @@ class Definition(ModelDefinition):
         # OpenAI/HF centered STFT framing instead of the reference's
         # whisper.cpp convention (see frontend/mel.py).
         self.mel_center = mel_center
+        # Emit "[start -> end]" stream-absolute timestamps per segment.
+        self.timestamps = timestamps
         # Defaults: 25s chunks, data/string buffers of 3 (monolingual.rs:128).
         self._common = CommonModelParams(SAMPLE_RATE * 25, 3, 3)
 
@@ -158,6 +161,7 @@ class Definition(ModelDefinition):
             dtype=self.dtype,
             quantize_logits=self.quantize_logits,
             mel_center=self.mel_center,
+            timestamps=self.timestamps,
         )
 
     # Optional (de)serialization (reference serde feature, monolingual.rs:29).

@@ -87,6 +87,7 @@ class Definition(ModelDefinition):
         dtype=jnp.float32,
         quantize_logits: bool = False,
         mel_center: bool = False,
+        timestamps: bool = False,
     ) -> None:
         self.model = model
         self.device = device
@@ -97,6 +98,8 @@ class Definition(ModelDefinition):
         # OpenAI/HF centered STFT framing instead of the reference's
         # whisper.cpp convention (see frontend/mel.py).
         self.mel_center = mel_center
+        # Emit "[start -> end]" stream-absolute timestamps per segment.
+        self.timestamps = timestamps
         self._common = CommonModelParams(SAMPLE_RATE * 25, 3, 3)
 
     def common_params(self) -> CommonModelParams:
@@ -129,6 +132,7 @@ class Definition(ModelDefinition):
             dtype=self.dtype,
             quantize_logits=self.quantize_logits,
             mel_center=self.mel_center,
+            timestamps=self.timestamps,
         )
 
     # Optional (de)serialization (reference serde feature).

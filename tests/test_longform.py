@@ -124,6 +124,23 @@ def test_ts_only_segments_force_drain():
     assert len(eng.results) == 1  # only one decode consumed
 
 
+def test_timestamped_emission_absolute_offsets():
+    """timestamps=True prefixes segments with stream-absolute times that
+    keep advancing as audio drains across windows."""
+    # window 1 (8000 samples fed): segs [ts0,5,ts10](0.00-0.20s) then
+    # [ts10,6,eot] -> drains 3200 (0.2s), holds.
+    first = dr([TS0, 5, TS0 + 10, TS0 + 10, 6, EOT])
+    # window 2 (final): [ts0,7,eot] at offset 0.2s, slice=4800 -> end 0.5s
+    second = dr([TS0, 7, EOT])
+    eng, lf = make([first, second])
+    lf.timestamps = True
+    out1 = lf.transcribe(np.zeros(8000, np.float32), final_chunk=False)
+    assert out1 == "[0.00s -> 0.20s] w5"
+    out2 = lf.transcribe(np.zeros(0, np.float32), final_chunk=True)
+    assert out2 == "[0.20s -> 0.50s] w7"
+    assert lf.time_offset_s == pytest.approx(0.5)
+
+
 def test_feed_copies_ring_slot_views():
     """Regression: feed() must not alias the caller's (recycled) buffer."""
     eng, lf = make([dr([TS0, 5, EOT])])
