@@ -123,6 +123,7 @@ class BatchedTranscriber:
                 lang,
                 language_tokens=self._language_tokens,
                 seed=sid * 7919,
+                timestamps=self.model.longform.timestamps,
             )
             schan = StringChannel(8)
             stream = _Stream(sid, pipeline, ring, state, schan)
