@@ -157,7 +157,7 @@ class LongFormDecoder:
         return self.buf[: min(self.buf.size, self.window_samples)]
 
     def _drain(self, n: int) -> None:
-        n = min(int(n), self.buf.size)
+        n = max(0, min(int(n), self.buf.size))
         self.buf = self.buf[n:]
         self.time_offset_s += n / 16_000.0
 
@@ -219,7 +219,16 @@ class LongFormDecoder:
                         break
                 else:
                     pre_drain_len = self.buf.size
-                    self._drain(min(s_timestamp * SAMPLES_PER_TIMESTAMP_TICK, slice_len))
+                    # A segment opening below <|0.00|> (e.g. a stray EOT)
+                    # makes s_timestamp negative; the reference's u32 math
+                    # wraps to a huge count and ends up draining the whole
+                    # slice (monolingual u32 at model.rs:103,127) — match it.
+                    drain = (
+                        slice_len
+                        if s_timestamp < 0
+                        else min(s_timestamp * SAMPLES_PER_TIMESTAMP_TICK, slice_len)
+                    )
+                    self._drain(drain)
                     if pre_drain_len > slice_len:
                         logger.debug("Transcribed, getting a new slice")
                         break  # next window immediately
