@@ -8,6 +8,9 @@ with consumed audio.
 """
 
 import numpy as np
+import pytest
+
+pytest.importorskip("hypothesis")
 from hypothesis import given, settings, strategies as st
 
 from helpers import TEST_LANG_IDS, TEST_ST, ToyTokenizer, tiny_config
