@@ -14,6 +14,7 @@
 //
 // Build: g++ -O2 -std=c++17 -shared -fPIC -o libnorma_audio.so norma_audio.cpp -ldl -lpthread
 
+#include <algorithm>
 #include <atomic>
 #include <chrono>
 #include <cmath>
@@ -102,11 +103,16 @@ constexpr int kTaps = 128;
 struct SincResampler {
   double step;       // src / dst
   double t;          // next output position relative to hist[0]
+  double fc;         // anti-alias cutoff, normalized to the source rate
   std::vector<double> hist;
   std::vector<double> win;  // blackman window over taps
 
   SincResampler(double src_hz, double dst_hz)
-      : step(src_hz / dst_hz), t(kTaps - 1), hist(kTaps, 0.0), win(kTaps) {
+      : step(src_hz / dst_hz),
+        t(kTaps - 1),
+        fc(std::min(1.0, dst_hz / src_hz) * 0.95),
+        hist(kTaps, 0.0),
+        win(kTaps) {
     for (int i = 0; i < kTaps; ++i) {
       double x = static_cast<double>(i + 1) / (kTaps + 1);
       win[i] = 0.42 - 0.5 * std::cos(2.0 * M_PI * x) +
@@ -138,7 +144,7 @@ struct SincResampler {
       double acc = 0.0, ksum = 0.0;
       const double* w = x.data() + (n0 - half + 1);
       for (int i = 0; i < kTaps; ++i) {
-        double k = sinc(static_cast<double>(i - half + 1) - frac) * win[i];
+        double k = sinc(fc * (static_cast<double>(i - half + 1) - frac)) * win[i];
         acc += w[i] * k;
         ksum += k;
       }

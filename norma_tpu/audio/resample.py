@@ -23,6 +23,11 @@ class StreamingResampler:
     The interpolator starts with a zero-filled history (the reference seeds
     its ring with EQUILIBRIUM frames, lib.rs:168), so the first ~taps/2
     output samples carry a startup transient.
+
+    Quality improvement over the reference: when downsampling, the sinc
+    cutoff sits at the TARGET Nyquist (dasp's Sinc interpolator keeps the
+    source-rate cutoff, so a 13 kHz tone in a 48k->16k conversion folds to
+    3 kHz at full amplitude; here it is attenuated by the filter stopband).
     """
 
     def __init__(self, src_hz: float, dst_hz: float, taps: int = TAPS) -> None:
@@ -37,6 +42,9 @@ class StreamingResampler:
         self._t = float(taps - 1)
         self._win = np.blackman(taps + 2)[1:-1]
         self._rel0 = np.arange(taps, dtype=np.float64) - (self._half - 1)
+        # Anti-alias cutoff (normalized to the source rate); slightly under
+        # the target Nyquist to leave a transition band for the window.
+        self._fc = min(1.0, self.dst_hz / self.src_hz) * 0.95
 
     def process(self, block: np.ndarray) -> np.ndarray:
         x = np.concatenate([self._hist, np.asarray(block, np.float64)])
@@ -61,7 +69,7 @@ class StreamingResampler:
         windows = x[idx]
 
         rel = self._rel0[None, :] - fracs[:, None]
-        kern = np.sinc(rel) * self._win[None, :]
+        kern = np.sinc(self._fc * rel) * self._win[None, :]
         kern /= kern.sum(axis=1, keepdims=True)
         out = (windows * kern).sum(axis=1)
 

@@ -95,6 +95,22 @@ def test_resampler_preserves_tone(src, dst):
     assert np.abs(seg).max() == pytest.approx(1.0, abs=0.05)
 
 
+def test_resampler_rejects_aliases():
+    """Content above the target Nyquist must be strongly attenuated, not
+    folded back into the band (the point of the 128-tap sinc filter)."""
+    src, dst = 48_000, 16_000
+    t = np.arange(src) / src
+    inband = np.sin(2 * np.pi * 5_000 * t)  # below 8k Nyquist
+    alias = np.sin(2 * np.pi * 13_000 * t)  # would fold to 3k
+    r1, r2 = StreamingResampler(src, dst), StreamingResampler(src, dst)
+    out_in = r1.process(inband)[400:]
+    out_alias = r2.process(alias)[400:]
+    rms_in = np.sqrt(np.mean(out_in**2))
+    rms_alias = np.sqrt(np.mean(out_alias**2))
+    assert rms_in > 0.5  # in-band passes (~0.707 for unit sine)
+    assert rms_alias < rms_in * 0.05  # >26 dB alias rejection
+
+
 def test_resampler_streaming_equals_oneshot():
     rng = np.random.default_rng(0)
     x = rng.standard_normal(20_000)

@@ -105,6 +105,34 @@ def test_quantize_logits_flag(ckpt):
     assert isinstance(out, str)
 
 
+def test_weights_without_model_prefix(tmp_path, ckpt):
+    """Some exports drop the leading 'model.' on tensor names; the loader
+    must resolve either convention."""
+    import shutil
+
+    from checkpoint_fixture import random_hf_tensors, write_safetensors
+
+    for f in ("config.json", "tokenizer.json"):
+        shutil.copy(f"{ckpt}/{f}", tmp_path / f)
+    import json
+
+    vocab_size = json.load(open(f"{ckpt}/config.json"))["vocab_size"]
+    tensors = {
+        k[len("model."):]: v for k, v in random_hf_tensors(vocab_size).items()
+    }
+    write_safetensors(str(tmp_path / "model.safetensors"), tensors)
+
+    d = monolingual.Definition(
+        monolingual.ModelType.TINY_EN, SelectedDevice.cpu(), local_dir=str(tmp_path)
+    )
+    model = d.blocking_try_to_model()
+    out = model.transcribe(
+        (0.2 * np.random.default_rng(3).standard_normal(12_000)).astype(np.float32),
+        final_chunk=True,
+    )
+    assert isinstance(out, str)
+
+
 def test_missing_local_file_errors(tmp_path):
     from norma_tpu.errors import WhisperError
 
