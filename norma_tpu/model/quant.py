@@ -1,4 +1,16 @@
-"""Quantization helpers for model params."""
+"""Quantization helpers for model params.
+
+Two tiers replacing the reference's q8_0 storage+compute path (candle
+quantized_model, monolingual.rs:230-235):
+
+  - :func:`quantize_logits_head` — int8 tied-embedding head only (the
+    single largest per-token weight read).
+  - :func:`quantize_decoder` — every decoder-layer matmul weight stays
+    per-output-channel int8 on device (self/cross attention projections and
+    both MLP matrices), halving the decode hot path's HBM bytes and
+    resident size.  The encoder stays bf16/f32 (compute-bound, runs once
+    per window).
+"""
 
 from __future__ import annotations
 
@@ -19,5 +31,38 @@ def quantize_logits_head(params: dict) -> dict:
     q, s = quantize_per_channel(w)
     dec["tok_emb_q8"] = {"q": q, "s": s}
     out = dict(params)
+    out["decoder"] = dec
+    return out
+
+
+# Decoder-layer weight matrices eligible for int8 (stacked [L, in, out]).
+DECODER_W8_KEYS = (
+    "q_w", "k_w", "v_w", "o_w",
+    "xq_w", "xk_w", "xv_w", "xo_w",
+    "fc1_w", "fc2_w",
+)
+
+
+def quantize_decoder(params: dict) -> dict:
+    """Return params with all decoder-layer matmul weights as int8.
+
+    Each stacked weight ``name`` [L, in, out] is replaced by ``name_q``
+    (int8, per-(layer, out-channel) symmetric) + ``name_s`` (f32 [L, out]);
+    the logits head is quantized too.
+    """
+    import jax.numpy as jnp
+
+    out = quantize_logits_head(params)
+    dec = dict(out["decoder"])
+    layers = dict(dec["layers"])
+    for name in DECODER_W8_KEYS:
+        w = np.asarray(layers[name], np.float32)  # [L, in, out]
+        amax = np.abs(w).max(axis=1)  # [L, out]
+        scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+        q = np.clip(np.round(w / scale[:, None, :]), -127, 127).astype(np.int8)
+        del layers[name]
+        layers[name + "_q"] = jnp.asarray(q)
+        layers[name + "_s"] = jnp.asarray(scale)
+    dec["layers"] = layers
     out["decoder"] = dec
     return out

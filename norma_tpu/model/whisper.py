@@ -61,6 +61,21 @@ def dense(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
     return y.astype(x.dtype)
 
 
+def ldense(lp: Params, name: str, x: jax.Array, bias: jax.Array | None = None) -> jax.Array:
+    """Layer-param dense with int8 dispatch: if ``name_q``/``name_s`` exist
+    (quantize_decoder), the weight streams from HBM as int8 and dequantizes
+    in-graph; otherwise the full-precision ``name`` weight is used."""
+    qk = name + "_q"
+    if qk in lp:
+        w = lp[qk].astype(x.dtype)
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        y = y * lp[name + "_s"].astype(jnp.float32)
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)
+        return y.astype(x.dtype)
+    return dense(x, lp[name], bias)
+
+
 def _split_heads(x: jax.Array, n_heads: int) -> jax.Array:
     # [B, T, D] -> [B, T, H, Dh]
     b, t, d = x.shape
@@ -97,17 +112,17 @@ def attention(
 
 
 def _self_attn(p: Params, prefix: str, x: jax.Array, n_heads: int, mask=None):
-    q = dense(x, p[f"{prefix}q_w"], p[f"{prefix}q_b"])
-    k = dense(x, p[f"{prefix}k_w"])  # whisper k_proj has no bias
-    v = dense(x, p[f"{prefix}v_w"], p[f"{prefix}v_b"])
+    q = ldense(p, f"{prefix}q_w", x, p[f"{prefix}q_b"])
+    k = ldense(p, f"{prefix}k_w", x)  # whisper k_proj has no bias
+    v = ldense(p, f"{prefix}v_w", x, p[f"{prefix}v_b"])
     o = attention(q, k, v, n_heads, mask)
-    return dense(o, p[f"{prefix}o_w"], p[f"{prefix}o_b"])
+    return ldense(p, f"{prefix}o_w", o, p[f"{prefix}o_b"])
 
 
 def _mlp(p: Params, x: jax.Array) -> jax.Array:
-    h = dense(x, p["fc1_w"], p["fc1_b"])
+    h = ldense(p, "fc1_w", x, p["fc1_b"])
     h = jax.nn.gelu(h, approximate=False)
-    return dense(h, p["fc2_w"], p["fc2_b"])
+    return ldense(p, "fc2_w", h, p["fc2_b"])
 
 
 # --------------------------------------------------------------------------
@@ -135,11 +150,11 @@ def encoder_layer(
     if use_flash:
         from ..ops.flash_encoder import flash_self_attention
 
-        q = dense(h, p["q_w"], p["q_b"])
-        k = dense(h, p["k_w"])
-        v = dense(h, p["v_w"], p["v_b"])
+        q = ldense(p, "q_w", h, p["q_b"])
+        k = ldense(p, "k_w", h)
+        v = ldense(p, "v_w", h, p["v_b"])
         a = flash_self_attention(q, k, v, n_heads)
-        x = x + dense(a, p["o_w"], p["o_b"])
+        x = x + ldense(p, "o_w", a, p["o_b"])
     else:
         x = x + _self_attn(p, "", h, n_heads)
     h = layer_norm(x, p["mlp_ln_g"], p["mlp_ln_b"])
@@ -202,8 +217,8 @@ def cross_kv(params: Params, cfg: WhisperConfig, xa: jax.Array) -> Tuple[jax.Arr
     layers = params["decoder"]["layers"]
 
     def per_layer(carry, lp):
-        k = dense(xa, lp["xk_w"])
-        v = dense(xa, lp["xv_w"], lp["xv_b"])
+        k = ldense(lp, "xk_w", xa)
+        v = ldense(lp, "xv_w", xa, lp["xv_b"])
         return carry, (k, v)
 
     _, (xk, xv) = jax.lax.scan(per_layer, None, layers)
@@ -214,16 +229,16 @@ def _decoder_layer_prefill(
     lp: Params, x: jax.Array, xk: jax.Array, xv: jax.Array, n_heads: int, causal: jax.Array
 ):
     h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
-    q = dense(h, lp["q_w"], lp["q_b"])
-    k = dense(h, lp["k_w"])
-    v = dense(h, lp["v_w"], lp["v_b"])
+    q = ldense(lp, "q_w", h, lp["q_b"])
+    k = ldense(lp, "k_w", h)
+    v = ldense(lp, "v_w", h, lp["v_b"])
     a = attention(q, k, v, n_heads, causal)
-    x = x + dense(a, lp["o_w"], lp["o_b"])
+    x = x + ldense(lp, "o_w", a, lp["o_b"])
 
     h = layer_norm(x, lp["xattn_ln_g"], lp["xattn_ln_b"])
-    xq = dense(h, lp["xq_w"], lp["xq_b"])
+    xq = ldense(lp, "xq_w", h, lp["xq_b"])
     a = attention(xq, xk, xv, n_heads)
-    x = x + dense(a, lp["xo_w"], lp["xo_b"])
+    x = x + ldense(lp, "xo_w", a, lp["xo_b"])
 
     h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
     return x + _mlp(lp, h), k, v
@@ -298,18 +313,18 @@ def decoder_step(
     def body(x, layer_in):
         lp, ck, cv, lxk, lxv = layer_in
         h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
-        q = dense(h, lp["q_w"], lp["q_b"])
-        k = dense(h, lp["k_w"])
-        v = dense(h, lp["v_w"], lp["v_b"])
+        q = ldense(lp, "q_w", h, lp["q_b"])
+        k = ldense(lp, "k_w", h)
+        v = ldense(lp, "v_w", h, lp["v_b"])
         ck = jax.lax.dynamic_update_slice(ck, k.astype(dtype), (0, pos, 0))
         cv = jax.lax.dynamic_update_slice(cv, v.astype(dtype), (0, pos, 0))
         a = attention(q, ck, cv, n_heads, key_mask)
-        x = x + dense(a, lp["o_w"], lp["o_b"])
+        x = x + ldense(lp, "o_w", a, lp["o_b"])
 
         h = layer_norm(x, lp["xattn_ln_g"], lp["xattn_ln_b"])
-        xq = dense(h, lp["xq_w"], lp["xq_b"])
+        xq = ldense(lp, "xq_w", h, lp["xq_b"])
         a = attention(xq, lxk, lxv, n_heads)
-        x = x + dense(a, lp["xo_w"], lp["xo_b"])
+        x = x + ldense(lp, "xo_w", a, lp["xo_b"])
 
         h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
         x = x + _mlp(lp, h)

@@ -89,6 +89,7 @@ def build_model(
     dtype=jnp.float32,
     seed: int = 0,
     quantize_logits: bool = False,
+    quantize_decoder: bool = False,
     mel_center: bool = False,
     timestamps: bool = False,
 ) -> WhisperModel:
@@ -110,7 +111,11 @@ def build_model(
         params = load_gguf_q8(files.weights, cfg, dtype)
     else:
         params = load_safetensors(files.weights, cfg, dtype)
-    if quantize_logits:
+    if quantize_decoder:
+        from ...model.quant import quantize_decoder as _qd
+
+        params = _qd(params)
+    elif quantize_logits:
         from ...model.quant import quantize_logits_head
 
         params = quantize_logits_head(params)

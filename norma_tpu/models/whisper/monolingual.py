@@ -113,6 +113,7 @@ class Definition(ModelDefinition):
         local_dir: Optional[str] = None,
         dtype=jnp.float32,
         quantize_logits: bool = False,
+        quantize_decoder: bool = False,
         mel_center: bool = False,
         timestamps: bool = False,
     ) -> None:
@@ -121,6 +122,8 @@ class Definition(ModelDefinition):
         self.local_dir = local_dir
         self.dtype = dtype
         self.quantize_logits = quantize_logits
+        # Full int8 decoder weights (implies quantize_logits).
+        self.quantize_decoder = quantize_decoder
         # OpenAI/HF centered STFT framing instead of the reference's
         # whisper.cpp convention (see frontend/mel.py).
         self.mel_center = mel_center
@@ -160,6 +163,7 @@ class Definition(ModelDefinition):
             local_dir=self.local_dir,
             dtype=self.dtype,
             quantize_logits=self.quantize_logits,
+            quantize_decoder=self.quantize_decoder,
             mel_center=self.mel_center,
             timestamps=self.timestamps,
         )

@@ -46,6 +46,46 @@ def test_pallas_matches_jnp_interpret():
     np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
 
 
+def test_full_decoder_quantization():
+    """quantize_decoder: int8 layer weights decode close to the f32 path
+    and shrink the decoder's resident bytes."""
+    import jax
+
+    from norma_tpu.decode.engine import DecodeEngine
+    from norma_tpu.model.quant import DECODER_W8_KEYS, quantize_decoder
+
+    cfg = tiny_config()
+    params = init_params(cfg, seed=1)
+    qparams = quantize_decoder(params)
+
+    layers = qparams["decoder"]["layers"]
+    for name in DECODER_W8_KEYS:
+        assert name not in layers and name + "_q" in layers
+        assert layers[name + "_q"].dtype == jnp.int8
+
+    def nbytes(tree):
+        return sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(tree))
+
+    assert nbytes(qparams["decoder"]["layers"]) < 0.35 * nbytes(
+        params["decoder"]["layers"]
+    )
+
+    feats = jnp.asarray(
+        np.random.default_rng(5).standard_normal((1, 16, cfg.d_model)), jnp.float32
+    )
+    e_ref = DecodeEngine(params, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS)
+    e_q = DecodeEngine(qparams, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS)
+    s_ref = e_ref.prefill(feats, TEST_LANG_IDS[0])
+    s_q = e_q.prefill(feats, TEST_LANG_IDS[0])
+    # no-speech probe within int8 tolerance
+    assert abs(
+        float(s_ref["no_speech_prob"][0]) - float(s_q["no_speech_prob"][0])
+    ) < 0.05
+    dr = e_q.run_loop(s_q, 0.0, seed=0)[0]
+    assert dr.tokens[0] == TEST_ST.sot
+    assert dr.tokens[-1] == TEST_ST.eot or len(dr.tokens) == cfg.max_target_positions
+
+
 def test_quantized_engine_decodes():
     """Engine with q8 logits head produces a sane token stream."""
     from norma_tpu.decode.engine import DecodeEngine
