@@ -43,6 +43,20 @@ _ROW = ("o_w", "xo_w", "fc2_w")  # shard in-dim
 
 
 def _layer_leaf_spec(name: str) -> P:
+    # int8 variants (quantize_decoder): name_q shards like the base weight;
+    # name_s is per-out-channel and follows the out dim.
+    if name.endswith("_q"):
+        base = name[:-2]
+        if base in _COL:
+            return P(None, None, "tp")
+        if base in _ROW:
+            return P(None, "tp", None)
+    if name.endswith("_s"):
+        base = name[:-2]
+        if base in _COL:
+            return P(None, "tp")
+        if base in _ROW:
+            return P()  # scales over the un-sharded out dim: replicated
     if name in _COL:
         return P(None, None, "tp")
     if name in _COL_B:

@@ -59,6 +59,26 @@ def test_sharded_decode_matches_unsharded(setup, dp, tp):
         assert r.no_speech_prob == pytest.approx(o.no_speech_prob, abs=1e-5)
 
 
+def test_sharded_quantized_decode_matches(setup):
+    """int8 decoder weights shard over tp and still decode identically."""
+    from norma_tpu.model.quant import quantize_decoder
+
+    cfg, params = setup
+    qparams = quantize_decoder(params)
+    feats_np = random_feats(cfg, B=2, T=16, seed=11)
+
+    ref = DecodeEngine(qparams, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS)
+    r = ref.run_loop(ref.prefill(jnp.asarray(feats_np), TEST_LANG_IDS[0]), 0.0, 0)
+
+    mesh = make_mesh(dp=2, tp=2)
+    eng = DecodeEngine(
+        shard_params(qparams, mesh), cfg, TEST_ST, language_token_ids=TEST_LANG_IDS
+    )
+    o = eng.run_loop(eng.prefill(shard_batch(feats_np, mesh), TEST_LANG_IDS[0]), 0.0, 0)
+    for a, b in zip(r, o):
+        assert a.tokens == b.tokens
+
+
 def test_sharded_detect_matches(setup):
     cfg, params = setup
     feats_np = random_feats(cfg, B=2, T=16, seed=9)
