@@ -78,6 +78,23 @@ def main() -> None:
     t_single = min(run_single() for _ in range(4))
     rtf = t_single / 30.0
 
+    # w8 variant: full int8 decoder weights (quantize_decoder).
+    from norma_tpu.model.quant import quantize_decoder
+
+    qengine = DecodeEngine(
+        jax.device_put(quantize_decoder(params), jax.devices()[0]), cfg, st
+    )
+
+    def run_w8():
+        t0 = time.perf_counter()
+        LongFormDecoder(qengine, _NullTokenizer(), LanguageState(const=50259)).transcribe(
+            audio, final_chunk=True
+        )
+        return time.perf_counter() - t0
+
+    run_w8()  # warmup
+    t_w8 = min(run_w8() for _ in range(4))
+
     # Batched shape: B=8 windows through the same engine calls.
     from norma_tpu.frontend.mel import log_mel_spectrogram, prepare_audio
 
@@ -114,6 +131,8 @@ def main() -> None:
                     # i.e. one window's decode wall-clock.
                     "p50_partial_latency_ms": round(t_single * 1e3, 1),
                     "t_window_single_ms": round(t_single * 1e3, 1),
+                    "t_window_w8_decoder_ms": round(t_w8 * 1e3, 1),
+                    "rtf_w8_decoder": round(t_w8 / 30.0, 6),
                     "t_window_batched8_ms": round(t_batched * 1e3, 1),
                     "rtf_per_stream_batched8": round(rtf8, 6),
                     "realtime_streams_per_chip_batched": int(1.0 / rtf8),
