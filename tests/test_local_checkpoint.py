@@ -74,6 +74,37 @@ def test_multilingual_detect_end_to_end(ckpt):
     assert model.longform.lang.detected is None  # cleared after final
 
 
+def test_translate_task(ckpt):
+    d = multilingual.Definition(
+        multilingual.ModelType.TINY,
+        SelectedDevice.cpu(),
+        multilingual.Task.TRANSLATE,
+        local_dir=ckpt,
+    )
+    model = d.blocking_try_to_model()
+    tok = model.tokenizer
+    assert model.engine.st.task == tok.token_to_id("<|translate|>")
+    out = model.transcribe(np.zeros(6000, np.float32), final_chunk=True)
+    assert isinstance(out, str)
+
+
+def test_multi_as_mono_end_to_end(ckpt):
+    from norma_tpu.models.whisper import Language
+
+    d = monolingual.Definition(
+        monolingual.MultiAsMono(
+            model=multilingual.ModelType.TINY, lang=Language.FRENCH
+        ),
+        SelectedDevice.cpu(),
+        local_dir=ckpt,
+    )
+    model = d.blocking_try_to_model()
+    # ConstLang pinned to French; no detection.
+    assert model.longform.lang.const == model.tokenizer.token_to_id("<|fr|>")
+    out = model.transcribe(np.zeros(6000, np.float32), final_chunk=True)
+    assert isinstance(out, str)
+
+
 def test_quantized_gguf_definition(tmp_path):
     make_checkpoint_dir(tmp_path, quantized_ext="tiny-en")
     d = monolingual.Definition(
