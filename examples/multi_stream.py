@@ -1,0 +1,58 @@
+"""Serve many WAV files concurrently on one chip (continuous batching).
+
+Usage: python examples/multi_stream.py a.wav b.wav ... [--ckpt DIR]
+
+Each file becomes one stream; the BatchedTranscriber pads the ready set
+into one compiled program per decode round, so 8 streams cost roughly one.
+"""
+
+import sys
+import threading
+
+from norma_tpu import BatchedTranscriber
+from norma_tpu.audio.sources import FileSource
+from norma_tpu.input import Settings
+from norma_tpu.models import SelectedDevice
+from norma_tpu.models.whisper import monolingual
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    local_dir = None
+    if "--ckpt" in args:
+        i = args.index("--ckpt")
+        local_dir = args[i + 1]
+        del args[i : i + 2]
+
+    definition = monolingual.Definition(
+        monolingual.ModelType.DISTIL_LARGE_EN_V3,
+        SelectedDevice.auto(),
+        local_dir=local_dir,
+        timestamps=True,
+    )
+    model = definition.blocking_try_to_model()
+    model.warmup()
+
+    bt = BatchedTranscriber(model, max_streams=max(len(args), 1))
+    handles = [
+        (path, bt.blocking_start(Settings(source=FileSource(path))))
+        for path in args
+    ]
+
+    def reader(path, handle):
+        for seg in handle.receiver:
+            print(f"{path}: {seg}", flush=True)
+
+    threads = [
+        threading.Thread(target=reader, args=(p, h), daemon=True)
+        for p, h in handles
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    bt.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -9,12 +9,13 @@ FLOPs land on the MXU (TPUs have no FFT unit; a 400-point DFT against
 precomputed hann-folded cos/sin matrices is ~1 GFLOP per 30s window, noise
 for the MXU, and avoids any host round-trip).
 
-Key trick: frames overlap (n_fft=400 > hop=160), which BlockSpec index maps
-cannot express (they address in block units), so the kernel receives the
-whole audio row (a 30s window is 1.9 MB — comfortably VMEM-resident) and
-slices its slab with ``pl.ds``.  hop divides the frame length 2.5x, so the
-[N, 400] frame matrix is assembled from three DENSE slices of the slab
-viewed as [rows, 160]: frame i = rows[i] ++ rows[i+1] ++ rows[i+2][:80].
+The overlapped framing (n_fft=400 > hop=160) happens in XLA outside the
+kernel: Mosaic rejects the strided-reshape patterns an in-kernel framing
+needs (confirmed on hardware — the tile-unaligned [slab]->[rows,160]
+reshape fails in the TPU compile helper), and the gather is a cheap
+bandwidth-bound op XLA handles well.  The kernel then fuses the FLOPs-heavy
+part: hann-folded DFT as two MXU matmuls, power spectrum, mel filterbank
+matmul and log10, per [block_frames, 400] tile.
 
 The global dynamic-range clamp (max - 8) needs an all-frames reduction, so
 the kernel emits log10(mel power) and the tiny [B, n_mels, T] epilogue
@@ -59,7 +60,7 @@ def _dft_mats(n_mels: int):
 
 
 def _frames_from_slab(slab: jax.Array, n: int) -> jax.Array:
-    """[n*hop + 3*hop] samples -> [n, 400] overlapped frame matrix."""
+    """[n*hop + 3*hop] samples -> [n, 400] overlapped frame matrix (XLA)."""
     rows = slab.reshape(n + 3, HOP_LENGTH)
     a = rows[0:n, :]
     b = rows[1 : n + 1, :]
@@ -67,21 +68,20 @@ def _frames_from_slab(slab: jax.Array, n: int) -> jax.Array:
     return jnp.concatenate([a, b, c], axis=1)
 
 
-def _mel_block_kernel(audio_ref, cos_ref, sin_ref, mel_ref, out_ref, *, block_frames):
-    """One grid step: [block_frames, n_mels] log10 mel power from one slab."""
-    import jax.experimental.pallas as pl
+def _mel_block_kernel(frames_ref, cos_ref, sin_ref, mel_ref, out_ref):
+    """One grid step: [block_frames, 400] frames -> [block_frames, n_mels]
+    log10 mel power (DFT matmuls + power + mel matmul + log, fused)."""
+    frames = frames_ref[0]
 
-    t = pl.program_id(1)
-    slab_len = block_frames * HOP_LENGTH + 3 * HOP_LENGTH
-    start = t * block_frames * HOP_LENGTH
-    slab = audio_ref[0, pl.ds(start, slab_len)]
-    frames = _frames_from_slab(slab, block_frames)
-
-    re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32)
+    # HIGHEST precision: the DFT is ~1 GFLOP/window, and bf16 MXU passes
+    # blow up under the log10 on near-silent bins (measured 0.3 in whisper
+    # scale at default precision on v5e).
+    hp = jax.lax.Precision.HIGHEST
+    re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32, precision=hp)
+    im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32, precision=hp)
     power = re * re + im * im  # [N, 256]
 
-    mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
+    mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32, precision=hp)
     out_ref[0, :, :] = jnp.log(jnp.maximum(mel, 1e-10)) * np.float32(
         1.0 / np.log(10.0)
     )
@@ -91,13 +91,14 @@ def log_mel_pallas(
     audio: jax.Array,
     n_mels: int = 80,
     n_frames: int = N_FRAMES,
-    block_frames: int = 500,
+    block_frames: int = 600,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused log-mel: [B, samples] f32 -> [B, n_mels, n_frames] whisper scale.
 
     ``audio`` must hold >= (n_frames + 3) * hop samples (use
-    :func:`pad_for_pallas`).  ``n_frames`` must divide by ``block_frames``.
+    :func:`pad_for_pallas`).  ``n_frames`` must divide by ``block_frames``,
+    which must itself be a multiple of 8 (TPU sublane tiling).
     """
     from jax.experimental import pallas as pl
 
@@ -105,6 +106,7 @@ def log_mel_pallas(
         audio = audio[None]
     B = audio.shape[0]
     assert n_frames % block_frames == 0, (n_frames, block_frames)
+    assert block_frames % 8 == 0, block_frames  # TPU sublane tiling
     need = (n_frames + 3) * HOP_LENGTH
     assert audio.shape[1] >= need, (audio.shape, need)
     audio = audio[:, :need]
@@ -112,15 +114,13 @@ def log_mel_pallas(
     cos_m, sin_m, mel_p = _dft_mats(n_mels)
     grid = (B, n_frames // block_frames)
 
-    kernel = functools.partial(_mel_block_kernel, block_frames=block_frames)
+    frames = jax.vmap(lambda row: _frames_from_slab(row, n_frames))(audio)
 
     out = pl.pallas_call(
-        kernel,
+        _mel_block_kernel,
         grid=grid,
         in_specs=[
-            # Whole audio row per step (1.9 MB for 30s: VMEM-resident);
-            # the kernel slices its overlapping slab with pl.ds.
-            pl.BlockSpec((1, need), lambda b, t: (b, 0)),
+            pl.BlockSpec((1, block_frames, N_FFT), lambda b, t: (b, t, 0)),
             pl.BlockSpec(cos_m.shape, lambda b, t: (0, 0)),
             pl.BlockSpec(sin_m.shape, lambda b, t: (0, 0)),
             pl.BlockSpec(mel_p.shape, lambda b, t: (0, 0)),
@@ -128,7 +128,7 @@ def log_mel_pallas(
         out_specs=pl.BlockSpec((1, block_frames, n_mels), lambda b, t: (b, t, 0)),
         out_shape=jax.ShapeDtypeStruct((B, n_frames, n_mels), jnp.float32),
         interpret=interpret,
-    )(audio, jnp.asarray(cos_m), jnp.asarray(sin_m), jnp.asarray(mel_p))
+    )(frames, jnp.asarray(cos_m), jnp.asarray(sin_m), jnp.asarray(mel_p))
     return _epilogue(out)
 
 
@@ -143,10 +143,11 @@ def log_mel_dft(audio: jax.Array, n_mels: int = 80, n_frames: int = N_FRAMES):
     audio = audio[:, :need]
     cos_m, sin_m, mel_p = _dft_mats(n_mels)
     frames = jax.vmap(lambda row: _frames_from_slab(row, n_frames))(audio)
-    re = jnp.einsum("btf,fk->btk", frames, jnp.asarray(cos_m))
-    im = jnp.einsum("btf,fk->btk", frames, jnp.asarray(sin_m))
+    hp = jax.lax.Precision.HIGHEST
+    re = jnp.einsum("btf,fk->btk", frames, jnp.asarray(cos_m), precision=hp)
+    im = jnp.einsum("btf,fk->btk", frames, jnp.asarray(sin_m), precision=hp)
     power = re * re + im * im
-    mel = jnp.einsum("btk,km->btm", power, jnp.asarray(mel_p))
+    mel = jnp.einsum("btk,km->btm", power, jnp.asarray(mel_p), precision=hp)
     out = jnp.log(jnp.maximum(mel, 1e-10)) / np.float32(np.log(10.0))
     return _epilogue(out)
 
