@@ -1,0 +1,165 @@
+"""Golden-token regression pins (VERDICT r1 item 1, offline form).
+
+Real checkpoints cannot be downloaded in this environment (zero network), so
+the goldens pin the ENGINE's end-to-end behavior on a deterministic seeded
+checkpoint (``init_params(seed=0)``) with the real multilingual-V1 token
+layout, over fixed synthetic audio:
+
+  - per-window greedy token ids (mel -> encoder -> prefill -> token loop)
+  - a full long-form streaming run (chunked feed, drain accounting,
+    emission order) via LongFormDecoder
+
+Any semantic drift anywhere in the stack — mel frontend, network math,
+grammar masks, sampling, stopping, drain bookkeeping — changes these ids.
+
+Regenerate (after an INTENDED semantic change, never to paper over a
+regression): ``python tests/test_golden_tokens.py --regen``.
+
+With network access, ``tools/make_golden.py`` produces the same artifact
+for a real HF checkpoint; see its docstring.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden", "engine_small.json")
+
+SOT, EOT, LANG_EN, TASK = 50258, 50257, 50259, 50359
+NO_SPEECH, NO_TS, ZERO_SEC, ONE_SEC = 50362, 50363, 50364, 50414
+MTP = 48
+MSP = 300  # 600 mel frames = 6s windows
+N_FRAMES = 2 * MSP
+
+
+class IdsTokenizer:
+    """Deterministic 'tokenizer': decodes ids to their decimal strings."""
+
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(str(int(i)) for i in ids)
+
+    def token_to_id(self, s):
+        return None
+
+
+def build_engine():
+    import jax.numpy as jnp
+
+    from norma_tpu.decode.engine import DecodeEngine
+    from norma_tpu.decode.masks import SpecialTokens
+    from norma_tpu.model import WhisperConfig, init_params
+
+    cfg = WhisperConfig(
+        num_mel_bins=80, vocab_size=51865, d_model=64,
+        encoder_layers=2, encoder_attention_heads=2,
+        decoder_layers=2, decoder_attention_heads=2,
+        max_source_positions=MSP, max_target_positions=MTP,
+        suppress_tokens=(),
+    )
+    params = init_params(cfg, seed=0, dtype=jnp.float32)
+    st = SpecialTokens(
+        sot=SOT, eot=EOT, task=TASK, no_speech=NO_SPEECH,
+        no_timestamps=NO_TS, zero_sec=ZERO_SEC, one_sec=ONE_SEC,
+    )
+    return DecodeEngine(params, cfg, st)
+
+
+def make_audio(kind: str, seconds: float, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    n = int(seconds * 16000)
+    t = np.arange(n) / 16000.0
+    if kind == "tone":
+        return (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    if kind == "noise":
+        return (0.1 * rng.standard_normal(n)).astype(np.float32)
+    if kind == "mix":
+        return (
+            0.15 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.standard_normal(n)
+        ).astype(np.float32)
+    raise ValueError(kind)
+
+
+def window_tokens(engine, audio: np.ndarray):
+    import jax.numpy as jnp
+
+    from norma_tpu.frontend.mel import log_mel_spectrogram, prepare_audio
+
+    mel = log_mel_spectrogram(
+        jnp.asarray(prepare_audio(audio, n_frames=N_FRAMES))[None],
+        n_mels=80,
+        n_frames=N_FRAMES,
+    )
+    feats = engine.encode(mel)
+    state = engine.prefill(feats, LANG_EN)
+    dr = engine.run_loop(state, 0.0, seed=0)[0]
+    return dr.tokens, dr.avg_logprob
+
+
+def longform_transcript(engine):
+    """15s mixed stream fed in 4 chunks; returns per-call emitted text."""
+    from norma_tpu.decode.longform import LanguageState, LongFormDecoder
+
+    lf = LongFormDecoder(
+        engine, IdsTokenizer(), LanguageState(const=LANG_EN), seed=0
+    )
+    audio = make_audio("mix", 15.0, seed=3)
+    chunks = np.array_split(audio, 4)
+    out = []
+    for i, ch in enumerate(chunks):
+        out.append(lf.transcribe(ch, final_chunk=(i == len(chunks) - 1)))
+    return out
+
+
+def compute_golden():
+    engine = build_engine()
+    windows = {}
+    for kind in ("tone", "noise", "mix"):
+        toks, alp = window_tokens(engine, make_audio(kind, 6.0, seed=1))
+        windows[kind] = {"tokens": toks, "avg_logprob": round(alp, 4)}
+    return {
+        "config": "v1-layout d64 L2 seed0 f32",
+        "windows": windows,
+        "longform_emissions": longform_transcript(engine),
+    }
+
+
+@pytest.fixture(scope="module")
+def golden():
+    with open(GOLDEN_PATH) as f:
+        return json.load(f)
+
+
+def test_window_tokens_match_golden(golden):
+    engine = build_engine()
+    for kind, want in golden["windows"].items():
+        toks, alp = window_tokens(engine, make_audio(kind, 6.0, seed=1))
+        assert toks == want["tokens"], f"{kind}: token drift"
+        import math
+
+        if math.isnan(want["avg_logprob"]):
+            # Grammar deadlock: ln(-inf-masked prob) — NaN is the pinned value.
+            assert math.isnan(alp), f"{kind}: logprob drift (want NaN)"
+        else:
+            assert abs(alp - want["avg_logprob"]) < 5e-3, f"{kind}: logprob drift"
+
+
+def test_longform_emissions_match_golden(golden):
+    engine = build_engine()
+    assert longform_transcript(engine) == golden["longform_emissions"]
+
+
+if __name__ == "__main__":
+    if "--regen" not in sys.argv:
+        sys.exit("usage: python tests/test_golden_tokens.py --regen")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
+    with open(GOLDEN_PATH, "w") as f:
+        json.dump(compute_golden(), f, indent=1)
+    print(f"wrote {GOLDEN_PATH}")

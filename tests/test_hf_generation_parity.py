@@ -1,0 +1,220 @@
+"""Greedy-decode cross-check against HF transformers' Whisper generation.
+
+VERDICT r1 item 1: "cross-check greedy tokens against HF
+WhisperForConditionalGeneration configured to the reference's semantics".
+Real checkpoints are not downloadable here (zero network), so this uses a
+seeded random model with the REAL multilingual-V1 token layout (51865 vocab,
+sot/eot/lang/task/timestamp ids in their true positions) shared bit-for-bit
+between torch and our pytree; what it pins is the *decode semantics*: the
+timestamp grammar, initial-token forcing, monotonicity, stopping (natural
+EOT, length cap + extra-EOT push, and the all--inf deadlock the prob-space
+reference grammar can reach), and the trailing double-timestamp cleanup.
+
+The HF side drives HF's own ``WhisperTimeStampLogitsProcessor`` — an
+independent stateful implementation of the whisper grammar — wrapped in a
+small shim configuring it to the reference's (candle) semantics, which
+differ from HF/OpenAI in exactly two rules (see RefShim).  Our engine's
+branchless on-device mask algebra must produce token-identical sequences.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp
+
+from norma_tpu.decode.engine import DecodeEngine
+from norma_tpu.decode.masks import SpecialTokens
+from norma_tpu.frontend.mel import log_mel_spectrogram, prepare_audio
+from norma_tpu.model import WhisperConfig as NTConfig
+from norma_tpu.model.load import params_from_hf_tensors
+
+SOT, EOT, LANG_EN, TASK = 50258, 50257, 50259, 50359
+NO_SPEECH, NO_TS, ZERO_SEC, ONE_SEC = 50362, 50363, 50364, 50414
+MTP = 48  # max_target_positions (small: bounds the greedy loops)
+MSP = 300  # max_source_positions -> 600 mel frames = 6s windows
+N_FRAMES = 2 * MSP
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from transformers import GenerationConfig
+    from transformers import WhisperConfig as HFConfig
+    from transformers import WhisperForConditionalGeneration
+
+    hf_cfg = HFConfig(
+        vocab_size=51865, num_mel_bins=80, d_model=64,
+        encoder_layers=2, encoder_attention_heads=2,
+        decoder_layers=2, decoder_attention_heads=2,
+        encoder_ffn_dim=256, decoder_ffn_dim=256,
+        max_source_positions=MSP, max_target_positions=MTP,
+        pad_token_id=50256, bos_token_id=EOT, eos_token_id=EOT,
+        decoder_start_token_id=SOT, suppress_tokens=[], begin_suppress_tokens=[],
+    )
+    torch.manual_seed(0)
+    tm = WhisperForConditionalGeneration(hf_cfg).eval()
+    # Random weights almost never argmax onto EOT; scaling its (tied)
+    # embedding row makes some inputs stop naturally so the test covers
+    # natural-EOT, length-cap, and grammar-deadlock stopping paths.
+    with torch.no_grad():
+        tm.model.decoder.embed_tokens.weight[EOT] *= 6.0
+
+    tensors = {
+        n: p.detach().numpy().astype(np.float32) for n, p in tm.named_parameters()
+    }
+    for n, b in tm.named_buffers():
+        tensors.setdefault(n, b.detach().numpy().astype(np.float32))
+
+    nt_cfg = NTConfig(
+        num_mel_bins=80, vocab_size=51865, d_model=64,
+        encoder_layers=2, encoder_attention_heads=2,
+        decoder_layers=2, decoder_attention_heads=2,
+        max_source_positions=MSP, max_target_positions=MTP,
+        suppress_tokens=(),
+    )
+    params = params_from_hf_tensors(tensors, nt_cfg)
+    st = SpecialTokens(
+        sot=SOT, eot=EOT, task=TASK, no_speech=NO_SPEECH,
+        no_timestamps=NO_TS, zero_sec=ZERO_SEC, one_sec=ONE_SEC,
+    )
+    engine = DecodeEngine(params, nt_cfg, st)
+
+    gen_cfg = GenerationConfig(eos_token_id=EOT)
+    gen_cfg.no_timestamps_token_id = NO_TS
+    gen_cfg.max_initial_timestamp_index = ONE_SEC - ZERO_SEC  # 50, as reference
+    return tm, engine, gen_cfg
+
+
+class RefShim:
+    """HF's timestamp processor configured to the reference's semantics.
+
+    The candle-based reference (model.rs:245-277) differs from HF/OpenAI in
+    two rules; everything else (pair structure, monotonic timestamps,
+    initial-token forcing, <|notimestamps|> suppression) is exercised
+    through HF's own code:
+      1. an unpaired timestamp must be closed by a STRICTLY GREATER
+         timestamp — text and EOT are masked (supress_non_timestamps =
+         past-mask + non-ts mask, model.rs:216-223,256-260); HF allows the
+         same timestamp again or EOT.
+      2. the sum-vs-max rule runs in prob space on suppress-masked probs
+         including past timestamps (model.rs:263-276); HF runs it in
+         logprob space after monotonic masking.
+    """
+
+    def __init__(self, gen_cfg, begin_index: int):
+        from transformers.generation.logits_process import (
+            WhisperTimeStampLogitsProcessor,
+        )
+
+        self.p = WhisperTimeStampLogitsProcessor(
+            gen_cfg, begin_index, _detect_timestamp_from_logprob=False
+        )
+        self.no_ts = gen_cfg.no_timestamps_token_id
+        self.tb = self.no_ts + 1
+        self.eot = gen_cfg.eos_token_id
+        self.begin = begin_index
+
+    def __call__(self, input_ids, scores):
+        raw = scores.clone()
+        out = self.p(input_ids, scores)
+        full = input_ids[0].tolist()
+        if len(full) == self.begin:
+            return out  # first-token forcing: HF == reference m_first
+        last, pen = full[-1], full[-2]
+        if last > self.no_ts and pen < self.eot:
+            out[:, : self.tb] = float("-inf")
+            out[:, self.tb : last + 1] = float("-inf")
+        elif last <= self.no_ts:
+            base = raw.float().softmax(-1)
+            base[:, self.no_ts] = 0.0
+            if float(base[0, self.tb :].sum()) >= float(base[0, : self.no_ts].max()):
+                out[:, : self.tb] = float("-inf")
+        return out
+
+
+def ref_cleanup(toks):
+    """Trailing double-timestamp cleanup (reference model.rs:375-381)."""
+    toks = list(toks)
+    while len(toks) >= 2 and toks[-2] > NO_TS:
+        del toks[-2]
+    return toks
+
+
+def hf_greedy(tm, gen_cfg, mel_np):
+    """Greedy loop with reference stopping: EOT, or len cap + extra EOT."""
+    from transformers.modeling_outputs import BaseModelOutput
+
+    proc = RefShim(gen_cfg, begin_index=3)
+    ids = torch.tensor([[SOT, LANG_EN, TASK]])
+    with torch.no_grad():
+        enc = tm.model.encoder(torch.from_numpy(np.ascontiguousarray(mel_np)))
+        enc_out = BaseModelOutput(last_hidden_state=enc.last_hidden_state)
+        while True:
+            logits = tm(encoder_outputs=enc_out, decoder_input_ids=ids).logits[:, -1]
+            nxt = int(proc(ids, logits.float()).argmax(-1))
+            ids = torch.cat([ids, torch.tensor([[nxt]])], dim=1)
+            if nxt == EOT:
+                break
+            if ids.shape[1] >= MTP - 1:  # reference model.rs:367-370
+                ids = torch.cat([ids, torch.tensor([[EOT]])], dim=1)
+                break
+    return ids[0].tolist()
+
+
+def make_audio(kind: str, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    n = (N_FRAMES - 1) * 160 + 400
+    t = np.arange(n) / 16000.0
+    if kind == "tone":
+        return (0.3 * np.sin(2 * np.pi * (200 + 50 * seed) * t)).astype(np.float32)
+    if kind == "noise":
+        return (0.1 * rng.standard_normal(n)).astype(np.float32)
+    if kind == "chirp":
+        return (0.2 * np.sin(2 * np.pi * (100 + 30 * t) * t)).astype(np.float32)
+    if kind == "mix":
+        return (
+            0.15 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.standard_normal(n)
+        ).astype(np.float32)
+    raise ValueError(kind)
+
+
+CASES = [("tone", 0), ("noise", 0), ("noise", 1), ("chirp", 0), ("mix", 0)]
+
+
+@pytest.mark.parametrize("kind,seed", CASES)
+def test_greedy_tokens_match_hf(setup, kind, seed):
+    tm, engine, gen_cfg = setup
+    audio = make_audio(kind, seed)
+    mel = log_mel_spectrogram(
+        jnp.asarray(prepare_audio(audio, n_frames=N_FRAMES))[None],
+        n_mels=80,
+        n_frames=N_FRAMES,
+    )
+    feats = engine.encode(mel)
+    state = engine.prefill(feats, LANG_EN)
+    mine = engine.run_loop(state, 0.0, seed=0)[0].tokens
+    hf = ref_cleanup(hf_greedy(tm, gen_cfg, np.asarray(mel)))
+    assert mine == hf
+    # Non-trivial: prefix + forced initial timestamp + at least one more.
+    assert len(mine) > 5
+    assert ZERO_SEC <= mine[3] <= ONE_SEC  # initial-token forcing held
+
+
+def test_stopping_paths_covered(setup):
+    """The case set must exercise both natural EOT and the length cap."""
+    tm, engine, gen_cfg = setup
+    lens = []
+    for kind, seed in CASES:
+        audio = make_audio(kind, seed)
+        mel = log_mel_spectrogram(
+            jnp.asarray(prepare_audio(audio, n_frames=N_FRAMES))[None],
+            n_mels=80,
+            n_frames=N_FRAMES,
+        )
+        feats = engine.encode(mel)
+        state = engine.prefill(feats, LANG_EN)
+        lens.append(len(engine.run_loop(state, 0.0, seed=0)[0].tokens))
+    assert any(n < MTP for n in lens), "no natural-EOT stop in the case set"
+    assert any(n == MTP for n in lens), "no length-cap stop in the case set"
