@@ -86,23 +86,66 @@ def test_grammar_invariants_greedy(setup):
                 assert nxt > st.no_timestamps or nxt == st.eot
 
 
+def _first_token_expected(engine, state, temp: float) -> np.ndarray:
+    """The oracle's first-token law: WeightedIndex over softmax(masked/t),
+    masked = softmax(logits) + first_token_mask (model.rs:331-348)."""
+    logits = np.asarray(state["next_logits"])[0].astype(np.float64)
+    probs = np.exp(logits - logits.max())
+    probs /= probs.sum()
+    masked = probs + np.asarray(engine._m_first)
+    z = masked / temp
+    e = np.exp(z - np.nanmax(np.where(np.isfinite(z), z, -np.inf)))
+    e[~np.isfinite(z)] = 0.0
+    return e / e.sum()
+
+
+def _chisq_pvalue(counts: np.ndarray, expected_p: np.ndarray) -> float:
+    """Chi-square GOF p-value, merging bins with expected count < 5."""
+    from scipy.stats import chisquare
+
+    n = counts.sum()
+    exp = expected_p * n
+    big = exp >= 5
+    obs = np.append(counts[big], counts[~big].sum())
+    exp = np.append(exp[big], exp[~big].sum())
+    keep = exp > 0
+    return chisquare(obs[keep], exp[keep] * (obs[keep].sum() / exp[keep].sum())).pvalue
+
+
 def test_sampling_matches_oracle_distributionally(setup):
-    """t>0: engine uses categorical(masked/t) == WeightedIndex(softmax(masked/t)).
-    Verify the first sampled token's distribution against the oracle's mask."""
+    """t>0 sampling law (VERDICT r1 item 8): the engine's first sampled
+    token must be distributed as WeightedIndex over softmax(masked/t) —
+    chi-square over 500 independent draws, plus a power check proving the
+    test rejects a wrong law (different temperature)."""
     cfg, params, engine, oracle, seed = setup
     feats = jnp.asarray(random_feats(cfg, B=1, T=16, seed=seed + 30))
     state = engine.prefill(feats, TEST_LANG_IDS[0])
     if float(state["no_speech_prob"][0]) > 0.6:
         pytest.skip("probe fired")
-    temp = 0.8
-    counts = {}
-    for s in range(40):
-        dr = engine.run_loop(state, temp, seed=s)[0]
+    temp = 0.2  # a real ladder rung; low t maximizes power (see below)
+    n_draws = 500
+    counts = np.zeros(cfg.vocab_size, np.int64)
+    for s in range(n_draws):
+        dr = engine.run_loop(state, temp, seed=1_000_000 + s)[0]
         first = dr.tokens[3]
-        counts[first] = counts.get(first, 0) + 1
-        # Sampled tokens still respect the first-token mask.
+        # Sampled tokens respect the first-token mask.
         assert TEST_ST.zero_sec <= first <= TEST_ST.one_sec
-    assert len(counts) >= 1
+        counts[first] += 1
+
+    expected = _first_token_expected(engine, state, temp)
+    assert _chisq_pvalue(counts, expected) > 1e-3
+
+    # Power: the same draws must REJECT the plausible wrong law — sampling
+    # in LOGIT space (softmax(logits/t)) instead of the reference's prob
+    # space (softmax(softmax(logits)/t), model.rs:331-348).  Note t/2 in
+    # prob space is NOT rejectable: dividing near-zero probabilities by t
+    # barely moves the law — a faithful quirk of the reference's design.
+    logits = np.asarray(state["next_logits"])[0].astype(np.float64)
+    z = (logits + np.asarray(engine._m_first)) / temp
+    e = np.exp(z - np.max(z[np.isfinite(z)]))
+    e[~np.isfinite(z)] = 0.0
+    wrong = e / e.sum()
+    assert _chisq_pvalue(counts, wrong) < 1e-6
 
 
 def test_detect_language(setup):
