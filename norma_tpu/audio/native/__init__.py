@@ -91,9 +91,15 @@ def load() -> Optional[ctypes.CDLL]:
         lib.nta_alsa_available.restype = c.c_int
         lib.nta_alsa_devices.restype = c.c_int64
         lib.nta_alsa_devices.argtypes = [c.c_char_p, c.c_int64]
+        lib.nta_alsa_query_configs.restype = c.c_int64
+        lib.nta_alsa_query_configs.argtypes = [c.c_char_p, c.c_char_p, c.c_int64]
         lib.nta_alsa_start.restype = c.c_void_p
         lib.nta_alsa_start.argtypes = [
             c.c_char_p, c.c_uint, c.c_uint, c.c_uint, c.c_void_p,
+        ]
+        lib.nta_alsa_start_fmt.restype = c.c_void_p
+        lib.nta_alsa_start_fmt.argtypes = [
+            c.c_char_p, c.c_uint, c.c_uint, c.c_int, c.c_uint, c.c_void_p,
         ]
         lib.nta_alsa_stop.argtypes = [c.c_void_p]
 

@@ -5,36 +5,77 @@ chunk packing all run in C++ (reference: cpal's C-API callback +
 dasp/thingbuf, lib.rs:159-262); Python only consumes finished chunks.  On
 hosts without libasound the loader reports no devices and the caller raises
 DeviceError, exactly like the reference's StartError::DeviceError.
+
+Stream-config negotiation follows the reference (lib.rs:527-541): the C++
+layer enumerates the device's supported (sample format x channel count)
+ranges via snd_pcm_hw_params, ``rank_configs`` orders them by
+``cmp_mic_config`` (model-rate support > format match > f64 > float > mono,
+lib.rs:559-600), and the best config is opened — at the model rate when the
+range covers it, else the range's max rate with native sinc resampling
+(lib.rs:538-541).  All 8 ALSA-reachable sample formats are captured natively
+(the reference's 10 cpal formats minus i64/u64, which ALSA has no PCM
+encoding for); mixdown handles every format in C++.
 """
 
 from __future__ import annotations
 
+import ctypes
 import logging
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
 from ...errors import BuildStreamError, DeviceError
+from ...tracing import instrument
 from ...input import Settings
-from ..device import select_device
+from ..device import SupportedConfig, rank_configs, select_device
 from . import load
 from .wrappers import NativeRing
 
 logger = logging.getLogger(__name__)
 
+# C++ SampleFmt enum values (norma_audio.cpp) by sample-format string.
+FMT_CODES = {
+    "i8": 0, "i16": 1, "i32": 2, "f32": 3, "f64": 4,
+    "u8": 5, "u16": 6, "u32": 7, "i64": 8, "u64": 9,
+}
+_FMT_NAMES = {v: k for k, v in FMT_CODES.items()}
 
-def list_devices() -> List[str]:
-    lib = load()
+
+def list_devices(lib=None) -> List[str]:
+    lib = lib if lib is not None else load()
     if lib is None or not lib.nta_alsa_available():
         return []
-    buf = bytes(65536)
-    import ctypes
-
-    cbuf = ctypes.create_string_buffer(buf)
-    n = lib.nta_alsa_devices(cbuf, len(buf))
+    cbuf = ctypes.create_string_buffer(65536)
+    n = lib.nta_alsa_devices(cbuf, len(cbuf))
     if n <= 0:
         return []
     return [d for d in cbuf.value.decode("utf-8", "replace").split("\n") if d]
+
+
+def query_configs(lib, device: str) -> List[SupportedConfig]:
+    """Enumerate the device's supported stream-config ranges (the cpal
+    ``supported_input_configs`` equivalent).  Empty when the device cannot
+    be queried (negotiation then falls back to blind probing)."""
+    cbuf = ctypes.create_string_buffer(65536)
+    n = lib.nta_alsa_query_configs(device.encode(), cbuf, len(cbuf))
+    if n <= 0:
+        return []
+    out = []
+    for line in cbuf.value.decode("utf-8", "replace").splitlines():
+        try:
+            fmt, rmin, rmax, ch = (int(x) for x in line.split(","))
+            out.append(
+                SupportedConfig(
+                    min_sample_rate=rmin,
+                    max_sample_rate=rmax,
+                    sample_format=_FMT_NAMES[fmt],
+                    channels=ch,
+                )
+            )
+        except (ValueError, KeyError):
+            logger.warning("unparseable native config line: %r", line)
+    return out
 
 
 class NativeMicPipeline:
@@ -55,22 +96,58 @@ class NativeMicPipeline:
         self._lib.nta_alsa_stop(self._handle)
 
 
+@instrument(
+    fields={"model_rate": lambda a: a["model_rate"], "chunk_len": lambda a: a["chunk_len"]}
+)  # reference create_stream, lib.rs:502
 def open_native_mic(
-    settings: Settings, model_rate: int, model_dtype, n_slots: int, chunk_len: int
+    settings: Settings,
+    model_rate: int,
+    model_dtype,
+    n_slots: int,
+    chunk_len: int,
+    lib=None,
 ) -> Tuple[NativeMicPipeline, NativeRing]:
-    lib = load()
+    """Open the best-ranked mic config (reference: create_stream,
+    lib.rs:502-557).  ``lib`` is injectable for hermetic tests."""
+    lib = lib if lib is not None else load()
     if lib is None or not lib.nta_alsa_available():
         raise DeviceError()
 
-    devices = list_devices()
+    devices = list_devices(lib)
     # ALSA always exposes the "default" PCM even when enumeration is empty.
     name = select_device(devices, settings, "default")
 
     ring = NativeRing(n_slots, chunk_len, out_dtype=model_dtype)
 
-    handle = None
-    # Prefer capturing at the model rate (no resample); fall back to common
-    # hardware rates with native sinc resampling (lib.rs:532-541 semantics).
+    configs = query_configs(lib, name)
+    if configs:
+        ranked = rank_configs(configs, model_rate, model_dtype)
+        # Best config last (the reference pops from the sorted tail,
+        # lib.rs:530-533).  The reference builds only the best and errors on
+        # failure; trying the rest in rank order is a robustness extension.
+        for cfg in reversed(ranked):
+            rate = cfg.pick_rate(model_rate)
+            handle = lib.nta_alsa_start_fmt(
+                name.encode(),
+                rate,
+                cfg.channels,
+                FMT_CODES[cfg.sample_format],
+                model_rate,
+                ring.ptr,
+            )
+            if handle:
+                logger.info(
+                    "native mic open: %s @ %d Hz x%d ch %s (ranked %d/%d)",
+                    name, rate, cfg.channels, cfg.sample_format,
+                    len(ranked) - ranked.index(cfg), len(ranked),
+                )
+                return NativeMicPipeline(lib, handle, ring), ring
+        raise BuildStreamError(
+            f"all {len(ranked)} negotiated configs failed for {name!r}"
+        )
+
+    # Device not queryable: blind-probe common rates/channels at S16
+    # (pre-negotiation fallback path).
     for rate in (model_rate, 48_000, 44_100):
         for channels in (1, 2):
             handle = lib.nta_alsa_start(
@@ -78,7 +155,8 @@ def open_native_mic(
             )
             if handle:
                 logger.info(
-                    "native mic open: %s @ %d Hz x%d ch", name, rate, channels
+                    "native mic open (blind): %s @ %d Hz x%d ch",
+                    name, rate, channels,
                 )
                 return NativeMicPipeline(lib, handle, ring), ring
     raise BuildStreamError(f"failed to open ALSA device {name!r}")

@@ -19,6 +19,7 @@
 #include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <dlfcn.h>
 #include <thread>
@@ -275,6 +276,15 @@ struct AlsaFns {
   int (*hint)(int, const char*, void***) = nullptr;
   char* (*hint_get)(const void*, const char*) = nullptr;
   int (*hint_free)(void**) = nullptr;
+  // hw-params enumeration (config negotiation, reference lib.rs:527-541)
+  size_t (*hw_sizeof)() = nullptr;
+  int (*hw_any)(void*, void*) = nullptr;
+  int (*hw_test_format)(void*, void*, int) = nullptr;
+  int (*hw_get_rate_min)(const void*, unsigned*, int*) = nullptr;
+  int (*hw_get_rate_max)(const void*, unsigned*, int*) = nullptr;
+  int (*hw_get_channels_min)(const void*, unsigned*) = nullptr;
+  int (*hw_get_channels_max)(const void*, unsigned*) = nullptr;
+  int (*hw_test_channels)(void*, void*, unsigned) = nullptr;
 
   bool load() {
     if (lib) return true;
@@ -293,9 +303,54 @@ struct AlsaFns {
         dlsym(lib, "snd_device_name_get_hint"));
     hint_free = reinterpret_cast<decltype(hint_free)>(
         dlsym(lib, "snd_device_name_free_hint"));
+    hw_sizeof = reinterpret_cast<decltype(hw_sizeof)>(
+        dlsym(lib, "snd_pcm_hw_params_sizeof"));
+    hw_any = reinterpret_cast<decltype(hw_any)>(dlsym(lib, "snd_pcm_hw_params_any"));
+    hw_test_format = reinterpret_cast<decltype(hw_test_format)>(
+        dlsym(lib, "snd_pcm_hw_params_test_format"));
+    hw_get_rate_min = reinterpret_cast<decltype(hw_get_rate_min)>(
+        dlsym(lib, "snd_pcm_hw_params_get_rate_min"));
+    hw_get_rate_max = reinterpret_cast<decltype(hw_get_rate_max)>(
+        dlsym(lib, "snd_pcm_hw_params_get_rate_max"));
+    hw_get_channels_min = reinterpret_cast<decltype(hw_get_channels_min)>(
+        dlsym(lib, "snd_pcm_hw_params_get_channels_min"));
+    hw_get_channels_max = reinterpret_cast<decltype(hw_get_channels_max)>(
+        dlsym(lib, "snd_pcm_hw_params_get_channels_max"));
+    hw_test_channels = reinterpret_cast<decltype(hw_test_channels)>(
+        dlsym(lib, "snd_pcm_hw_params_test_channels"));
     return pcm_open && pcm_set_params && pcm_readi && pcm_close;
   }
+
+  bool can_enumerate() const {
+    return hw_sizeof && hw_any && hw_test_format && hw_get_rate_min &&
+           hw_get_rate_max && hw_get_channels_min && hw_get_channels_max;
+  }
 };
+
+// Our SampleFmt <-> ALSA snd_pcm_format_t.  ALSA has no 64-bit integer PCM
+// formats, so of the reference's 10 cpal formats 8 are reachable on Linux
+// (cpal's ALSA host exposes the same 8).
+struct FmtMap {
+  int fmt;        // SampleFmt
+  int alsa;       // snd_pcm_format_t
+  int bytes;      // bytes per sample
+};
+constexpr FmtMap kFmtMap[] = {
+    {FMT_I8, 0, 1},    // SND_PCM_FORMAT_S8
+    {FMT_U8, 1, 1},    // SND_PCM_FORMAT_U8
+    {FMT_I16, 2, 2},   // SND_PCM_FORMAT_S16_LE
+    {FMT_U16, 4, 2},   // SND_PCM_FORMAT_U16_LE
+    {FMT_I32, 10, 4},  // SND_PCM_FORMAT_S32_LE
+    {FMT_U32, 12, 4},  // SND_PCM_FORMAT_U32_LE
+    {FMT_F32, 14, 4},  // SND_PCM_FORMAT_FLOAT_LE
+    {FMT_F64, 16, 8},  // SND_PCM_FORMAT_FLOAT64_LE
+};
+
+static const FmtMap* fmt_entry(int fmt) {
+  for (const auto& m : kFmtMap)
+    if (m.fmt == fmt) return &m;
+  return nullptr;
+}
 
 AlsaFns g_alsa;
 
@@ -400,19 +455,64 @@ int64_t nta_alsa_devices(char* out, int64_t cap) {
   return written;
 }
 
-// Start capture: device -> mixdown -> (resample) -> packer -> ring.
-// target_rate is the model rate; capture runs at dev_rate/channels i16.
-void* nta_alsa_start(const char* device, unsigned dev_rate, unsigned channels,
-                     unsigned target_rate, void* ring) {
+// Enumerate the device's supported stream configs (the cpal
+// SupportedStreamConfigRange equivalent, reference lib.rs:527-541): for each
+// supported (sample format x channel count), one line
+// "fmt,min_rate,max_rate,channels\n" into the user buffer.  Returns bytes
+// written, 0 when the device opens but exposes nothing, -1 on failure.
+int64_t nta_alsa_query_configs(const char* device, char* out, int64_t cap_len) {
+  if (!g_alsa.load() || !g_alsa.can_enumerate()) return -1;
+  void* pcm = nullptr;
+  if (g_alsa.pcm_open(&pcm, device, 1, 0) < 0) return -1;  // capture, blocking
+  std::vector<char> hw(g_alsa.hw_sizeof(), 0);
+  int64_t written = 0;
+  if (g_alsa.hw_any(pcm, hw.data()) >= 0) {
+    unsigned rmin = 0, rmax = 0, cmin = 0, cmax = 0;
+    int dir = 0;
+    g_alsa.hw_get_rate_min(hw.data(), &rmin, &dir);
+    g_alsa.hw_get_rate_max(hw.data(), &rmax, &dir);
+    g_alsa.hw_get_channels_min(hw.data(), &cmin);
+    g_alsa.hw_get_channels_max(hw.data(), &cmax);
+    if (cmax > 32) cmax = 32;  // cap pathological plugin ranges
+    for (const auto& m : kFmtMap) {
+      if (g_alsa.hw_test_format(pcm, hw.data(), m.alsa) < 0) continue;
+      for (unsigned ch = cmin; ch <= cmax; ++ch) {
+        if (g_alsa.hw_test_channels &&
+            g_alsa.hw_test_channels(pcm, hw.data(), ch) < 0)
+          continue;
+        char line[96];
+        int n = std::snprintf(line, sizeof(line), "%d,%u,%u,%u\n", m.fmt,
+                              rmin, rmax, ch);
+        if (n > 0 && written + n < cap_len) {
+          std::memcpy(out + written, line, static_cast<size_t>(n));
+          written += n;
+        }
+      }
+    }
+  }
+  g_alsa.pcm_close(pcm);
+  if (written < cap_len) out[written] = '\0';
+  return written;
+}
+
+// Start capture: device -> mixdown (any of the 8 ALSA-reachable sample
+// formats) -> (resample) -> packer -> ring.  ``fmt`` is a SampleFmt value;
+// target_rate is the model rate.
+void* nta_alsa_start_fmt(const char* device, unsigned dev_rate,
+                         unsigned channels, int fmt, unsigned target_rate,
+                         void* ring) {
   if (!g_alsa.load()) return nullptr;
+  const FmtMap* fm = fmt_entry(fmt);
+  if (!fm) return nullptr;
   auto* cap = new AlsaCapture();
   // SND_PCM_STREAM_CAPTURE = 1, blocking mode (0).
   if (g_alsa.pcm_open(&cap->pcm, device, 1, 0) < 0) {
     delete cap;
     return nullptr;
   }
-  // SND_PCM_FORMAT_S16_LE = 2, SND_PCM_ACCESS_RW_INTERLEAVED = 3.
-  if (g_alsa.pcm_set_params(cap->pcm, 2, 3, channels, dev_rate, 1, 100000) < 0) {
+  // SND_PCM_ACCESS_RW_INTERLEAVED = 3.
+  if (g_alsa.pcm_set_params(cap->pcm, fm->alsa, 3, channels, dev_rate, 1,
+                            100000) < 0) {
     g_alsa.pcm_close(cap->pcm);
     delete cap;
     return nullptr;
@@ -424,9 +524,11 @@ void* nta_alsa_start(const char* device, unsigned dev_rate, unsigned channels,
   if (dev_rate != target_rate)
     cap->resampler = new SincResampler(dev_rate, target_rate);
 
-  cap->worker = std::thread([cap]() {
+  const int bytes = fm->bytes;
+  const int sample_fmt = fm->fmt;
+  cap->worker = std::thread([cap, bytes, sample_fmt]() {
     const unsigned long frames = 1024;
-    std::vector<int16_t> raw(frames * cap->channels);
+    std::vector<uint8_t> raw(frames * cap->channels * bytes);
     std::vector<float> mono(frames);
     std::vector<float> res(frames * 4 + kTaps);
     while (!cap->stop.load(std::memory_order_relaxed)) {
@@ -436,7 +538,8 @@ void* nta_alsa_start(const char* device, unsigned dev_rate, unsigned channels,
           continue;
         break;
       }
-      mixdown_to_f32(raw.data(), got, (int)cap->channels, FMT_I16, mono.data());
+      mixdown_to_f32(raw.data(), got, (int)cap->channels, sample_fmt,
+                     mono.data());
       if (cap->resampler) {
         int64_t n = cap->resampler->process(mono.data(), got, res.data());
         cap->packer->append(res.data(), n);
@@ -448,6 +551,13 @@ void* nta_alsa_start(const char* device, unsigned dev_rate, unsigned channels,
     cap->ring->closed.store(true, std::memory_order_release);
   });
   return cap;
+}
+
+// Backwards-compatible S16 entry point.
+void* nta_alsa_start(const char* device, unsigned dev_rate, unsigned channels,
+                     unsigned target_rate, void* ring) {
+  return nta_alsa_start_fmt(device, dev_rate, channels, FMT_I16, target_rate,
+                            ring);
 }
 
 void nta_alsa_stop(void* c) {

@@ -39,6 +39,7 @@ import logging
 from ..constants import LOGPROB_THRESHOLD, NO_SPEECH_THRESHOLD, TEMPERATURES
 from ..model.config import WhisperConfig
 from ..tracing import decode_telemetry
+from ..tracing import instrument as decode_instrument
 
 logger = logging.getLogger(__name__)
 from ..model.whisper import cross_kv, decoder_prefill, decoder_step, encode
@@ -92,6 +93,11 @@ class DecodeEngine:
         self._prefill_full = jax.jit(self._prefill_full_impl)
         self._loop = jax.jit(self._loop_impl)
         self._detect = jax.jit(self._detect_impl)
+        # Fused whole-window programs: ONE dispatch per window covering
+        # mel -> encoder -> (optional language detection) -> prefill ->
+        # no-speech gate -> the full temperature-fallback ladder.
+        self._ladder = jax.jit(partial(self._ladder_impl, detect=False))
+        self._ladder_detect = jax.jit(partial(self._ladder_impl, detect=True))
 
     # ------------------------------------------------------------------
     # Device-side pieces
@@ -196,12 +202,30 @@ class DecodeEngine:
         temp,  # scalar f32
         seed,  # scalar uint32
     ):
+        return self._token_loop(
+            params, xk, xv, cache_k, cache_v, next_logits, tokens_init,
+            n0, prev1, prev2, temp, jax.random.PRNGKey(seed),
+        )
+
+    def _token_loop(
+        self,
+        params,
+        xk,
+        xv,
+        cache_k,
+        cache_v,
+        next_logits,
+        tokens_init,
+        n0,
+        prev1,
+        prev2,
+        temp,
+        key0,  # jax PRNG key
+    ):
         cfg = self.cfg
         st = self.st
         B, Tmax = tokens_init.shape
         mtp = cfg.max_target_positions
-
-        key0 = jax.random.PRNGKey(seed)
 
         def cond(c):
             (step, tokens, n, p1, p2, last_ts, slp, fin, ll, ck, cv, key) = c
@@ -287,9 +311,178 @@ class DecodeEngine:
         )
         return tokens, n, slp
 
+    def _ladder_impl(self, params, audio, langs, seed, *, detect: bool):
+        """Fused whole-window transcription: ONE device program.
+
+        audio: [B, S] padded PCM; langs: [B] int32 language tokens (-1 =
+        detect in-graph, only with ``detect=True``); seed: scalar uint32.
+
+        Covers the reference's decode_with_fallback (model.rs:164-191)
+        including the no-speech early exit (model.rs:308-315) and lazy
+        language detection (model.rs:171-173), but with zero host<->device
+        round-trips: the temperature ladder is an on-device
+        ``lax.while_loop`` over rungs wrapping the on-device token loop.
+        Returns (tokens [B,Tmax], n [B], avg_logprob [B], at_rung [B],
+        no_speech_prob [B], langs [B], lang_probs [B, n_langs] or zeros).
+        """
+        from ..frontend.mel import log_mel_spectrogram
+
+        cfg, st = self.cfg, self.st
+        B = audio.shape[0]
+        n_frames = 2 * cfg.max_source_positions
+
+        mel = log_mel_spectrogram(
+            audio, n_mels=cfg.num_mel_bins, n_frames=n_frames,
+            center=self.mel_center,
+        )
+        feats = encode(params, cfg, mel)
+        xk, xv = cross_kv(params, cfg, feats)
+
+        if detect:
+            sot = jnp.full((B, 1), st.sot, jnp.int32)
+            logits1, _, _ = decoder_prefill(params, cfg, sot, xk, xv)
+            lang_probs = jax.nn.softmax(logits1[:, 0, self._lang_ids], axis=-1)
+            detected = self._lang_ids[jnp.argmax(lang_probs, axis=-1)]
+            langs = jnp.where(langs < 0, detected, langs).astype(jnp.int32)
+        else:
+            lang_probs = jnp.zeros((B, 1), jnp.float32)
+
+        prefix = jnp.stack(
+            [
+                jnp.full((B,), st.sot, jnp.int32),
+                langs.astype(jnp.int32),
+                jnp.full((B,), st.task, jnp.int32),
+            ],
+            axis=1,
+        )
+        logits, cache_k, cache_v = decoder_prefill(params, cfg, prefix, xk, xv)
+        probe = jax.nn.softmax(logits[:, 0, :], axis=-1)
+        nsp = probe[:, st.no_speech]
+        next_logits = logits[:, -1, :]
+
+        Tmax = cfg.max_target_positions
+        tokens_init = jnp.zeros((B, Tmax), jnp.int32).at[:, :3].set(prefix)
+        temps = jnp.asarray(TEMPERATURES, jnp.float32)
+        n_rungs = len(TEMPERATURES)
+        key0 = jax.random.PRNGKey(seed)
+
+        # Streams whose probe fired are settled with the prefix-only result
+        # (n=3, avg_logprob=0, at_rung=-1), exactly the host-side early exit.
+        settled0 = nsp > NO_SPEECH_THRESHOLD
+
+        def cond(c):
+            r, settled, *_ = c
+            return jnp.logical_and(r < n_rungs, jnp.any(~settled))
+
+        def body(c):
+            r, settled, btoks, bn, bavg, brung = c
+            toks, n, slp = self._token_loop(
+                params, xk, xv, cache_k, cache_v, next_logits, tokens_init,
+                jnp.int32(3), prefix[:, -1], prefix[:, -2],
+                temps[r], jax.random.fold_in(key0, r),
+            )
+            avg = slp / jnp.maximum(n, 1).astype(jnp.float32)
+            # compression_ratio is intentionally never computed (NaN in the
+            # reference, model.rs:313,387): fallback is logprob-only, and a
+            # NaN avg (grammar deadlock) compares False => accepted — both
+            # faithful to the reference's f64 comparisons.
+            accept = ~(avg < LOGPROB_THRESHOLD)
+            take = (~settled) & accept
+            btoks = jnp.where(take[:, None], toks, btoks)
+            bn = jnp.where(take, n, bn)
+            bavg = jnp.where(take, avg, bavg)
+            brung = jnp.where(take, r, brung)
+            return (r + 1, settled | accept, btoks, bn, bavg, brung)
+
+        init = (
+            jnp.int32(0),
+            settled0,
+            tokens_init,
+            jnp.full((B,), 3, jnp.int32),
+            jnp.zeros((B,), jnp.float32),
+            jnp.full((B,), -1, jnp.int32),
+        )
+        _, _, btoks, bn, bavg, brung = jax.lax.while_loop(cond, body, init)
+        return btoks, bn, bavg, brung, nsp, langs, lang_probs
+
     # ------------------------------------------------------------------
     # Host-side orchestration
     # ------------------------------------------------------------------
+
+    @decode_instrument(
+        fields={
+            "B": lambda a: int(a["audio"].shape[0]),
+            "samples": lambda a: int(a["audio"].shape[1]),
+            "seed": lambda a: a["seed"],
+        }
+    )
+    def transcribe_window(
+        self,
+        audio: jax.Array,
+        langs,
+        seed: int,
+    ) -> Tuple[List[Optional[DecodingResult]], dict]:
+        """Fused single-dispatch window transcription.
+
+        audio: [B, S] padded PCM window(s); langs: per-stream language token
+        ids, with -1 requesting in-graph detection; seed: ladder base seed
+        (rung i uses fold_in(seed, i), replacing the host path's seed+i).
+
+        Returns (results, info): results[b] is the accepted DecodingResult —
+        the prefix-only result when the no-speech probe fired (reference
+        model.rs:308-315), or None when every temperature failed the
+        logprob gate (model.rs:90-93).  info carries ``langs`` (resolved
+        language token per stream) and ``lang_probs`` when detection ran.
+        """
+        langs_arr = np.broadcast_to(
+            np.asarray(langs, np.int32).reshape(-1), (audio.shape[0],)
+        )
+        detect = bool((langs_arr < 0).any())
+        if detect and self._lang_ids is None:
+            raise ValueError("language detection requires language_token_ids")
+        fn = self._ladder_detect if detect else self._ladder
+        btoks, bn, bavg, brung, nsp, langs_out, lang_probs = fn(
+            self.params, audio, jnp.asarray(langs_arr), jnp.uint32(seed)
+        )
+        btoks = np.asarray(btoks)
+        bn = np.asarray(bn)
+        bavg = np.asarray(bavg)
+        brung = np.asarray(brung)
+        nsp = np.asarray(nsp)
+        st = self.st
+        out: List[Optional[DecodingResult]] = []
+        for b in range(btoks.shape[0]):
+            if nsp[b] > NO_SPEECH_THRESHOLD:
+                out.append(
+                    DecodingResult(
+                        tokens=btoks[b, :3].tolist(),
+                        avg_logprob=0.0,
+                        no_speech_prob=float(nsp[b]),
+                    )
+                )
+                continue
+            if brung[b] < 0:
+                out.append(None)  # failed at all temperatures
+                continue
+            toks = btoks[b, : bn[b]].tolist()
+            # Trailing timestamp cleanup (reference: model.rs:375-381).
+            while len(toks) >= 2 and toks[-2] > st.no_timestamps:
+                del toks[-2]
+            decode_telemetry(
+                float(TEMPERATURES[brung[b]]), float(bavg[b]), float(nsp[b])
+            )
+            out.append(
+                DecodingResult(
+                    tokens=toks,
+                    avg_logprob=float(bavg[b]),
+                    no_speech_prob=float(nsp[b]),
+                )
+            )
+        info = {
+            "langs": np.asarray(langs_out),
+            "lang_probs": np.asarray(lang_probs) if detect else None,
+        }
+        return out, info
 
     def detect_language(self, feats: jax.Array) -> np.ndarray:
         """Return [B, n_languages] probabilities (Language-enum order)."""
@@ -403,6 +596,7 @@ class DecodeEngine:
             )
         return out
 
+    @decode_instrument  # reference #[instrument], model.rs:163
     def decode_with_fallback(
         self,
         feats: jax.Array,

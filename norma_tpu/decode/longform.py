@@ -41,6 +41,7 @@ from ..constants import (
     TEMPERATURES,
 )
 from ..frontend.mel import log_mel_spectrogram, prepare_audio
+from ..tracing import instrument
 from ..utils import inclusive_segments
 from .engine import DecodeEngine, DecodingResult
 
@@ -115,29 +116,25 @@ class LongFormDecoder:
         self._seed += len(TEMPERATURES)
         return self._seed
 
+    @instrument(
+        name="Transcribe slice",
+        fields={"slice_len": lambda a: len(a["window"])},
+    )  # reference debug_span!("Transcribe slice", slice_len), model.rs:72
     def _decode_window(self, window: np.ndarray) -> Optional[DecodingResult]:
-        cfg = self.engine.cfg
-        if self.lang.needs_detection:
-            mel = log_mel_spectrogram(
-                jnp.asarray(prepare_audio(window, n_frames=self.n_frames)),
-                n_mels=cfg.num_mel_bins,
-                n_frames=self.n_frames,
-                center=getattr(self.engine, "mel_center", False),
-            )
-            feats = self.engine.encode(mel)
-            probs = self.engine.detect_language(feats)
-            idx = int(np.argmax(probs[0]))
-            tok = self.language_tokens[idx]
-            logger.debug("Detected language idx=%d prob=%.3f", idx, probs[0][idx])
-            self.lang.set_detected(tok)
-            return self.engine.decode_with_fallback(
-                feats, self.lang.token, self._next_seed()
-            )
-        # Known language: fused single-dispatch window prefill.
+        """ONE device dispatch per window: the fused program covers mel,
+        encoder, language detection (when pending: lang slot = -1), prefill,
+        the no-speech gate and the whole temperature-fallback ladder."""
         audio = jnp.asarray(prepare_audio(window, n_frames=self.n_frames))[None]
-        return self.engine.decode_with_fallback_windowed(
-            audio, self.lang.token, self._next_seed()
+        tok = self.lang.token
+        drs, info = self.engine.transcribe_window(
+            audio, [tok if tok is not None else -1], self._next_seed()
         )
+        if self.lang.needs_detection:
+            probs = info["lang_probs"][0]
+            idx = int(np.argmax(probs))
+            logger.debug("Detected language idx=%d prob=%.3f", idx, probs[idx])
+            self.lang.set_detected(int(info["langs"][0]))
+        return drs[0]
 
     # -- public ------------------------------------------------------------
 

@@ -22,6 +22,7 @@ from ...decode import DecodeEngine, LanguageState, SpecialTokens
 from ...errors import MelBinsError, WhisperError
 from ...model.config import WhisperConfig
 from ...model.load import load_safetensors
+from ...tracing import instrument
 from .. import CommonModelParams, SelectedDevice
 from . import token_id
 from .languages import ALL_LANGUAGES
@@ -36,47 +37,77 @@ class CheckpointFiles:
     weights: str
 
 
-def resolve_files(
-    repo_id: str,
-    revision: str,
-    quantized_ext: Optional[str],
-    local_dir: Optional[str] = None,
-) -> CheckpointFiles:
-    """Find config/tokenizer/weights locally or via the HF hub.
-
-    Mirrors monolingual.rs:189-211: quantized checkpoints use
+def _file_names(quantized_ext: Optional[str]) -> Tuple[str, str, str]:
+    """Mirrors monolingual.rs:189-211: quantized checkpoints use
     ``config-{ext}.json`` / ``tokenizer-{ext}.json`` / ``model-{ext}-q80.gguf``,
-    normal ones ``config.json`` / ``tokenizer.json`` / ``model.safetensors``.
-    """
+    normal ones ``config.json`` / ``tokenizer.json`` / ``model.safetensors``."""
     if quantized_ext is not None:
-        names = (
+        return (
             f"config-{quantized_ext}.json",
             f"tokenizer-{quantized_ext}.json",
             f"model-{quantized_ext}-q80.gguf",
         )
-    else:
-        names = ("config.json", "tokenizer.json", "model.safetensors")
+    return ("config.json", "tokenizer.json", "model.safetensors")
 
-    if local_dir is not None:
-        paths = tuple(os.path.join(local_dir, n) for n in names)
-        for p in paths:
-            if not os.path.exists(p):
-                raise WhisperError(f"checkpoint file not found: {p}")
-        return CheckpointFiles(*paths)
 
+def _local_files(local_dir: str, names) -> CheckpointFiles:
+    paths = tuple(os.path.join(local_dir, n) for n in names)
+    for p in paths:
+        if not os.path.exists(p):
+            raise WhisperError(f"checkpoint file not found: {p}")
+    return CheckpointFiles(*paths)
+
+
+def _hub_download(repo_id: str, filename: str, revision: str) -> str:
+    """One hub fetch (cache-aware); monkeypatchable seam for tests."""
     try:
         from huggingface_hub import hf_hub_download
     except ImportError as e:  # pragma: no cover
         raise WhisperError(
             "huggingface_hub unavailable and no local_dir given"
         ) from e
-    paths = tuple(
-        hf_hub_download(repo_id=repo_id, filename=n, revision=revision)
-        for n in names
+    return hf_hub_download(repo_id=repo_id, filename=filename, revision=revision)
+
+
+def resolve_files(
+    repo_id: str,
+    revision: str,
+    quantized_ext: Optional[str],
+    local_dir: Optional[str] = None,
+) -> CheckpointFiles:
+    """Find config/tokenizer/weights locally or via the HF hub (blocking)."""
+    names = _file_names(quantized_ext)
+    if local_dir is not None:
+        return _local_files(local_dir, names)
+    return CheckpointFiles(
+        *(_hub_download(repo_id, n, revision) for n in names)
+    )
+
+
+async def resolve_files_async(
+    repo_id: str,
+    revision: str,
+    quantized_ext: Optional[str],
+    local_dir: Optional[str] = None,
+) -> CheckpointFiles:
+    """Structurally-async resolve: the reference's ``try_to_model`` awaits
+    genuinely-async hf-hub downloads (monolingual.rs:186-318, tokio api).
+    Here the three files fetch CONCURRENTLY and the coroutine yields at each
+    network await, so multiple model loads overlap on one event loop."""
+    import asyncio
+
+    names = _file_names(quantized_ext)
+    if local_dir is not None:
+        return _local_files(local_dir, names)
+    paths = await asyncio.gather(
+        *(asyncio.to_thread(_hub_download, repo_id, n, revision) for n in names)
     )
     return CheckpointFiles(*paths)
 
 
+@instrument(
+    fields={"repo_id": lambda a: a.get("repo_id"), "revision": lambda a: a.get("revision")}
+)  # reference #[instrument], monolingual.rs:185,319
 def build_model(
     *,
     repo_id: str,
@@ -92,13 +123,16 @@ def build_model(
     quantize_decoder: bool = False,
     mel_center: bool = False,
     timestamps: bool = False,
+    files: Optional[CheckpointFiles] = None,
 ) -> WhisperModel:
     """Build a WhisperModel from a checkpoint.
 
     ``const_language_token_str`` set => monolingual (ConstLang); otherwise
-    the model detects the language per utterance (Detect).
+    the model detects the language per utterance (Detect).  ``files``
+    short-circuits resolution (the async path resolves ahead of time).
     """
-    files = resolve_files(repo_id, revision, quantized_ext, local_dir)
+    if files is None:
+        files = resolve_files(repo_id, revision, quantized_ext, local_dir)
     cfg = WhisperConfig.from_json(files.config)
     if cfg.num_mel_bins not in (80, 128):
         raise MelBinsError(cfg.num_mel_bins)
@@ -143,3 +177,20 @@ def build_model(
         seed=seed,
         timestamps=timestamps,
     )
+
+
+async def build_model_async(**kwargs) -> WhisperModel:
+    """Structurally-async build (reference: try_to_model,
+    monolingual.rs:186-318): the three checkpoint files download
+    concurrently with real await points, then the CPU/device-bound model
+    construction runs off the event loop.  Two model loads awaited together
+    overlap their downloads."""
+    import asyncio
+
+    files = await resolve_files_async(
+        kwargs["repo_id"],
+        kwargs["revision"],
+        kwargs["quantized_ext"],
+        kwargs.get("local_dir"),
+    )
+    return await asyncio.to_thread(build_model, files=files, **kwargs)

@@ -12,6 +12,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from ...decode import DecodeEngine, LanguageState, LongFormDecoder
+from ...tracing import instrument
 from .. import Model
 
 
@@ -39,13 +40,21 @@ class WhisperModel(Model):
             timestamps=timestamps,
         )
 
+    @instrument(
+        fields={
+            "input_data_len": lambda a: len(a["data"]),
+            "buf_len": lambda a: a["self"].longform.buf.size,
+            "final_chunk": lambda a: a["final_chunk"],
+        }
+    )  # reference #[instrument(fields(...))], model.rs:54
     def transcribe(self, data: np.ndarray, final_chunk: bool) -> str:
         return self.longform.transcribe(np.asarray(data, np.float32), final_chunk)
 
+    @instrument
     def warmup(self) -> None:
-        """Pre-compile the serving path (fused window prefill + token loop,
-        and the detection path for multilingual models) so the first real
-        audio chunk doesn't pay compilation latency."""
+        """Pre-compile the serving path — the fused whole-window program
+        (mel + encoder + detection when multilingual + prefill + ladder) —
+        so the first real audio chunk doesn't pay compilation latency."""
         import jax.numpy as jnp
 
         from ...frontend.mel import prepare_audio
@@ -55,14 +64,6 @@ class WhisperModel(Model):
             prepare_audio(np.zeros(lf.window_samples, np.float32), lf.n_frames)
         )[None]
         lang = lf.lang.token
-        if lang is None:
-            from ...frontend.mel import log_mel_spectrogram
-
-            mel = log_mel_spectrogram(
-                audio, n_mels=self.engine.cfg.num_mel_bins, n_frames=lf.n_frames
-            )
-            feats = self.engine.encode(mel)
-            self.engine.detect_language(feats)
-            lang = self.engine.st.sot  # any valid slot token compiles the loop
-        state = self.engine.prefill_window(audio, int(lang))
-        self.engine.run_loop(state, 0.0, seed=0)
+        self.engine.transcribe_window(
+            audio, [int(lang) if lang is not None else -1], seed=0
+        )

@@ -123,8 +123,8 @@ class Definition(ModelDefinition):
     def set_string_buffer_size(self, size: int) -> None:
         self._common.set_string_buffer_size(size)
 
-    def blocking_try_to_model(self) -> WhisperModel:
-        return build_model(
+    def _build_kwargs(self) -> dict:
+        return dict(
             repo_id=self.model.id(),
             revision=self.model.rev(),
             quantized_ext=self.model.quantized_ext(),
@@ -138,6 +138,16 @@ class Definition(ModelDefinition):
             mel_center=self.mel_center,
             timestamps=self.timestamps,
         )
+
+    def blocking_try_to_model(self) -> WhisperModel:
+        return build_model(**self._build_kwargs())
+
+    async def try_to_model(self) -> WhisperModel:
+        """Structurally async (reference: multilingual.rs:193-325): checkpoint
+        files download concurrently; construction runs off the event loop."""
+        from .loader import build_model_async
+
+        return await build_model_async(**self._build_kwargs())
 
     # Optional (de)serialization (reference serde feature).
     def to_dict(self) -> dict:

@@ -45,6 +45,7 @@ from ..errors import (
     TranscriberRunning,
 )
 from ..input import Settings
+from ..tracing import instrument
 from ..models import CommonModelParams, Model, ModelDefinition
 from .channels import (
     ReceiverClosed,
@@ -98,6 +99,7 @@ class Transcriber:
     # ------------------------------------------------------------------
 
     @classmethod
+    @instrument  # reference #[instrument], lib.rs:315-391
     def blocking_new(
         cls, definition: ModelDefinition
     ) -> Tuple["Transcriber", "TranscriberHandle"]:
@@ -108,6 +110,7 @@ class Transcriber:
         return cls(model, params, state, ctrl), TranscriberHandle(state, ctrl)
 
     @classmethod
+    @instrument  # reference #[instrument], lib.rs:315-391
     async def new(
         cls, definition: ModelDefinition
     ) -> Tuple["Transcriber", "TranscriberHandle"]:
@@ -118,6 +121,7 @@ class Transcriber:
         return cls(model, params, state, ctrl), TranscriberHandle(state, ctrl)
 
     @classmethod
+    @instrument  # reference #[instrument], lib.rs:315-391
     def blocking_spawn(
         cls, definition: ModelDefinition
     ) -> Tuple[JoinHandle, "TranscriberHandle"]:
@@ -125,6 +129,7 @@ class Transcriber:
         return cls._spawn_thread(transcriber), handle
 
     @classmethod
+    @instrument  # reference #[instrument], lib.rs:315-391
     async def spawn(
         cls, definition: ModelDefinition
     ) -> Tuple[JoinHandle, "TranscriberHandle"]:
@@ -150,6 +155,7 @@ class Transcriber:
     # Control loop (reference: run(), lib.rs:394-495)
     # ------------------------------------------------------------------
 
+    @instrument(name="create_stream")  # reference lib.rs:502
     def _open_stream(self, settings: Settings):
         """Build the capture pipeline; returns (pipeline, ring).
 
@@ -182,6 +188,7 @@ class Transcriber:
         pipeline.start()
         return pipeline, ring
 
+    @instrument  # reference #[instrument], lib.rs:393
     def run(self) -> None:
         while True:
             msg = self._ctrl.get()
@@ -269,6 +276,9 @@ class TranscriberHandle:
 
     # -- start ----------------------------------------------------------
 
+    @instrument(
+        fields={"timeout": lambda a: a.get("timeout")}
+    )  # reference lib.rs:644
     def blocking_start(
         self, settings: Optional[Settings] = None, timeout: Optional[float] = 30.0
     ) -> StringReceiver:
@@ -291,6 +301,7 @@ class TranscriberHandle:
             raise res
         return res
 
+    @instrument  # reference lib.rs:612
     async def start(self, settings: Optional[Settings] = None) -> StringReceiver:
         import asyncio
 
@@ -298,6 +309,7 @@ class TranscriberHandle:
 
     # -- stop -----------------------------------------------------------
 
+    @instrument  # reference lib.rs:678
     def stop(self) -> None:
         """Stop the running stream (reference: stop(), lib.rs:678-694)."""
         with self._stream_state.lock:

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import inspect
 import logging
 import time
 from typing import Any, Dict, Optional
@@ -28,7 +29,10 @@ logger = logging.getLogger("norma_tpu")
 
 @contextlib.contextmanager
 def span(name: str, level: int = logging.DEBUG, **fields: Any):
-    """A timed, structured span: logs entry fields and exit duration."""
+    """A timed, structured span: logs entry fields and exit duration.
+
+    Errors are captured at ERROR level with the elapsed time, mirroring the
+    reference's ``#[instrument(err)]`` captures (lib.rs:315,342,...)."""
     t0 = time.perf_counter()
     logger.log(level, "%s enter %s", name, fields if fields else "")
     try:
@@ -41,15 +45,53 @@ def span(name: str, level: int = logging.DEBUG, **fields: Any):
         logger.log(level, "%s exit %.3fms", name, (time.perf_counter() - t0) * 1e3)
 
 
-def instrument(_fn=None, *, name: Optional[str] = None, level: int = logging.DEBUG):
-    """Decorator mirroring the reference's #[instrument] spans."""
+def instrument(
+    _fn=None,
+    *,
+    name: Optional[str] = None,
+    level: int = logging.DEBUG,
+    fields: Optional[Dict[str, Any]] = None,
+):
+    """Decorator mirroring the reference's ``#[instrument]`` spans.
+
+    ``fields`` maps a span-field name to an extractor over the call's bound
+    arguments (the reference's ``fields(input_data_len = data.len(), ...)``,
+    model.rs:54); extraction and formatting are skipped entirely when the
+    norma_tpu logger isn't enabled for ``level``.
+    """
 
     def deco(fn):
         span_name = name or fn.__qualname__
+        sig = inspect.signature(fn) if fields else None
+
+        def extract(args, kwargs) -> Dict[str, Any]:
+            fvals: Dict[str, Any] = {}
+            if fields:
+                try:
+                    bound = sig.bind_partial(*args, **kwargs)
+                    bound.apply_defaults()
+                    for k, fx in fields.items():
+                        fvals[k] = fx(bound.arguments)
+                except Exception:  # never let telemetry break the call
+                    pass
+            return fvals
+
+        if inspect.iscoroutinefunction(fn):
+
+            @functools.wraps(fn)
+            async def awrapper(*args, **kwargs):
+                if not logger.isEnabledFor(level):
+                    return await fn(*args, **kwargs)
+                with span(span_name, level=level, **extract(args, kwargs)):
+                    return await fn(*args, **kwargs)
+
+            return awrapper
 
         @functools.wraps(fn)
         def wrapper(*args, **kwargs):
-            with span(span_name, level=level):
+            if not logger.isEnabledFor(level):
+                return fn(*args, **kwargs)
+            with span(span_name, level=level, **extract(args, kwargs)):
                 return fn(*args, **kwargs)
 
         return wrapper

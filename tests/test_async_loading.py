@@ -1,0 +1,94 @@
+"""Structurally-async model loading (VERDICT r1 item 6).
+
+The reference's ``try_to_model`` awaits genuinely-async hf-hub downloads
+(monolingual.rs:186-318).  These tests prove the same structure here: the
+three checkpoint files of one load fetch concurrently, and two model loads
+awaited together overlap — measured through a monkeypatched download seam
+with enforced sleeps, so wall-clock separates serial from concurrent.
+"""
+
+import asyncio
+import shutil
+import time
+
+import pytest
+
+import norma_tpu.models.whisper.loader as loader_mod
+from checkpoint_fixture import make_checkpoint_dir
+from norma_tpu.models import SelectedDevice
+from norma_tpu.models.whisper import monolingual
+
+SLEEP = 0.15
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ckpt")
+    make_checkpoint_dir(str(d))
+    return str(d)
+
+
+def _fake_download(ckpt, log):
+    def dl(repo_id, filename, revision):
+        log.append(("start", filename, time.perf_counter()))
+        time.sleep(SLEEP)
+        log.append(("end", filename, time.perf_counter()))
+        return f"{ckpt}/{filename}"
+
+    return dl
+
+
+def test_one_load_fetches_files_concurrently(ckpt, monkeypatch):
+    log = []
+    monkeypatch.setattr(loader_mod, "_hub_download", _fake_download(ckpt, log))
+
+    async def go():
+        return await loader_mod.resolve_files_async("repo", "main", None)
+
+    t0 = time.perf_counter()
+    files = asyncio.run(go())
+    dt = time.perf_counter() - t0
+    assert files.config.endswith("config.json")
+    assert len([e for e in log if e[0] == "start"]) == 3
+    # Serial would be >= 3*SLEEP; concurrent must beat 2*SLEEP.
+    assert dt < 2 * SLEEP, f"downloads did not overlap: {dt:.3f}s"
+
+
+def test_two_model_loads_overlap(ckpt, monkeypatch):
+    """Two Definition.try_to_model() awaited together: their download
+    windows interleave and total wall-clock beats the serial sum."""
+    log = []
+    monkeypatch.setattr(loader_mod, "_hub_download", _fake_download(ckpt, log))
+
+    d1 = monolingual.Definition(monolingual.ModelType.TINY_EN, SelectedDevice.cpu())
+    d2 = monolingual.Definition(monolingual.ModelType.TINY_EN, SelectedDevice.cpu())
+
+    async def go():
+        return await asyncio.gather(d1.try_to_model(), d2.try_to_model())
+
+    t0 = time.perf_counter()
+    m1, m2 = asyncio.run(go())
+    dt = time.perf_counter() - t0
+    # 6 downloads x SLEEP serial = 0.9s; concurrent stays near SLEEP plus
+    # the (CPU-bound, threaded) model builds.
+    starts = sorted(t for op, _, t in log if op == "start")
+    ends = sorted(t for op, _, t in log if op == "end")
+    del dt  # total wall-clock includes the CPU-bound builds; bound the
+    # download phase instead (serial = 6*SLEEP = 0.9s).
+    assert len(starts) == 6
+    # Overlap evidence: at least 4 downloads start before the first ends
+    # (the default asyncio thread pool may cap below 6 on small hosts).
+    assert starts[3] < ends[0], "downloads ran serially"
+    dl_phase = ends[-1] - starts[0]
+    assert dl_phase < 4 * SLEEP, f"download phase {dl_phase:.3f}s vs serial 0.9s"
+    assert m1.engine is not None and m2.engine is not None
+
+
+def test_blocking_and_async_build_agree(ckpt):
+    d = monolingual.Definition(
+        monolingual.ModelType.TINY_EN, SelectedDevice.cpu(), local_dir=ckpt
+    )
+    blocking = d.blocking_try_to_model()
+    a = asyncio.run(d.try_to_model())
+    assert type(a) is type(blocking)
+    assert a.engine.cfg == blocking.engine.cfg

@@ -1,0 +1,109 @@
+"""BatchedTranscriber on a device mesh + latency-fairness of the fused round.
+
+VERDICT r1 item 4: (a) a batched run on the virtual mesh with dp-sharded
+live batches must transcribe identically to the unsharded scheduler;
+(b) one gated stream (temperature-fallback ladder) must not serialize the
+round — the scheduler makes exactly ONE fused engine call per round, never
+per-stream B=1 ladder calls.
+"""
+
+import time
+
+import jax
+import numpy as np
+import pytest
+
+from helpers import TEST_LANG_IDS, TEST_ST, ToyTokenizer, tiny_config
+from norma_tpu.audio.sources import SyntheticSource
+from norma_tpu.decode import DecodeEngine, LanguageState
+from norma_tpu.input import Settings
+from norma_tpu.model import init_params
+from norma_tpu.models.whisper.model import WhisperModel
+from norma_tpu.parallel import make_mesh, shard_params
+from norma_tpu.runtime.batching import BatchedTranscriber
+
+
+def _source(seed, seconds=1.0, freq=330.0):
+    return SyntheticSource(
+        sample_rate=16_000, channels=1, dtype=np.float32,
+        freq=freq, noise=0.02, duration=seconds, realtime=False, seed=seed,
+    )
+
+
+def _run_streams(bt, n=3):
+    handles = [
+        bt.blocking_start(Settings(source=_source(i, freq=220.0 + 110 * i)))
+        for i in range(n)
+    ]
+    time.sleep(0.4)
+    for h in handles:
+        h.stop()
+    texts = ["".join(list(h.receiver)) for h in handles]
+    bt.close()
+    return texts
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4+ virtual devices")
+def test_batched_on_mesh_matches_unsharded(monkeypatch):
+    # Greedy-only ladder: sampled (t>0) rungs draw seeds tied to the
+    # scheduler's round composition, which is thread-timing dependent; the
+    # greedy rung is seed-independent so emissions compare deterministically.
+    import norma_tpu.decode.engine as engine_mod
+
+    monkeypatch.setattr(engine_mod, "TEMPERATURES", (0.0,))
+    cfg = tiny_config(
+        d_model=64, encoder_attention_heads=4, decoder_attention_heads=4
+    )
+    params = init_params(cfg, seed=3)
+
+    def build(params_, mesh=None):
+        engine = DecodeEngine(
+            params_, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS
+        )
+        model = WhisperModel(
+            engine, ToyTokenizer(), LanguageState(const=TEST_LANG_IDS[0]),
+            language_tokens=TEST_LANG_IDS,
+        )
+        return BatchedTranscriber(model, max_streams=4, mesh=mesh)
+
+    want = _run_streams(build(params))
+
+    mesh = make_mesh(dp=2, tp=2)
+    got = _run_streams(build(shard_params(params, mesh), mesh=mesh))
+
+    assert got == want
+
+
+def test_gated_stream_does_not_serialize_round():
+    """With random weights EVERY window fails the logprob gate, so every
+    stream runs the full fallback ladder every round.  The old scheduler
+    issued per-stream B=1 ladder calls on the shared thread; the fused
+    scheduler must make exactly one batched engine call per round."""
+    cfg = tiny_config()
+    params = init_params(cfg, seed=3)
+    engine = DecodeEngine(params, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS)
+    model = WhisperModel(
+        engine, ToyTokenizer(), LanguageState(const=TEST_LANG_IDS[0]),
+        language_tokens=TEST_LANG_IDS,
+    )
+
+    calls = []
+    orig = engine.transcribe_window
+
+    def spy(audio, langs, seed):
+        calls.append(int(audio.shape[0]))
+        return orig(audio, langs, seed)
+
+    engine.transcribe_window = spy
+    bt = BatchedTranscriber(model, max_streams=4)
+    texts = _run_streams(bt, n=3)
+    assert len(calls) >= 1
+    # Rounds with 3 ready streams batch to B=4; drain rounds may be
+    # narrower, but NO round degrades to a per-stream ladder sequence:
+    # every engine call in a 3-stream run covers all ready streams at once.
+    assert all(b in (1, 2, 4) for b in calls)
+    # The ladder for a gated (all-rungs-failing) stream happened in-graph:
+    # there are no bursts of repeated B=1 calls (old per-stream fallback
+    # made len(TEMPERATURES)-1 = 5 extra host calls per gated stream).
+    for i in range(len(calls) - 2):
+        assert not (calls[i] == calls[i + 1] == calls[i + 2] == 1), calls

@@ -46,6 +46,13 @@ class ScriptedEngine:
             return None  # quality-gate everything once the script runs out
         return self.results.pop(0)
 
+    def transcribe_window(self, audio, langs, seed):
+        """Fused-path surface: one scripted result per window."""
+        dr = self.decode_with_fallback_windowed(audio, langs[0], seed)
+        import numpy as np
+
+        return [dr], {"langs": np.asarray(langs), "lang_probs": None}
+
 
 @settings(max_examples=150, deadline=None)
 @given(

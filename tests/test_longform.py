@@ -35,6 +35,14 @@ class FakeEngine:
         self.window_sizes.append(int(np.asarray(audio).shape[1]))
         return self.results.pop(0)
 
+    def transcribe_window(self, audio, langs, seed):
+        """Fused-path surface: replay one scripted result per window."""
+        self.window_sizes.append(int(np.asarray(audio).shape[1]))
+        return [self.results.pop(0)], {
+            "langs": np.asarray(langs),
+            "lang_probs": None,
+        }
+
 
 def make(results):
     eng = FakeEngine(results)
