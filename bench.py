@@ -95,8 +95,11 @@ def main() -> None:
     run_w8()  # warmup
     t_w8 = min(run_w8() for _ in range(4))
 
-    # Batched shape: B=8 windows through the same engine calls.
-    from norma_tpu.frontend.mel import log_mel_spectrogram, prepare_audio
+    # Batched shape: B=8 windows through the PRODUCTION fused program
+    # (the multi-stream scheduler's exact call: one dispatch covering
+    # mel -> encoder -> prefill -> speculative 6-rung ladder, i.e. 48
+    # concurrent decode rows sharing the per-step weight streaming).
+    from norma_tpu.frontend.mel import prepare_audio
 
     B = 8
     windows = np.stack(
@@ -107,10 +110,7 @@ def main() -> None:
 
     def run_batched():
         t0 = time.perf_counter()
-        mel = log_mel_spectrogram(wj, n_mels=cfg.num_mel_bins)
-        feats = engine.encode(mel)
-        state = engine.prefill(feats, 50259)
-        engine.run_loop(state, 0.0, seed=0)
+        engine.transcribe_window(wj, [50259] * B, seed=0)
         return time.perf_counter() - t0
 
     run_batched()  # warmup/compile
@@ -137,7 +137,7 @@ def main() -> None:
                     "rtf_per_stream_batched8": round(rtf8, 6),
                     "realtime_streams_per_chip_batched": int(1.0 / rtf8),
                     "tokens_per_window": TOKENS_PER_WINDOW,
-                    "methodology": "production LongFormDecoder.transcribe wall-clock, forced 132-token decode",
+                    "methodology": "production LongFormDecoder.transcribe wall-clock, forced 132-token decode, speculative 6-rung ladder (worst case: every rung decoded)",
                     "device": str(jax.devices()[0]),
                     "dtype": "bfloat16",
                 },

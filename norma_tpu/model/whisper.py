@@ -111,6 +111,34 @@ def attention(
     return _merge_heads(out.astype(q.dtype))
 
 
+def attention_grouped(
+    q: jax.Array, k: jax.Array, v: jax.Array, n_heads: int, n_groups: int
+) -> jax.Array:
+    """Cross-attention where ``n_groups`` query rows share one K/V stream.
+
+    q: [G*B, Tq, D] with row ``g*B + b`` attending to k/v row ``b``;
+    k, v: [B, Tk, D].  Used by the speculative temperature ladder: the G
+    temperature rungs of one audio window reuse the SAME encoder cross-K/V,
+    so K/V streams from HBM once per step regardless of G (tiling it G times
+    would multiply the dominant per-step HBM traffic and, for large-v3's
+    32-layer decoder, exceed chip memory).
+    """
+    gb, tq, d = q.shape
+    b = k.shape[0]
+    g = n_groups
+    dh = d // n_heads
+    scale = dh**-0.25
+    qh = q.reshape(g, b, tq, n_heads, dh) * scale
+    kh = _split_heads(k, n_heads) * scale
+    vh = _split_heads(v, n_heads)
+    logits = jnp.einsum(
+        "gbqhd,bkhd->gbhqk", qh, kh, preferred_element_type=jnp.float32
+    )
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("gbhqk,bkhd->gbqhd", w, vh, preferred_element_type=jnp.float32)
+    return out.astype(q.dtype).reshape(gb, tq, n_heads * dh)
+
+
 def _self_attn(p: Params, prefix: str, x: jax.Array, n_heads: int, mask=None):
     q = ldense(p, f"{prefix}q_w", x, p[f"{prefix}q_b"])
     k = ldense(p, f"{prefix}k_w", x)  # whisper k_proj has no bias
@@ -292,10 +320,17 @@ def decoder_step(
     pos: jax.Array,  # scalar int32
     cache_k: jax.Array,  # [L, B, Tmax, D]
     cache_v: jax.Array,
-    xk: jax.Array,  # [L, B, Ta, D]
+    xk: jax.Array,  # [L, B', Ta, D] with B' = B // n_rungs
     xv: jax.Array,
+    n_rungs: int = 1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """One incremental decode step.  Returns (logits [B, V] f32, caches)."""
+    """One incremental decode step.  Returns (logits [B, V] f32, caches).
+
+    ``n_rungs > 1`` (speculative temperature ladder) means the batch rows
+    are ``n_rungs`` decode attempts per audio stream, laid out ``r*B' + b``;
+    self-attention caches are per-row, while cross-attention K/V is shared
+    per stream via :func:`attention_grouped`.
+    """
     dec = params["decoder"]
     n_heads = cfg.decoder_attention_heads
     Tmax = cfg.max_target_positions
@@ -323,7 +358,10 @@ def decoder_step(
 
         h = layer_norm(x, lp["xattn_ln_g"], lp["xattn_ln_b"])
         xq = ldense(lp, "xq_w", h, lp["xq_b"])
-        a = attention(xq, lxk, lxv, n_heads)
+        if n_rungs == 1:
+            a = attention(xq, lxk, lxv, n_heads)
+        else:
+            a = attention_grouped(xq, lxk, lxv, n_heads, n_rungs)
         x = x + ldense(lp, "xo_w", a, lp["xo_b"])
 
         h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import logging
 import threading
-import time
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -102,6 +101,10 @@ class BatchedTranscriber:
         self._lock = threading.Lock()
         self._next_sid = 0
         self._closed = threading.Event()
+        # Signaled by every stream ring on send/close: the scheduler blocks
+        # on this single event when idle instead of polling (the reference's
+        # transcriber thread blocks on its channel the same way, lib.rs:462).
+        self._wake = threading.Event()
         self._thread = threading.Thread(
             target=self._run, name="batch-scheduler", daemon=True
         )
@@ -131,7 +134,7 @@ class BatchedTranscriber:
             chunk_len = max(
                 self.model.SAMPLE_RATE, self.model.longform.window_samples // 25
             )
-            ring = RecycledRing(8, chunk_len, self.model.dtype)
+            ring = RecycledRing(8, chunk_len, self.model.dtype, wakeup=self._wake)
             pipeline = StreamPipeline(
                 settings.source, self.model.SAMPLE_RATE, self.model.dtype, ring
             )
@@ -162,6 +165,7 @@ class BatchedTranscriber:
         for s in streams:
             s.pipeline.stop()
         self._closed.set()
+        self._wake.set()
         self._thread.join(timeout=30)
 
     # ------------------------------------------------------------------
@@ -275,6 +279,9 @@ class BatchedTranscriber:
 
     def _run(self) -> None:
         while True:
+            # Clear before draining: data arriving after the drain re-sets
+            # the event, so the idle wait below never misses a wakeup.
+            self._wake.clear()
             if self._closed.is_set():
                 with self._lock:
                     remaining = list(self._streams.values())
@@ -318,4 +325,6 @@ class BatchedTranscriber:
                 if s.dead or s.state.next_window() is None:
                     self._finish_stream(s)
             if not got and not ready:
-                time.sleep(0.005)
+                # Event-driven idle: woken by any ring's send/close or by
+                # close(); the timeout is only a liveness backstop.
+                self._wake.wait(timeout=0.5)

@@ -13,6 +13,10 @@ Re-creation of the reference's channel architecture
     closed).
   - control/oneshot channels are plain ``queue.Queue`` instances.
 
+Both are built on ``threading.Condition`` so waits are REAL blocking waits
+woken by send/close notifications — the reference's tokio/thingbuf channels
+never poll, and neither do these (no internal wake-up ticks).
+
 A C++ lock-free SPSC ring (``norma_tpu/audio/native``) backs the real-time
 microphone path; this Python implementation serves every other source and
 is the portable fallback.
@@ -21,10 +25,11 @@ is the portable fallback.
 from __future__ import annotations
 
 import logging
-import queue
 import threading
+import time
+from collections import deque
 from dataclasses import dataclass
-from typing import Optional
+from typing import Deque, Optional
 
 import numpy as np
 
@@ -51,17 +56,28 @@ class Chunk:
 class RecycledRing:
     """Bounded MPSC channel with slot recycling and drop-on-full send."""
 
-    def __init__(self, capacity: int, chunk_len: int, dtype=np.float32) -> None:
+    def __init__(
+        self,
+        capacity: int,
+        chunk_len: int,
+        dtype=np.float32,
+        wakeup: Optional[threading.Event] = None,
+    ) -> None:
         # The reference's thingbuf needs >= 2 slots of slack; callers pass
         # the already-adjusted CommonModelParams.data_buffer_size.
-        self._free: "queue.Queue[np.ndarray]" = queue.Queue()
-        self._full: "queue.Queue[Optional[Chunk]]" = queue.Queue()
+        # ``wakeup``: an external event additionally signaled on send/close —
+        # lets a scheduler multiplexing many rings block on ONE event
+        # instead of polling each ring.
+        self._cond = threading.Condition()
+        self._wakeup = wakeup
+        self._free: Deque[np.ndarray] = deque(
+            np.zeros(chunk_len, dtype) for _ in range(max(capacity, 2))
+        )
+        self._full: Deque[Chunk] = deque()
         self._capacity = capacity
         self._chunk_len = chunk_len
-        self._closed = threading.Event()
+        self._closed = False
         self.dropped = 0
-        for _ in range(max(capacity, 2)):
-            self._free.put(np.zeros(chunk_len, dtype))
 
     @property
     def chunk_len(self) -> int:
@@ -73,48 +89,63 @@ class RecycledRing:
         Copies ``data[:length]`` into a recycled slot.  Returns False (chunk
         dropped) when no slot is free or the channel is closed.
         """
-        if self._closed.is_set():
-            return False
-        try:
-            slot = self._free.get_nowait()
-        except queue.Empty:
-            self.dropped += 1
-            logger.warning("audio ring full; dropping chunk of %d samples", length)
-            return False
+        with self._cond:
+            if self._closed:
+                return False
+            if not self._free:
+                self.dropped += 1
+                logger.warning(
+                    "audio ring full; dropping chunk of %d samples", length
+                )
+                return False
+            slot = self._free.popleft()
+        # Copy outside the lock: this runs on the audio-callback thread and
+        # the slot is exclusively ours until it re-enters a deque.
         slot[:length] = data[:length]
-        self._full.put(Chunk(slot, length))
+        with self._cond:
+            self._full.append(Chunk(slot, length))
+            self._cond.notify()
+        if self._wakeup is not None:
+            self._wakeup.set()
         return True
 
     def recv(self, timeout: Optional[float] = None) -> Optional[Chunk]:
-        """Blocking receive; None once closed and drained."""
-        while True:
-            if self._closed.is_set():
-                try:
-                    return self._full.get_nowait()
-                except queue.Empty:
+        """Blocking receive; None once closed and drained (or on timeout)."""
+        deadline = None if timeout is None else time.monotonic() + timeout
+        with self._cond:
+            while True:
+                if self._full:
+                    return self._full.popleft()
+                if self._closed:
                     return None
-            try:
-                return self._full.get(timeout=0.05 if timeout is None else timeout)
-            except queue.Empty:
-                if timeout is not None:
-                    return None
+                if deadline is None:
+                    self._cond.wait()
+                else:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0 or not self._cond.wait(remaining):
+                        return None
 
     def poll(self):
         """Non-blocking receive: (status, chunk) with status in
         {'chunk', 'empty', 'closed'}."""
-        try:
-            return "chunk", self._full.get_nowait()
-        except queue.Empty:
-            if self._closed.is_set():
+        with self._cond:
+            if self._full:
+                return "chunk", self._full.popleft()
+            if self._closed:
                 return "closed", None
             return "empty", None
 
     def release(self, chunk: Chunk) -> None:
         """Recycle a consumed slot."""
-        self._free.put(chunk.buf)
+        with self._cond:
+            self._free.append(chunk.buf)
 
     def close(self) -> None:
-        self._closed.set()
+        with self._cond:
+            self._closed = True
+            self._cond.notify_all()
+        if self._wakeup is not None:
+            self._wakeup.set()
 
 
 class ReceiverClosed(Exception):
@@ -153,57 +184,67 @@ class StringReceiver:
 
 class StringChannel:
     def __init__(self, maxsize: int) -> None:
-        self._q: "queue.Queue[str]" = queue.Queue(maxsize=max(maxsize, 1))
-        self._sender_closed = threading.Event()
-        self._receiver_closed = threading.Event()
+        self._cond = threading.Condition()
+        self._q: Deque[str] = deque()
+        self._maxsize = max(maxsize, 1)
+        self._sender_closed = False
+        self._receiver_closed = False
 
     def send(self, s: str) -> None:
         """Blocking send; raises ReceiverClosed if the receiver is gone."""
-        while True:
-            if self._receiver_closed.is_set():
-                raise ReceiverClosed()
-            try:
-                self._q.put(s, timeout=0.05)
-                return
-            except queue.Full:
-                continue
+        with self._cond:
+            while True:
+                if self._receiver_closed:
+                    raise ReceiverClosed()
+                if len(self._q) < self._maxsize:
+                    self._q.append(s)
+                    self._cond.notify_all()
+                    return
+                self._cond.wait()
 
     def try_send(self, s: str, timeout: float = 0.2) -> bool:
         """Bounded-wait send for the batched scheduler: dropping beats
         stalling the shared decode loop.  Raises ReceiverClosed."""
-        if self._receiver_closed.is_set():
-            raise ReceiverClosed()
-        try:
-            self._q.put(s, timeout=timeout)
-            return True
-        except queue.Full:
-            logger.warning("transcript channel full; dropping segment")
-            return False
+        deadline = time.monotonic() + timeout
+        with self._cond:
+            while True:
+                if self._receiver_closed:
+                    raise ReceiverClosed()
+                if len(self._q) < self._maxsize:
+                    self._q.append(s)
+                    self._cond.notify_all()
+                    return True
+                remaining = deadline - time.monotonic()
+                if remaining <= 0 or not self._cond.wait(remaining):
+                    logger.warning("transcript channel full; dropping segment")
+                    return False
 
     def close_sender(self) -> None:
-        self._sender_closed.set()
+        with self._cond:
+            self._sender_closed = True
+            self._cond.notify_all()
 
     def close_receiver(self) -> None:
-        self._receiver_closed.set()
+        with self._cond:
+            self._receiver_closed = True
+            self._cond.notify_all()
 
     def _recv(self, timeout: Optional[float]) -> Optional[str]:
-        deadline = None
-        while True:
-            try:
-                return self._q.get(timeout=0.05)
-            except queue.Empty:
-                if self._sender_closed.is_set():
+        deadline = None if timeout is None else time.monotonic() + timeout
+        with self._cond:
+            while True:
+                if self._q:
+                    s = self._q.popleft()
+                    self._cond.notify_all()  # wake senders blocked on full
+                    return s
+                if self._sender_closed:
                     return None
-                if timeout is not None:
-                    if deadline is None:
-                        import time
-
-                        deadline = time.monotonic() + timeout
-                    else:
-                        import time
-
-                        if time.monotonic() >= deadline:
-                            return None
+                if deadline is None:
+                    self._cond.wait()
+                else:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0 or not self._cond.wait(remaining):
+                        return None
 
     def receiver(self) -> StringReceiver:
         return StringReceiver(self)
