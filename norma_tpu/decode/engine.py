@@ -79,6 +79,9 @@ class DecodeEngine:
         self.params = params
         self.cfg = cfg
         self.st = st
+        # Fused Pallas grammar+sampling step on TPU (ops/sample_step.py);
+        # set False to force the pure-XLA pipeline on any backend.
+        self.fused_sampler = True
         # False = reference (whisper.cpp/candle) framing; True = OpenAI/HF
         # centered STFT (matches how the checkpoints were trained).
         self.mel_center = bool(mel_center)
@@ -158,40 +161,6 @@ class DecodeEngine:
         lang_logits = logits[:, 0, self._lang_ids]
         return jax.nn.softmax(lang_logits, axis=-1)
 
-    def _grammar_mask_step(self, probs, prev1, prev2, last_ts, is_first):
-        """Branchless mask algebra for one step.  probs [B, V] f32."""
-        st = self.st
-        V = self.cfg.vocab_size
-        ids = jnp.arange(V)
-
-        base = probs + self._m_suppress[None]
-        past = jnp.where(
-            (ids[None] > st.no_timestamps) & (ids[None] <= last_ts[:, None]),
-            -jnp.inf,
-            0.0,
-        ).astype(jnp.float32)
-
-        # Branch A: last token was a timestamp.
-        second_special = (prev2 >= st.eot)[:, None]
-        mask_a = jnp.where(second_special, self._m_ts[None], self._m_non_ts[None] + past)
-
-        # Branch B: compare total timestamp prob vs max text prob.
-        ts_region = (ids > st.no_timestamps)[None]
-        sum_ts = jnp.sum(jnp.where(ts_region, base, 0.0), axis=-1)
-        max_txt = jnp.max(
-            jnp.where((ids < st.no_timestamps)[None], base, -jnp.inf), axis=-1
-        )
-        force_ts = (sum_ts >= max_txt)[:, None]
-        mask_b = jnp.where(force_ts, self._m_non_ts[None] + past, past)
-
-        last_is_ts = (prev1 > st.no_timestamps)[:, None]
-        extra = jnp.where(last_is_ts, mask_a, mask_b)
-        masked = base + extra
-
-        # First sampled token of the window: ONLY the first-token mask
-        # (no suppress base), reference model.rs:333-338.
-        return jnp.where(is_first, probs + self._m_first[None], masked)
-
     def _loop_impl(
         self,
         params,
@@ -208,10 +177,19 @@ class DecodeEngine:
         seed,  # scalar uint32
     ):
         B = tokens_init.shape[0]
-        return self._token_loop(
+        tokens, n, slp = self._token_loop(
             params, xk, xv, cache_k, cache_v, next_logits, tokens_init,
             n0, prev1, prev2, jnp.broadcast_to(temp, (B,)),
             jax.random.PRNGKey(seed),
+        )
+        # One packed f32 array => one device->host fetch (see _pack_ladder).
+        return jnp.concatenate(
+            [
+                tokens.astype(jnp.float32),
+                n.astype(jnp.float32)[:, None],
+                slp[:, None],
+            ],
+            axis=1,
         )
 
     def _token_loop(
@@ -239,36 +217,41 @@ class DecodeEngine:
             (step, tokens, n, p1, p2, last_ts, slp, fin, ll, ck, cv, key) = c
             return jnp.logical_and(jnp.any(~fin), step < mtp)
 
+        # The per-step post-logits pipeline (softmax -> grammar masks ->
+        # greedy/categorical -> chosen-prob) runs as ONE fused Pallas
+        # program on TPU (~20 separate XLA ops cost ~0.5 ms/step in fixed
+        # overhead alone, measured on v5e); the jnp twin is the semantics
+        # oracle and the CPU path.
+        use_kernel = self.fused_sampler and jax.default_backend() == "tpu"
+        seed2 = key0.reshape(-1)[:2].astype(jnp.uint32)
+
         def body(c):
             (step, tokens, n, p1, p2, last_ts, slp, fin, ll, ck, cv, key) = c
-            probs = jax.nn.softmax(ll, axis=-1)
-            masked = self._grammar_mask_step(probs, p1, p2, last_ts, step == 0)
-
-            greedy = jnp.argmax(masked, axis=-1).astype(jnp.int32)
             key, sub = jax.random.split(key)
-            temp_safe = jnp.maximum(temp, 1e-6)[:, None]
-            cat = jax.random.categorical(sub, masked / temp_safe, axis=-1).astype(
-                jnp.int32
-            )
-            use_sampling = temp > 0.0
-            all_nan = jnp.isnan(masked).any(axis=-1)
-            forced_nan_eot = jnp.logical_and(use_sampling, all_nan)
+            if use_kernel:
+                from ..ops.sample_step import sample_step_pallas
 
-            nxt = jnp.where(use_sampling, cat, greedy)
-            nxt = jnp.where(forced_nan_eot, st.eot, nxt)
+                nxt, prob_chosen, all_nan = sample_step_pallas(
+                    ll, self._m_suppress, self._m_non_ts, self._m_ts,
+                    self._m_first, p1, p2, last_ts, step, temp, seed2,
+                    eot=st.eot, no_timestamps=st.no_timestamps,
+                )
+            else:
+                from ..ops.sample_step import sample_step_jnp
+
+                nxt, prob_chosen, all_nan = sample_step_jnp(
+                    ll, self._m_suppress, self._m_non_ts, self._m_ts,
+                    self._m_first, p1, p2, last_ts, step, temp, sub,
+                    eot=st.eot, no_timestamps=st.no_timestamps,
+                )
+            use_sampling = temp > 0.0
+            forced_nan_eot = jnp.logical_and(use_sampling, all_nan)
 
             # Push at per-stream position n (lockstep: n == n0 + step for all
             # unfinished streams, but keep it per-stream for clarity).
             slot = jnp.arange(Tmax)[None] == n[:, None]
             tokens = jnp.where(slot & (~fin)[:, None], nxt[:, None], tokens)
 
-            # One-hot select instead of take_along_axis: a single-element
-            # gather across the 51866-wide lane dim costs ~0.35 ms/step on
-            # TPU (measured, v5e) vs ~0 for this VPU select+reduce.
-            ids_v = jnp.arange(masked.shape[-1])
-            prob_chosen = jnp.sum(
-                jnp.where(ids_v[None] == nxt[:, None], masked, 0.0), axis=-1
-            )
             add_lp = jnp.where(fin | forced_nan_eot, 0.0, jnp.log(prob_chosen))
             slp = slp + add_lp
 
@@ -427,7 +410,7 @@ class DecodeEngine:
             btoks = jnp.where(any_acc[:, None], toks[sel], tokens_init)
             bn = jnp.where(any_acc, n[sel], 3)
             bavg = jnp.where(any_acc, avg[sel], 0.0)
-            return btoks, bn, bavg, brung, nsp, langs, lang_probs
+            return self._pack_ladder(btoks, bn, bavg, brung, nsp, langs, lang_probs)
 
         # Sequential ladder: try rungs in order, on-device, stopping as
         # soon as every stream has settled.  Streams whose probe fired are
@@ -466,7 +449,29 @@ class DecodeEngine:
             jnp.full((B,), -1, jnp.int32),
         )
         _, _, btoks, bn, bavg, brung = jax.lax.while_loop(cond, body, init)
-        return btoks, bn, bavg, brung, nsp, langs, lang_probs
+        return self._pack_ladder(btoks, bn, bavg, brung, nsp, langs, lang_probs)
+
+    @staticmethod
+    def _pack_ladder(btoks, bn, bavg, brung, nsp, langs, lang_probs):
+        """Pack every ladder output into ONE f32 array [B, Tmax+5+L].
+
+        The driver behind this shape: each device->host fetch is a separate
+        round trip (expensive through a remote-attached TPU), so the window
+        program returns a single array instead of seven.  Token ids (< 2^24)
+        and the small ints are exact in f32.
+        """
+        return jnp.concatenate(
+            [
+                btoks.astype(jnp.float32),
+                bn.astype(jnp.float32)[:, None],
+                bavg[:, None],
+                brung.astype(jnp.float32)[:, None],
+                nsp[:, None],
+                langs.astype(jnp.float32)[:, None],
+                lang_probs.astype(jnp.float32),
+            ],
+            axis=1,
+        )
 
     # ------------------------------------------------------------------
     # Host-side orchestration
@@ -504,14 +509,17 @@ class DecodeEngine:
         if detect and self._lang_ids is None:
             raise ValueError("language detection requires language_token_ids")
         fn = self._ladder_detect if detect else self._ladder
-        btoks, bn, bavg, brung, nsp, langs_out, lang_probs = fn(
-            self.params, audio, jnp.asarray(langs_arr), jnp.uint32(seed)
+        packed = np.asarray(  # ONE device->host fetch for the whole window
+            fn(self.params, audio, jnp.asarray(langs_arr), jnp.uint32(seed))
         )
-        btoks = np.asarray(btoks)
-        bn = np.asarray(bn)
-        bavg = np.asarray(bavg)
-        brung = np.asarray(brung)
-        nsp = np.asarray(nsp)
+        Tmax = self.cfg.max_target_positions
+        btoks = packed[:, :Tmax].astype(np.int32)
+        bn = packed[:, Tmax].astype(np.int32)
+        bavg = packed[:, Tmax + 1]
+        brung = packed[:, Tmax + 2].astype(np.int32)
+        nsp = packed[:, Tmax + 3]
+        langs_out = packed[:, Tmax + 4].astype(np.int32)
+        lang_probs = packed[:, Tmax + 5 :]
         st = self.st
         out: List[Optional[DecodingResult]] = []
         for b in range(btoks.shape[0]):
@@ -542,8 +550,8 @@ class DecodeEngine:
                 )
             )
         info = {
-            "langs": np.asarray(langs_out),
-            "lang_probs": np.asarray(lang_probs) if detect else None,
+            "langs": langs_out,
+            "lang_probs": lang_probs if detect else None,
         }
         return out, info
 
@@ -626,23 +634,25 @@ class DecodeEngine:
         Tmax = self.cfg.max_target_positions
         tokens_init = np.zeros((B, Tmax), np.int32)
         tokens_init[:, :P] = prefix
-        tokens, n, slp = self._loop(
-            self.params,
-            state["xk"],
-            state["xv"],
-            state["cache_k"],
-            state["cache_v"],
-            state["next_logits"],
-            jnp.asarray(tokens_init),
-            jnp.int32(P),
-            jnp.asarray(prefix[:, -1]),
-            jnp.asarray(prefix[:, -2]),
-            jnp.float32(temperature),
-            jnp.uint32(seed),
+        packed = np.asarray(
+            self._loop(
+                self.params,
+                state["xk"],
+                state["xv"],
+                state["cache_k"],
+                state["cache_v"],
+                state["next_logits"],
+                jnp.asarray(tokens_init),
+                jnp.int32(P),
+                jnp.asarray(prefix[:, -1]),
+                jnp.asarray(prefix[:, -2]),
+                jnp.float32(temperature),
+                jnp.uint32(seed),
+            )
         )
-        tokens = np.asarray(tokens)
-        n = np.asarray(n)
-        slp = np.asarray(slp)
+        tokens = packed[:, :Tmax].astype(np.int32)
+        n = packed[:, Tmax].astype(np.int32)
+        slp = packed[:, Tmax + 1]
         out = []
         for b in range(B):
             toks = tokens[b, : n[b]].tolist()

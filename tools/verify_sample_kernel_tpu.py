@@ -1,0 +1,143 @@
+"""On-hardware verification + A/B for the fused sampling kernel.
+
+Run ON TPU (no JAX_PLATFORMS override):  python tools/verify_sample_kernel_tpu.py
+
+1. Correctness on the real chip: greedy (t=0) token/prob/nan-flag equality
+   between ops/sample_step.sample_step_pallas (compiled, not interpreted)
+   and the jnp oracle, across the grammar regimes; t>0 draws must respect
+   the mask support and differ across rows (real PRNG).
+2. Interleaved A/B at the production surface: full window decode with the
+   fused sampler on vs off.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from norma_tpu.constants import N_SAMPLES
+    from norma_tpu.decode import DecodeEngine, LanguageState, LongFormDecoder
+    from norma_tpu.decode.masks import SpecialTokens, build_masks
+    from norma_tpu.frontend.mel import prepare_audio
+    from norma_tpu.model import PRESETS, init_params
+    from norma_tpu.ops.sample_step import sample_step_jnp, sample_step_pallas
+
+    cfg = PRESETS["distil-large-v3"].with_(max_target_positions=136)
+    st = SpecialTokens(
+        sot=50258, eot=-1, task=50360, no_speech=50363,
+        no_timestamps=50364, zero_sec=50365, one_sec=50415,
+    )
+    # eot=-1 breaks the grammar's special-token comparisons; use the real
+    # eot id for the kernel correctness check.
+    st_real = SpecialTokens(
+        sot=50258, eot=50257, task=50360, no_speech=50363,
+        no_timestamps=50364, zero_sec=50365, one_sec=50415,
+    )
+    V = cfg.vocab_size
+    masks = build_masks(V, cfg.suppress_tokens, st_real)
+    ms, mn, mt, mf = (
+        jnp.asarray(masks.suppress),
+        jnp.asarray(masks.non_timestamps),
+        jnp.asarray(masks.timestamps),
+        jnp.asarray(masks.first_token),
+    )
+
+    rng = np.random.default_rng(0)
+    cases = [
+        (st_real.task, st_real.sot, 0, 0),
+        (st_real.zero_sec + 1, 100, 0, 1),
+        (st_real.zero_sec + 2, st_real.sot, 0, 2),
+        (100, 101, 0, 3),
+        (100, st_real.zero_sec + 3, st_real.zero_sec + 3, 4),
+    ]
+    n_exact = 0
+    for i, (p1, p2, lts, step) in enumerate(cases):
+        ll = jnp.asarray(rng.normal(0, 2, (4, V)).astype(np.float32))
+        args = (
+            ll, ms, mn, mt, mf,
+            jnp.full((4,), p1, jnp.int32), jnp.full((4,), p2, jnp.int32),
+            jnp.full((4,), lts, jnp.int32), jnp.int32(step),
+            jnp.zeros((4,), jnp.float32),
+        )
+        nk, pk, nank = sample_step_pallas(
+            *args, jnp.asarray([1, 2], jnp.uint32),
+            eot=st_real.eot, no_timestamps=st_real.no_timestamps,
+        )
+        no, po, nano = sample_step_jnp(
+            *args, jax.random.PRNGKey(0),
+            eot=st_real.eot, no_timestamps=st_real.no_timestamps,
+        )
+        tok_eq = bool((np.asarray(nk) == np.asarray(no)).all())
+        prob_close = bool(
+            np.allclose(np.asarray(pk), np.asarray(po), rtol=1e-4, atol=1e-6)
+        )
+        nan_eq = bool((np.asarray(nank) == np.asarray(nano)).all())
+        assert tok_eq and prob_close and nan_eq, (
+            f"case {i}: tok_eq={tok_eq} prob_close={prob_close} nan_eq={nan_eq}"
+        )
+        n_exact += 1
+
+    # t>0: support + per-row independence on the real PRNG.
+    ll = jnp.asarray(np.tile(rng.normal(0, 1, V).astype(np.float32), (8, 1)))
+    nk, _, _ = sample_step_pallas(
+        ll, ms, mn, mt, mf,
+        jnp.full((8,), 100, jnp.int32), jnp.full((8,), 101, jnp.int32),
+        jnp.zeros((8,), jnp.int32), jnp.int32(3),
+        jnp.full((8,), 1.0, jnp.float32), jnp.asarray([5, 6], jnp.uint32),
+        eot=st_real.eot, no_timestamps=st_real.no_timestamps,
+    )
+    distinct = len(set(np.asarray(nk).tolist()))
+    assert distinct > 1, "identical draws across rows: PRNG not per-row"
+
+    # ---- A/B at the production surface ------------------------------
+    params = jax.device_put(
+        init_params(cfg, seed=0, dtype=jnp.bfloat16), jax.devices()[0]
+    )
+
+    class _NullTok:
+        def decode(self, ids, skip_special_tokens=True):
+            return ""
+
+        def token_to_id(self, s):
+            return None
+
+    e_on = DecodeEngine(params, cfg, st)
+    e_off = DecodeEngine(params, cfg, st)
+    e_off.fused_sampler = False
+    audio = (0.1 * rng.standard_normal(N_SAMPLES)).astype(np.float32)
+
+    def run(e):
+        t0 = time.perf_counter()
+        LongFormDecoder(e, _NullTok(), LanguageState(const=50259)).transcribe(
+            audio, final_chunk=True
+        )
+        return time.perf_counter() - t0
+
+    run(e_on); run(e_off)  # compile
+    ons, offs = [], []
+    order = rng.permutation(12)
+    for k in order:
+        (ons if k % 2 == 0 else offs).append(run(e_on if k % 2 == 0 else e_off))
+    print(json.dumps({
+        "kernel_correct_cases": n_exact,
+        "t>0_distinct_rows": distinct,
+        "window_ms_fused_sampler": round(min(ons) * 1e3, 1),
+        "window_ms_xla_sampler": round(min(offs) * 1e3, 1),
+        "speedup": round(min(offs) / min(ons), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
