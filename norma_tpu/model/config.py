@@ -40,8 +40,13 @@ class WhisperConfig:
     max_source_positions: int = 1500
     max_target_positions: int = 448
     suppress_tokens: Tuple[int, ...] = field(default=_DEFAULT_SUPPRESS_V1)
-    # Use the fused flash-attention kernel for encoder self-attention
-    # (TPU backend only; ignored elsewhere).
+    # Fused flash-attention kernel for encoder self-attention (TPU backend
+    # only; ignored elsewhere).  Default OFF on profiler evidence from the
+    # PRODUCTION window program on v5e: device time 90.8 -> 117.7 ms (B=1)
+    # and 349 -> 605 ms (B=8) with flash, even though the STANDALONE
+    # encoder jit measures flash 1.9x faster (29.7 vs 56.5 ms) — inside
+    # the fused program the pallas_call is a fusion/pipelining barrier.
+    # Only in-context device profiles are trusted for this switch.
     flash_attention: bool = False
 
     @property
