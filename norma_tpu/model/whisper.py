@@ -368,7 +368,22 @@ def decoder_step(
         x = x + _mlp(lp, h)
         return x, (ck, cv)
 
-    x, (new_k, new_v) = jax.lax.scan(body, x, (dec["layers"], cache_k, cache_v, xk, xv))
+    # Unroll shallow decoders (distil models have 2 layers) at small row
+    # counts: removes the scan's per-iteration while/slice machinery from
+    # the per-token hot path and lets XLA prefetch both layers' weight
+    # DMAs eagerly.  Profiled on v5e in the production window program:
+    # 90.8 -> 82.2 ms device at <= 6 rows, but a REGRESSION at 8 rows
+    # (349 -> 438 ms; the eager double prefetch pressures VMEM), hence
+    # the row-count gate.  Deep decoders keep a rolled scan for compile
+    # time.
+    unroll = (
+        cfg.decoder_layers
+        if cfg.decoder_layers <= 4 and tok.shape[0] <= 6
+        else 1
+    )
+    x, (new_k, new_v) = jax.lax.scan(
+        body, x, (dec["layers"], cache_k, cache_v, xk, xv), unroll=unroll
+    )
 
     x = layer_norm(x, dec["ln_g"], dec["ln_b"])
     logits = logits_head(dec, x[:, 0, :])
