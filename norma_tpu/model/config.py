@@ -48,6 +48,11 @@ class WhisperConfig:
     # the fused program the pallas_call is a fusion/pipelining barrier.
     # Only in-context device profiles are trusted for this switch.
     flash_attention: bool = False
+    # Materialize encoder self-attention scores in bf16 (TPU only).  The
+    # [heads, 1500, 1500] score buffer is ~180 MB f32 per layer — the
+    # dominant HBM traffic of the encoder; bf16 halves it.  Softmax still
+    # reduces in f32.  See PERF.md for the in-context measurement.
+    encoder_scores_bf16: bool = True
 
     @property
     def head_dim(self) -> int:

@@ -93,20 +93,27 @@ def attention(
     v: jax.Array,
     n_heads: int,
     mask: jax.Array | None = None,
+    scores_bf16: bool = False,
 ) -> jax.Array:
     """Multi-head attention core.  q/k/v: [B, T, D] projected inputs.
 
     Whisper scales q and k each by (D/H)**-0.25 before the dot product.
+    ``scores_bf16`` stores the materialized [B, H, Tq, Tk] score matrix in
+    bf16 between the QK matmul and the softmax — for the encoder's
+    1500x1500 scores that buffer is the dominant HBM traffic of the whole
+    layer (~180 MB/layer f32), so halving it is a large bandwidth win; the
+    softmax itself still reduces in f32.
     """
     dh = q.shape[-1] // n_heads
     scale = dh**-0.25
     qh = _split_heads(q, n_heads) * scale
     kh = _split_heads(k, n_heads) * scale
     vh = _split_heads(v, n_heads)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32)
+    pet = jnp.bfloat16 if scores_bf16 else jnp.float32
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=pet)
     if mask is not None:
-        logits = logits + mask
-    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        logits = logits + mask.astype(logits.dtype)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", w, vh, preferred_element_type=jnp.float32)
     return _merge_heads(out.astype(q.dtype))
 
@@ -139,11 +146,14 @@ def attention_grouped(
     return out.astype(q.dtype).reshape(gb, tq, n_heads * dh)
 
 
-def _self_attn(p: Params, prefix: str, x: jax.Array, n_heads: int, mask=None):
+def _self_attn(
+    p: Params, prefix: str, x: jax.Array, n_heads: int, mask=None,
+    scores_bf16: bool = False,
+):
     q = ldense(p, f"{prefix}q_w", x, p[f"{prefix}q_b"])
     k = ldense(p, f"{prefix}k_w", x)  # whisper k_proj has no bias
     v = ldense(p, f"{prefix}v_w", x, p[f"{prefix}v_b"])
-    o = attention(q, k, v, n_heads, mask)
+    o = attention(q, k, v, n_heads, mask, scores_bf16=scores_bf16)
     return ldense(p, f"{prefix}o_w", o, p[f"{prefix}o_b"])
 
 
@@ -172,7 +182,11 @@ def _conv1d(x: jax.Array, w: jax.Array, b: jax.Array, stride: int) -> jax.Array:
 
 
 def encoder_layer(
-    p: Params, x: jax.Array, n_heads: int, use_flash: bool = False
+    p: Params,
+    x: jax.Array,
+    n_heads: int,
+    use_flash: bool = False,
+    scores_bf16: bool = False,
 ) -> jax.Array:
     h = layer_norm(x, p["attn_ln_g"], p["attn_ln_b"])
     if use_flash:
@@ -184,7 +198,7 @@ def encoder_layer(
         a = flash_self_attention(q, k, v, n_heads)
         x = x + ldense(p, "o_w", a, p["o_b"])
     else:
-        x = x + _self_attn(p, "", h, n_heads)
+        x = x + _self_attn(p, "", h, n_heads, scores_bf16=scores_bf16)
     h = layer_norm(x, p["mlp_ln_g"], p["mlp_ln_b"])
     return x + _mlp(p, h)
 
@@ -202,9 +216,13 @@ def encode(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Array:
     # Flash kernel: opt-in, TPU-only (trace-time backend check keeps CPU
     # tests and the virtual-device mesh on the XLA attention).
     use_flash = bool(cfg.flash_attention) and jax.default_backend() == "tpu"
+    # bf16 score materialization: TPU-only so CPU parity tests keep f32.
+    scores_bf16 = (
+        bool(cfg.encoder_scores_bf16) and jax.default_backend() == "tpu"
+    )
 
     def body(carry, layer_p):
-        return encoder_layer(layer_p, carry, n_heads, use_flash), None
+        return encoder_layer(layer_p, carry, n_heads, use_flash, scores_bf16), None
 
     x, _ = jax.lax.scan(body, x, enc["layers"])
     return layer_norm(x, enc["ln_g"], enc["ln_b"])
