@@ -87,10 +87,31 @@ def log_mel_spectrogram(
             mode="reflect",
         )
 
-    # Frame: [B, n_frames, n_fft].  Static shapes -> XLA gathers efficiently.
-    starts = np.arange(n_frames) * HOP_LENGTH
-    idx = starts[:, None] + np.arange(N_FFT)[None, :]
-    frames = audio[:, idx]  # [B, n_frames, n_fft]
+    # Frame: [B, n_frames, n_fft] WITHOUT a gather (a [n_frames, n_fft]
+    # index gather measured ~8 ms/window on TPU).  With g = gcd(hop, n_fft)
+    # the audio reshapes into g-sample blocks; each frame is n_fft//g
+    # consecutive blocks at stride hop//g, so framing is n_fft//g strided
+    # slices + one reshape — pure layout ops.
+    g = int(np.gcd(HOP_LENGTH, N_FFT))
+    blocks_per_win = N_FFT // g
+    blocks_per_hop = HOP_LENGTH // g
+    need = (n_frames - 1) * HOP_LENGTH + N_FFT
+    pad_to = -audio.shape[1] % g
+    if audio.shape[1] < need:
+        raise ValueError(
+            f"audio too short: {audio.shape[1]} < {need}; use prepare_audio"
+        )
+    if pad_to:
+        audio = jnp.pad(audio, ((0, 0), (0, pad_to)))
+    blocks = audio.reshape(audio.shape[0], -1, g)
+    last = blocks_per_hop * (n_frames - 1)
+    frames = jnp.stack(
+        [
+            blocks[:, k : k + last + 1 : blocks_per_hop, :]
+            for k in range(blocks_per_win)
+        ],
+        axis=2,
+    ).reshape(audio.shape[0], n_frames, N_FFT)
     frames = frames * window
 
     spec = jnp.fft.rfft(frames, n=N_FFT, axis=-1)  # [B, n_frames, 201]
