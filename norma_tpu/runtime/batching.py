@@ -186,6 +186,13 @@ class BatchedTranscriber:
                     got = True
                 elif status == "closed":
                     s.source_closed = True
+                    # Closed AND drained == no more audio can ever arrive.
+                    # This is the final-chunk condition even when the
+                    # is_final chunk itself was dropped by the lossy ring
+                    # (a full ring at stop() time): without this, the
+                    # stream never satisfies the retire condition and its
+                    # receiver blocks forever while the slot leaks.
+                    s.final = True
                     break
                 else:
                     break

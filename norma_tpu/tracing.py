@@ -128,3 +128,46 @@ def annotate(name: str):
 
     with jax.profiler.TraceAnnotation(name):
         yield
+
+
+def device_time_report(trace_dir: str, line: str = "XLA Modules"):
+    """Aggregate per-program DEVICE time from a jax.profiler trace.
+
+    Parses the raw ``*.xplane.pb`` files under ``trace_dir`` directly
+    (tensorflow's tsl xplane proto), aggregating the TPU device plane's
+    events by name.  Returns ``{name: (total_ms, count)}`` sorted by
+    total time descending.
+
+    Why this exists: on a remotely-attached TPU, wall-clock timings carry
+    per-call dispatch/fetch overhead that dwarfs and distorts device
+    compute (PERF.md "Measurement methodology") — per-program device time
+    from the profiler is the only trustworthy comparison.  ``line`` may
+    be "XLA Modules" (per jitted program) or "XLA Ops" (per fused op).
+    """
+    import glob
+
+    from tensorflow.tsl.profiler.protobuf.xplane_pb2 import XSpace  # type: ignore
+
+    totals: Dict[str, float] = {}
+    counts: Dict[str, int] = {}
+    for path in glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True):
+        xs = XSpace()
+        with open(path, "rb") as f:
+            xs.ParseFromString(f.read())
+        for plane in xs.planes:
+            if "TPU" not in plane.name:
+                continue
+            for pl_line in plane.lines:
+                if pl_line.name != line:
+                    continue
+                for ev in pl_line.events:
+                    md = plane.event_metadata[ev.metadata_id]
+                    name = md.display_name or md.name
+                    totals[name] = totals.get(name, 0.0) + ev.duration_ps / 1e9
+                    counts[name] = counts.get(name, 0) + 1
+    return dict(
+        sorted(
+            ((k, (v, counts[k])) for k, v in totals.items()),
+            key=lambda kv: -kv[1][0],
+        )
+    )

@@ -1,0 +1,96 @@
+"""Stream-churn soak for the batched scheduler.
+
+Race-safety evidence beyond the single-wave tests: streams start and end
+in overlapping waves, one receiver is abandoned mid-stream (the scheduler
+must tear that stream down and keep serving the others), slots must be
+reusable after retirement, and close() must join cleanly with no stuck
+threads.  Runs hermetically on CPU with the tiny seeded model.
+"""
+
+import threading
+import time
+
+from helpers import TEST_LANG_IDS, TEST_ST, ToyTokenizer, tiny_config
+from norma_tpu.audio.sources import SyntheticSource
+from norma_tpu.decode import DecodeEngine, LanguageState
+from norma_tpu.input import Settings
+from norma_tpu.model import init_params
+from norma_tpu.models.whisper.model import WhisperModel
+from norma_tpu.runtime.batching import BatchedTranscriber
+
+
+def _source(i):
+    return SyntheticSource(
+        sample_rate=16000, channels=1, duration=0.6, freq=250.0 + 40 * i,
+        realtime=False,
+    )
+
+
+def test_churn_waves_and_abandoned_receiver():
+    cfg = tiny_config()
+    params = init_params(cfg, seed=3)
+    engine = DecodeEngine(params, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS)
+    model = WhisperModel(engine, ToyTokenizer(), LanguageState(const=TEST_LANG_IDS[0]))
+    bt = BatchedTranscriber(model, max_streams=3)
+    try:
+        results = {}
+        threads = []
+
+        def drain(tag, handle):
+            results[tag] = list(handle.receiver)
+
+        total_started = 0
+        for wave in range(3):
+            handles = []
+            for i in range(3):
+                h = bt.blocking_start(Settings(source=_source(total_started)))
+                handles.append(h)
+                total_started += 1
+            # Abandon one receiver immediately: the scheduler must drop the
+            # stream (ReceiverClosed) without affecting its batch-mates.
+            handles[0].receiver.close()
+            for i, h in enumerate(handles[1:], start=1):
+                t = threading.Thread(
+                    target=drain, args=(f"w{wave}s{i}", h), daemon=True
+                )
+                t.start()
+                threads.append(t)
+            for t in threads:
+                t.join(timeout=120)
+            assert not any(t.is_alive() for t in threads), "drain thread stuck"
+            threads.clear()
+
+        # 9 streams on 3 slots: retirement must have freed slots each wave.
+        assert total_started == 9
+        # Every non-abandoned stream produced output and terminated.
+        assert len(results) == 6
+        for tag, segs in results.items():
+            assert segs, f"stream {tag} produced no output"
+            assert all(isinstance(s, str) for s in segs)
+    finally:
+        bt.close()
+    assert not bt._thread.is_alive(), "scheduler thread did not exit"
+
+
+def test_stop_mid_stream_releases_slot():
+    cfg = tiny_config()
+    params = init_params(cfg, seed=3)
+    engine = DecodeEngine(params, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS)
+    model = WhisperModel(engine, ToyTokenizer(), LanguageState(const=TEST_LANG_IDS[0]))
+    bt = BatchedTranscriber(model, max_streams=1)
+    try:
+        h1 = bt.blocking_start(
+            Settings(source=SyntheticSource(sample_rate=16000, channels=1,
+                                            duration=30.0, realtime=False))
+        )
+        time.sleep(0.2)
+        h1.stop()  # flushes the final chunk; stream retires after drain
+        out1 = list(h1.receiver)
+        assert out1, "stopped stream must still flush its transcript"
+
+        # The single slot must be free again.
+        h2 = bt.blocking_start(Settings(source=_source(1)))
+        out2 = list(h2.receiver)
+        assert out2
+    finally:
+        bt.close()
