@@ -97,8 +97,9 @@ def main() -> None:
 
     # Batched shape: B=8 windows through the PRODUCTION fused program
     # (the multi-stream scheduler's exact call: one dispatch covering
-    # mel -> encoder -> prefill -> speculative 6-rung ladder, i.e. 48
-    # concurrent decode rows sharing the per-step weight streaming).
+    # mel -> encoder -> prefill -> temperature ladder; at 8 streams the
+    # engine picks the SEQUENTIAL on-device rung loop, since 8x6 = 48
+    # concurrent rows would exceed the speculative-rows threshold).
     from norma_tpu.frontend.mel import prepare_audio
 
     B = 8
@@ -137,7 +138,7 @@ def main() -> None:
                     "rtf_per_stream_batched8": round(rtf8, 6),
                     "realtime_streams_per_chip_batched": int(1.0 / rtf8),
                     "tokens_per_window": TOKENS_PER_WINDOW,
-                    "methodology": "production LongFormDecoder.transcribe wall-clock, forced 132-token decode, speculative 6-rung ladder (worst case: every rung decoded)",
+                    "methodology": "production LongFormDecoder.transcribe wall-clock, forced 132-token decode; single-stream = speculative 6-rung ladder (worst case: every rung decoded), batched-8 = sequential on-device rung ladder",
                     "device": str(jax.devices()[0]),
                     "dtype": "bfloat16",
                 },

@@ -526,11 +526,18 @@ void* nta_alsa_start_fmt(const char* device, unsigned dev_rate,
 
   const int bytes = fm->bytes;
   const int sample_fmt = fm->fmt;
-  cap->worker = std::thread([cap, bytes, sample_fmt]() {
+  // Upsampling ratio can exceed 4x now that config negotiation may open a
+  // device at its (low) max rate: size the resampler output from the real
+  // dev->target ratio, not a fixed 4x (heap overflow otherwise).
+  const size_t res_cap = static_cast<size_t>(
+      (1024.0 + kTaps) *
+          (static_cast<double>(target_rate) / static_cast<double>(dev_rate)) +
+      kTaps + 16);
+  cap->worker = std::thread([cap, bytes, sample_fmt, res_cap]() {
     const unsigned long frames = 1024;
     std::vector<uint8_t> raw(frames * cap->channels * bytes);
     std::vector<float> mono(frames);
-    std::vector<float> res(frames * 4 + kTaps);
+    std::vector<float> res(res_cap);
     while (!cap->stop.load(std::memory_order_relaxed)) {
       long got = g_alsa.pcm_readi(cap->pcm, raw.data(), frames);
       if (got < 0) {

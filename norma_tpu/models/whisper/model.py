@@ -67,3 +67,11 @@ class WhisperModel(Model):
         self.engine.transcribe_window(
             audio, [int(lang) if lang is not None else -1], seed=0
         )
+        if lang is None and lf.language_tokens:
+            # Detect-mode models run the detect variant on window 1 and the
+            # known-language variant from window 2 on (once the language is
+            # resolved); compile that second program now too, or it stalls
+            # the live stream mid-utterance.
+            self.engine.transcribe_window(
+                audio, [int(lf.language_tokens[0])], seed=0
+            )

@@ -169,8 +169,15 @@ def _make_kernel(V: int, eot: int, no_timestamps: int):
         s0 = seed_ref[0, 0] + step.astype(jnp.uint32) * jnp.uint32(2654435761)
         s1 = seed_ref[0, 1] + jnp.uint32(blk) * jnp.uint32(0x9E3779B9)
         pltpu.prng_seed(s0, s1)
-        bits = pltpu.prng_random_bits((R, VP))[:, :V]
-        u = (bits >> 9).astype(jnp.float32) * (1.0 / (1 << 23))
+        # prng_random_bits returns int32: bitcast to uint32 BEFORE the
+        # shift, else `>> 9` is arithmetic and half the draws land in
+        # [-0.5, 0) (clamped to a constant) instead of uniform [0, 1).
+        # The shifted value fits in 23 bits, so bitcast back to int32 for
+        # the float conversion (Mosaic has no uint32->f32 cast).
+        bits = pltpu.bitcast(pltpu.prng_random_bits((R, VP)), jnp.uint32)[:, :V]
+        u = pltpu.bitcast(bits >> 9, jnp.int32).astype(jnp.float32) * (
+            1.0 / (1 << 23)
+        )
         u = jnp.maximum(u, 1e-12)  # avoid log(0)
         g = -jnp.log(-jnp.log(u))
         z = masked / jnp.maximum(temp, 1e-6) + g

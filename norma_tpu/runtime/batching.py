@@ -185,14 +185,22 @@ class BatchedTranscriber:
                     s.want_decode = True
                     got = True
                 elif status == "closed":
-                    s.source_closed = True
                     # Closed AND drained == no more audio can ever arrive.
                     # This is the final-chunk condition even when the
                     # is_final chunk itself was dropped by the lossy ring
                     # (a full ring at stop() time): without this, the
                     # stream never satisfies the retire condition and its
-                    # receiver blocks forever while the slot leaks.
-                    s.final = True
+                    # receiver blocks forever while the slot leaks.  Also
+                    # re-arm want_decode once: a stream that was holding
+                    # buffered audio for more data ("Transcribed, waiting"
+                    # path => want_decode False) must get one final round
+                    # with final=True to drain, or it would likewise never
+                    # retire.
+                    if not s.source_closed:
+                        s.source_closed = True
+                        s.final = True
+                        if s.state.next_window() is not None:
+                            s.want_decode = True
                     break
                 else:
                     break
@@ -231,6 +239,10 @@ class BatchedTranscriber:
         """
         n = len(ready)
         B = max(self._batch_size(n, self.max_streams), self._dp)
+        # The sharded batch axis must divide evenly over dp (which need not
+        # be a power of two); max_streams % dp == 0 is checked at
+        # construction, so rounding up stays within the cap.
+        B = min(-(-B // self._dp) * self._dp, self.max_streams)
         lf0 = ready[0].state
         n_frames = lf0.n_frames
 

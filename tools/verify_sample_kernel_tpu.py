@@ -89,6 +89,36 @@ def main() -> None:
         )
         n_exact += 1
 
+    # Uniformity of the kernel's EXACT u computation on real hardware.
+    # (A marginal-distribution test cannot catch the int32-arithmetic-shift
+    # bug — the damaged half of the vocab varies per draw — so probe u
+    # directly: with the bug, half the values clamp to 1e-12 and the mean
+    # collapses to ~0.25.)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def u_kernel(seed_ref, o_ref):
+        pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1])
+        bits = pltpu.bitcast(pltpu.prng_random_bits((64, 512)), jnp.uint32)
+        u = pltpu.bitcast(bits >> 9, jnp.int32).astype(jnp.float32) * (
+            1.0 / (1 << 23)
+        )
+        o_ref[:] = jnp.maximum(u, 1e-12)
+
+    u = np.asarray(
+        pl.pallas_call(
+            u_kernel,
+            in_specs=[
+                pl.BlockSpec((1, 2), memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((64, 512), jnp.float32),
+        )(jnp.asarray([[3, 7]], jnp.uint32))
+    )
+    assert 0.0 <= u.min() and u.max() < 1.0, (u.min(), u.max())
+    assert abs(u.mean() - 0.5) < 0.02, f"u not uniform: mean {u.mean():.3f}"
+    assert u.min() < 0.02 and u.max() > 0.98, "u range collapsed"
+
     # t>0: support + per-row independence on the real PRNG.
     ll = jnp.asarray(np.tile(rng.normal(0, 1, V).astype(np.float32), (8, 1)))
     nk, _, _ = sample_step_pallas(
@@ -132,6 +162,7 @@ def main() -> None:
         (ons if k % 2 == 0 else offs).append(run(e_on if k % 2 == 0 else e_off))
     print(json.dumps({
         "kernel_correct_cases": n_exact,
+        "u_uniform_mean": round(float(u.mean()), 4),
         "t>0_distinct_rows": distinct,
         "window_ms_fused_sampler": round(min(ons) * 1e3, 1),
         "window_ms_xla_sampler": round(min(offs) * 1e3, 1),
