@@ -107,3 +107,39 @@ def test_gated_stream_does_not_serialize_round():
     # made len(TEMPERATURES)-1 = 5 extra host calls per gated stream).
     for i in range(len(calls) - 2):
         assert not (calls[i] == calls[i + 1] == calls[i + 2] == 1), calls
+
+
+@pytest.mark.skipif(len(jax.devices()) < 3, reason="needs 3+ virtual devices")
+def test_non_power_of_two_dp_rounds_batch(monkeypatch):
+    """dp=3: the round batch (power-of-two sized) must round up to a
+    multiple of dp or the sharded device_put is unshardable and the
+    scheduler thread dies (review finding r2)."""
+    import norma_tpu.decode.engine as engine_mod
+
+    monkeypatch.setattr(engine_mod, "LOGPROB_THRESHOLD", -100.0)
+    cfg = tiny_config()
+    mesh = make_mesh(dp=3, tp=1)
+    params = shard_params(init_params(cfg, seed=3), mesh)
+    engine = DecodeEngine(params, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS)
+    model = WhisperModel(
+        engine, ToyTokenizer(), LanguageState(const=TEST_LANG_IDS[0]),
+        language_tokens=TEST_LANG_IDS,
+    )
+    bt = BatchedTranscriber(model, max_streams=6, mesh=mesh)
+    seen_batches = []
+    orig = engine.transcribe_window
+
+    def spy(audio, langs, seed):
+        seen_batches.append(int(audio.shape[0]))
+        return orig(audio, langs, seed=seed)
+
+    engine.transcribe_window = spy
+    # 2 ready streams -> power-of-two B=2, not divisible by dp=3: must be
+    # rounded to 3 and decoded; the streams must then terminate (the bug
+    # killed the scheduler thread on the unshardable device_put, leaving
+    # receivers blocked forever).  Transcript content is model-dependent
+    # (this tone can legitimately transcribe to empty).
+    _run_streams(bt, n=2)
+    assert seen_batches, "no decode round ran"
+    assert all(b % 3 == 0 for b in seen_batches), seen_batches
+    assert not bt._thread.is_alive()

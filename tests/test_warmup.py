@@ -35,3 +35,22 @@ def test_warmup_detect_mode():
         final_chunk=True,
     )
     assert isinstance(out, str)
+
+
+def test_warmup_detect_mode_compiles_both_variants():
+    """Detect-mode serving uses BOTH window programs: detect on window 1,
+    known-language from window 2 on.  Warmup must invoke both, or the
+    second compiles mid-stream (review finding r2)."""
+    m = _model(LanguageState())
+    calls = []
+    orig = m.engine.transcribe_window
+
+    def spy(audio, langs, seed):
+        calls.append(list(np.asarray(langs, np.int64).reshape(-1)))
+        return orig(audio, langs, seed=seed)
+
+    m.engine.transcribe_window = spy
+    m.warmup()
+    assert len(calls) == 2, calls
+    assert calls[0][0] == -1  # detect variant
+    assert calls[1][0] in TEST_LANG_IDS  # known-language variant
