@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import ctypes
 import logging
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
@@ -125,7 +125,7 @@ def open_native_mic(
         # Best config last (the reference pops from the sorted tail,
         # lib.rs:530-533).  The reference builds only the best and errors on
         # failure; trying the rest in rank order is a robustness extension.
-        for cfg in reversed(ranked):
+        for pos, cfg in enumerate(reversed(ranked), start=1):
             rate = cfg.pick_rate(model_rate)
             handle = lib.nta_alsa_start_fmt(
                 name.encode(),
@@ -139,7 +139,7 @@ def open_native_mic(
                 logger.info(
                     "native mic open: %s @ %d Hz x%d ch %s (ranked %d/%d)",
                     name, rate, cfg.channels, cfg.sample_format,
-                    len(ranked) - ranked.index(cfg), len(ranked),
+                    pos, len(ranked),
                 )
                 return NativeMicPipeline(lib, handle, ring), ring
         raise BuildStreamError(

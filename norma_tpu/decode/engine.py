@@ -25,7 +25,7 @@ Semantics preserved from the reference, in prob space (post first softmax):
 
 from __future__ import annotations
 
-import math
+import logging
 from dataclasses import dataclass
 from functools import partial
 from typing import List, Optional, Sequence, Tuple
@@ -34,16 +34,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-import logging
-
 from ..constants import LOGPROB_THRESHOLD, NO_SPEECH_THRESHOLD, TEMPERATURES
 from ..model.config import WhisperConfig
-from ..tracing import decode_telemetry
-from ..tracing import instrument as decode_instrument
+from ..model.whisper import cross_kv, decoder_prefill, decoder_step, encode
+from ..tracing import decode_telemetry, instrument as decode_instrument
+from .masks import SpecialTokens, build_masks
 
 logger = logging.getLogger(__name__)
-from ..model.whisper import cross_kv, decoder_prefill, decoder_step, encode
-from .masks import Masks, SpecialTokens, build_masks
 
 
 @dataclass

@@ -40,7 +40,7 @@ from ..constants import (
     SAMPLES_PER_TIMESTAMP_TICK,
     TEMPERATURES,
 )
-from ..frontend.mel import log_mel_spectrogram, prepare_audio
+from ..frontend.mel import prepare_audio
 from ..tracing import instrument
 from ..utils import inclusive_segments
 from .engine import DecodeEngine, DecodingResult
