@@ -259,16 +259,30 @@ def cross_kv(params: Params, cfg: WhisperConfig, xa: jax.Array) -> Tuple[jax.Arr
     xa: [B, Ta, D] audio features -> (xk, xv) each [L, B, Ta, D].
     (candle's only KV cache is exactly this tensor pair; reference
     ``reset_kv_cache`` clears it — here it is simply recomputed per window.)
+
+    Computed as ONE batched einsum over the stacked [L, D, D] projection
+    weights instead of a 32-iteration scan: same per-layer contraction,
+    but a single MXU dispatch (the scan form measured ~6x its compute
+    roofline at B=8 on v5e).
     """
     layers = params["decoder"]["layers"]
 
-    def per_layer(carry, lp):
-        k = ldense(lp, "xk_w", xa)
-        v = ldense(lp, "xv_w", xa, lp["xv_b"])
-        return carry, (k, v)
+    def proj(name: str, bias: jax.Array | None) -> jax.Array:
+        qk = name + "_q"
+        if qk in layers:  # int8 decoder weights (quantize_decoder)
+            w = layers[qk].astype(xa.dtype)
+            y = jnp.einsum("btd,lde->lbte", xa, w, preferred_element_type=jnp.float32)
+            y = y * layers[name + "_s"].astype(jnp.float32)[:, None, None, :]
+        else:
+            y = jnp.einsum(
+                "btd,lde->lbte", xa, layers[name].astype(xa.dtype),
+                preferred_element_type=jnp.float32,
+            )
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)[:, None, None, :]
+        return y.astype(xa.dtype)
 
-    _, (xk, xv) = jax.lax.scan(per_layer, None, layers)
-    return xk, xv
+    return proj("xk_w", None), proj("xv_w", layers["xv_b"])
 
 
 def _decoder_layer_prefill(
