@@ -237,18 +237,19 @@ def logits_head(dec: Params, x: jax.Array) -> jax.Array:
     """Tied-embedding logits head: [..., D] -> [..., V] f32.
 
     Uses the int8 weight-quantized path (ops/quant_matmul) when the params
-    carry a ``tok_emb_q8`` entry; Pallas on TPU, XLA elsewhere.
+    carry a ``tok_emb_q8`` entry.  The XLA form wins on v5e: isolated
+    device profiles measure it at ~90 us/step for distil-large-v3's
+    [1280, 51866] head — essentially the 73 MB int8 streaming roofline —
+    vs 136 us for the Pallas kernel and 177 us for the bf16 head (XLA
+    fuses the int8->bf16 dequant into the matmul's weight fetch).
     """
     if "tok_emb_q8" in dec:
-        from ..ops.quant_matmul import w8_matmul_jnp, w8_matmul_pallas
+        from ..ops.quant_matmul import w8_matmul_jnp
 
         q8 = dec["tok_emb_q8"]
         lead = x.shape[:-1]
         flat = x.reshape(-1, x.shape[-1])
-        if jax.default_backend() == "tpu":
-            y = w8_matmul_pallas(flat, q8["q"], q8["s"])
-        else:
-            y = w8_matmul_jnp(flat, q8["q"], q8["s"])
+        y = w8_matmul_jnp(flat, q8["q"], q8["s"])
         return y.reshape(*lead, y.shape[-1])
     return jnp.dot(x, dec["tok_emb"].T, preferred_element_type=jnp.float32)
 
