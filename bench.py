@@ -78,22 +78,26 @@ def main() -> None:
     t_single = min(run_single() for _ in range(4))
     rtf = t_single / 30.0
 
-    # w8 variant: full int8 decoder weights (quantize_decoder).
-    from norma_tpu.model.quant import quantize_decoder
+    # Quantized variants: int8 logits head (quantize_logits — the
+    # measured -10% device win, PERF.md) and full int8 decoder weights
+    # (quantize_decoder — a memory lever).
+    from norma_tpu.model.quant import quantize_decoder, quantize_logits_head
 
-    qengine = DecodeEngine(
-        jax.device_put(quantize_decoder(params), jax.devices()[0]), cfg, st
-    )
+    def time_variant(qparams):
+        e = DecodeEngine(jax.device_put(qparams, jax.devices()[0]), cfg, st)
 
-    def run_w8():
-        t0 = time.perf_counter()
-        LongFormDecoder(qengine, _NullTokenizer(), LanguageState(const=50259)).transcribe(
-            audio, final_chunk=True
-        )
-        return time.perf_counter() - t0
+        def run():
+            t0 = time.perf_counter()
+            LongFormDecoder(
+                e, _NullTokenizer(), LanguageState(const=50259)
+            ).transcribe(audio, final_chunk=True)
+            return time.perf_counter() - t0
 
-    run_w8()  # warmup
-    t_w8 = min(run_w8() for _ in range(4))
+        run()  # warmup
+        return min(run() for _ in range(4))
+
+    t_w8h = time_variant(quantize_logits_head(params))
+    t_w8 = time_variant(quantize_decoder(params))
 
     # Batched shape: B=8 windows through the PRODUCTION fused program
     # (the multi-stream scheduler's exact call: one dispatch covering
@@ -132,6 +136,8 @@ def main() -> None:
                     # i.e. one window's decode wall-clock.
                     "p50_partial_latency_ms": round(t_single * 1e3, 1),
                     "t_window_single_ms": round(t_single * 1e3, 1),
+                    "t_window_w8_head_ms": round(t_w8h * 1e3, 1),
+                    "rtf_w8_head": round(t_w8h / 30.0, 6),
                     "t_window_w8_decoder_ms": round(t_w8 * 1e3, 1),
                     "rtf_w8_decoder": round(t_w8 / 30.0, 6),
                     "t_window_batched8_ms": round(t_batched * 1e3, 1),
