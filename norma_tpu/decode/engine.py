@@ -72,13 +72,18 @@ class DecodeEngine:
         st: SpecialTokens,
         language_token_ids: Optional[Sequence[int]] = None,
         mel_center: bool = False,
+        fused_sampler: bool = True,
     ):
         self.params = params
         self.cfg = cfg
         self.st = st
         # Fused Pallas grammar+sampling step on TPU (ops/sample_step.py);
-        # set False to force the pure-XLA pipeline on any backend.
-        self.fused_sampler = True
+        # pass False to force the pure-XLA pipeline on any backend.  A
+        # constructor argument (not a mutable attribute) because the value
+        # is read at TRACE time inside the jitted loops: flipping it after
+        # the first decode call would silently have no effect on the
+        # already-compiled programs.
+        self.fused_sampler = bool(fused_sampler)
         # False = reference (whisper.cpp/candle) framing; True = OpenAI/HF
         # centered STFT (matches how the checkpoints were trained).
         self.mel_center = bool(mel_center)
@@ -204,11 +209,14 @@ class DecodeEngine:
         temp,  # [B] f32 per-row temperature
         key0,  # jax PRNG key
         n_rungs: int = 1,
+        fin_init=None,  # [B] bool — rows born finished (no-speech / settled)
     ):
         cfg = self.cfg
         st = self.st
         B, Tmax = tokens_init.shape
         mtp = cfg.max_target_positions
+        if fin_init is None:
+            fin_init = jnp.zeros((B,), bool)
 
         def cond(c):
             (step, tokens, n, p1, p2, last_ts, slp, fin, ll, ck, cv, key) = c
@@ -289,7 +297,7 @@ class DecodeEngine:
             prev2,
             jnp.zeros((B,), jnp.int32),
             jnp.zeros((B,), jnp.float32),
-            jnp.zeros((B,), bool),
+            fin_init,
             next_logits,
             cache_k,
             cache_v,
@@ -392,6 +400,11 @@ class DecodeEngine:
                 temps_row,
                 key0,
                 n_rungs=R,
+                # No-speech early exit (reference model.rs:308-315): gated
+                # streams' rows are born finished, so a silent window costs
+                # zero decode steps instead of a full multi-rung loop (the
+                # host discards their ladder output via the nsp check).
+                fin_init=jnp.tile(nsp > NO_SPEECH_THRESHOLD, R),
             )
             avg = slp / jnp.maximum(n, 1).astype(jnp.float32)
             # compression_ratio is intentionally never computed (NaN in the
@@ -426,6 +439,13 @@ class DecodeEngine:
                 params, xk, xv, cache_k, cache_v, next_logits, tokens_init,
                 jnp.int32(3), prefix[:, -1], prefix[:, -2],
                 jnp.broadcast_to(temps[r], (B,)), jax.random.fold_in(key0, r),
+                # Settled rows (no-speech gate or an earlier accepted rung)
+                # are born finished: their per-row state is frozen and the
+                # step loop can end as soon as the UNSETTLED rows are done,
+                # instead of re-decoding accepted streams to max length.
+                # Outcome-identical — settled rows' results are masked out
+                # by ``take`` below.
+                fin_init=settled,
             )
             avg = slp / jnp.maximum(n, 1).astype(jnp.float32)
             # NaN avg accepted — see the compression_ratio note above.

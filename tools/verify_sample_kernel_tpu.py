@@ -144,8 +144,7 @@ def main() -> None:
             return None
 
     e_on = DecodeEngine(params, cfg, st)
-    e_off = DecodeEngine(params, cfg, st)
-    e_off.fused_sampler = False
+    e_off = DecodeEngine(params, cfg, st, fused_sampler=False)
     audio = (0.1 * rng.standard_normal(N_SAMPLES)).astype(np.float32)
 
     def run(e):
