@@ -47,10 +47,10 @@ def main() -> None:
     from norma_tpu.constants import N_SAMPLES
     from norma_tpu.decode import DecodeEngine, LanguageState, LongFormDecoder
     from norma_tpu.decode.masks import SpecialTokens
-    from norma_tpu.model import PRESETS, init_params
+    from norma_tpu.model import PRESETS, fuse_qkv, init_params
 
     cfg = PRESETS["distil-large-v3"].with_(max_target_positions=136)
-    params = init_params(cfg, seed=0, dtype=jnp.bfloat16)
+    params = fuse_qkv(init_params(cfg, seed=0, dtype=jnp.bfloat16))
     params = jax.device_put(params, jax.devices()[0])
 
     st = SpecialTokens(

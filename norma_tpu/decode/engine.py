@@ -308,11 +308,15 @@ class DecodeEngine:
         )
         return tokens, n, slp
 
-    def _ladder_impl(self, params, audio, langs, seed, *, detect: bool):
+    def _ladder_impl(self, params, audio, langs, seed, active, *, detect: bool):
         """Fused whole-window transcription: ONE device program.
 
         audio: [B, S] padded PCM; langs: [B] int32 language tokens (-1 =
-        detect in-graph, only with ``detect=True``); seed: scalar uint32.
+        detect in-graph, only with ``detect=True``); seed: scalar uint32;
+        active: [B] bool — False rows are batch padding (the scheduler pads
+        partial rounds to a power-of-two bucket): they are born finished in
+        every token loop, so a pad row costs zero decode steps instead of
+        duplicating a real stream's full decode.
 
         Covers the reference's decode_with_fallback (model.rs:164-191)
         including the no-speech early exit (model.rs:308-315) and lazy
@@ -378,6 +382,9 @@ class DecodeEngine:
         tokens_init = jnp.zeros((B, Tmax), jnp.int32).at[:, :3].set(prefix)
         R = len(TEMPERATURES)
         key0 = jax.random.PRNGKey(seed)
+        # No-speech-gated streams and pad rows decode nothing (reference
+        # early exit model.rs:308-315; pads have no consumer at all).
+        gated0 = (nsp > NO_SPEECH_THRESHOLD) | ~active
 
         if B * R <= self._SPECULATIVE_ROWS_MAX:
             # Speculative ladder: rung r of stream b is batch row r*B + b.
@@ -401,10 +408,11 @@ class DecodeEngine:
                 key0,
                 n_rungs=R,
                 # No-speech early exit (reference model.rs:308-315): gated
-                # streams' rows are born finished, so a silent window costs
-                # zero decode steps instead of a full multi-rung loop (the
-                # host discards their ladder output via the nsp check).
-                fin_init=jnp.tile(nsp > NO_SPEECH_THRESHOLD, R),
+                # streams' and pad rows' rows are born finished, so a silent
+                # window costs zero decode steps instead of a full
+                # multi-rung loop (the host discards gated rows' ladder
+                # output via the nsp check).
+                fin_init=jnp.tile(gated0, R),
             )
             avg = slp / jnp.maximum(n, 1).astype(jnp.float32)
             # compression_ratio is intentionally never computed (NaN in the
@@ -427,7 +435,7 @@ class DecodeEngine:
         # settled with the prefix-only result (n=3, avg=0, at_rung=-1),
         # exactly the host-side early exit.
         temps = jnp.asarray(TEMPERATURES, jnp.float32)
-        settled0 = nsp > NO_SPEECH_THRESHOLD
+        settled0 = gated0
 
         def cond(c):
             r, settled, *_ = c
@@ -506,12 +514,15 @@ class DecodeEngine:
         audio: jax.Array,
         langs,
         seed: int,
+        n_active: Optional[int] = None,
     ) -> Tuple[List[Optional[DecodingResult]], dict]:
         """Fused single-dispatch window transcription.
 
         audio: [B, S] padded PCM window(s); langs: per-stream language token
         ids, with -1 requesting in-graph detection; seed: ladder base seed
-        (rung i uses fold_in(seed, i), replacing the host path's seed+i).
+        (rung i uses fold_in(seed, i), replacing the host path's seed+i);
+        n_active: rows [n_active, B) are batch padding and decode nothing
+        (None = all rows are real streams).
 
         Returns (results, info): results[b] is the accepted DecodingResult —
         the prefix-only result when the no-speech probe fired (reference
@@ -525,9 +536,16 @@ class DecodeEngine:
         detect = bool((langs_arr < 0).any())
         if detect and self._lang_ids is None:
             raise ValueError("language detection requires language_token_ids")
+        B = audio.shape[0]
+        active = np.ones(B, bool)
+        if n_active is not None:
+            active[n_active:] = False
         fn = self._ladder_detect if detect else self._ladder
         packed = np.asarray(  # ONE device->host fetch for the whole window
-            fn(self.params, audio, jnp.asarray(langs_arr), jnp.uint32(seed))
+            fn(
+                self.params, audio, jnp.asarray(langs_arr), jnp.uint32(seed),
+                jnp.asarray(active),
+            )
         )
         Tmax = self.cfg.max_target_positions
         btoks = packed[:, :Tmax].astype(np.int32)

@@ -1,5 +1,6 @@
 from .config import PRESETS, WhisperConfig
 from .load import (
+    fuse_qkv,
     init_params,
     load_safetensors,
     param_count,
@@ -18,6 +19,7 @@ from .whisper import (
 __all__ = [
     "PRESETS",
     "WhisperConfig",
+    "fuse_qkv",
     "init_params",
     "load_safetensors",
     "param_count",

@@ -48,11 +48,27 @@ class WhisperConfig:
     # the fused program the pallas_call is a fusion/pipelining barrier.
     # Only in-context device profiles are trusted for this switch.
     flash_attention: bool = False
+    # Encoder self-attention implementation (TPU-only selector; non-TPU
+    # backends always use "xla"):
+    #   "xla"       — plain einsum QK/softmax/PV (default)
+    #   "chunked"   — lax.scan over query chunks: bounds the materialized
+    #                 score buffer to [H, chunk, Tk] so XLA can keep the
+    #                 QK->softmax->PV chain VMEM-resident per chunk
+    #   "flash"     — in-house Pallas kernel (ops/flash_encoder.py)
+    #   "jax_flash" — jax.experimental.pallas.ops.tpu.flash_attention
+    # ``flash_attention=True`` is the legacy alias for "flash".
+    encoder_attn_impl: str = "xla"
+    # Query-chunk length for "chunked" (scores buffer = H*chunk*Tk).
+    encoder_attn_chunk: int = 256
     # Materialize encoder self-attention scores in bf16 (TPU only).  The
-    # [heads, 1500, 1500] score buffer is ~180 MB f32 per layer — the
-    # dominant HBM traffic of the encoder; bf16 halves it.  Softmax still
-    # reduces in f32.  See PERF.md for the in-context measurement.
-    encoder_scores_bf16: bool = True
+    # [heads, 1500, 1500] score buffer is the dominant HBM traffic of the
+    # encoder; bf16 halves it (~11% device window time, PERF.md).  Default
+    # OFF: the hardware accuracy gate (tools/verify_encoder_scores_tpu.py)
+    # measures ~0.5-1% encoder-feature drift that FLIPS greedy tokens on
+    # seeded checkpoints, and the reference computes f32 scores
+    # (candle whisper DTYPE, model.rs:12) — opt in only where a WER check
+    # against real audio has cleared it.
+    encoder_scores_bf16: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -240,3 +240,57 @@ def init_params(cfg: WhisperConfig, seed: int = 0, dtype=jnp.float32) -> Dict[st
 
 def param_count(params) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+
+
+def fuse_qkv(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Fuse each layer stack's self-attention Q/K/V into one tensor.
+
+    ``q_w``/``k_w``/``v_w`` [L, D, D] -> ``qkv_w`` [L, D, 3, D] (axis 2 =
+    which projection, so tensor-parallel sharding of the last axis keeps
+    Megatron head-sharding semantics for all three at once), and
+    ``q_b``/``v_b`` -> ``qkv_b`` [L, 3, D] with zeros in the K slot
+    (whisper's k_proj has no bias).  The per-token decode step then streams
+    one weight tensor and issues one matmul instead of three
+    (:func:`~norma_tpu.model.whisper.qkv_proj`).
+
+    Also handles already-int8 layers (``q_w_q``/``q_w_s`` from
+    :func:`~norma_tpu.model.quant.quantize_decoder`): per-out-channel
+    scales stack the same way.  Idempotent; cross-attention projections
+    are untouched (their K/V precompute in ``cross_kv`` is already one
+    batched einsum).
+    """
+
+    def fuse_stack(layers: Dict[str, Any]) -> Dict[str, Any]:
+        layers = dict(layers)
+        if "q_w" in layers:
+            qkv_w = jnp.stack(
+                [layers.pop("q_w"), layers.pop("k_w"), layers.pop("v_w")],
+                axis=2,
+            )
+            v_b = layers.pop("v_b")
+            qkv_b = jnp.stack(
+                [layers.pop("q_b"), jnp.zeros_like(v_b), v_b], axis=1
+            )
+            layers["qkv_w"] = qkv_w
+            layers["qkv_b"] = qkv_b
+        elif "q_w_q" in layers:
+            layers["qkv_w_q"] = jnp.stack(
+                [layers.pop("q_w_q"), layers.pop("k_w_q"), layers.pop("v_w_q")],
+                axis=2,
+            )
+            layers["qkv_w_s"] = jnp.stack(
+                [layers.pop("q_w_s"), layers.pop("k_w_s"), layers.pop("v_w_s")],
+                axis=1,
+            )
+            v_b = layers.pop("v_b")
+            layers["qkv_b"] = jnp.stack(
+                [layers.pop("q_b"), jnp.zeros_like(v_b), v_b], axis=1
+            )
+        return layers
+
+    out = dict(params)
+    for part in ("encoder", "decoder"):
+        sec = dict(out[part])
+        sec["layers"] = fuse_stack(sec["layers"])
+        out[part] = sec
+    return out

@@ -35,9 +35,11 @@ def quantize_logits_head(params: dict) -> dict:
     return out
 
 
-# Decoder-layer weight matrices eligible for int8 (stacked [L, in, out]).
+# Decoder-layer weight matrices eligible for int8 (stacked [L, in, ...out]).
+# ``qkv_w`` is the fused [L, in, 3, out] form (load.fuse_qkv); unfused
+# params carry the separate q_w/k_w/v_w instead.
 DECODER_W8_KEYS = (
-    "q_w", "k_w", "v_w", "o_w",
+    "qkv_w", "q_w", "k_w", "v_w", "o_w",
     "xq_w", "xk_w", "xv_w", "xo_w",
     "fc1_w", "fc2_w",
 )
@@ -46,9 +48,10 @@ DECODER_W8_KEYS = (
 def quantize_decoder(params: dict) -> dict:
     """Return params with all decoder-layer matmul weights as int8.
 
-    Each stacked weight ``name`` [L, in, out] is replaced by ``name_q``
-    (int8, per-(layer, out-channel) symmetric) + ``name_s`` (f32 [L, out]);
-    the logits head is quantized too.
+    Each stacked weight ``name`` [L, in, *out] is replaced by ``name_q``
+    (int8, per-(layer, out-channel) symmetric; axis 1 is the contraction)
+    + ``name_s`` (f32 [L, *out]); the logits head is quantized too.
+    Works on fused (``qkv_w`` [L, in, 3, out]) and unfused layer stacks.
     """
     import jax.numpy as jnp
 
@@ -56,10 +59,14 @@ def quantize_decoder(params: dict) -> dict:
     dec = dict(out["decoder"])
     layers = dict(dec["layers"])
     for name in DECODER_W8_KEYS:
-        w = np.asarray(layers[name], np.float32)  # [L, in, out]
-        amax = np.abs(w).max(axis=1)  # [L, out]
+        if name not in layers:
+            continue
+        w = np.asarray(layers[name], np.float32)  # [L, in, *out]
+        amax = np.abs(w).max(axis=1)  # [L, *out]
         scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
-        q = np.clip(np.round(w / scale[:, None, :]), -127, 127).astype(np.int8)
+        q = np.clip(
+            np.round(w / np.expand_dims(scale, 1)), -127, 127
+        ).astype(np.int8)
         del layers[name]
         layers[name + "_q"] = jnp.asarray(q)
         layers[name + "_s"] = jnp.asarray(scale)

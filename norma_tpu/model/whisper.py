@@ -76,6 +76,39 @@ def ldense(lp: Params, name: str, x: jax.Array, bias: jax.Array | None = None) -
     return dense(x, lp[name], bias)
 
 
+def qkv_proj(
+    lp: Params, x: jax.Array, px: str = ""
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Self-attention Q/K/V projection with fused-weight dispatch.
+
+    When the params carry a fused ``qkv_w`` [D, 3, D] (built by
+    :func:`~norma_tpu.model.load.fuse_qkv`; int8 variant ``qkv_w_q`` +
+    ``qkv_w_s``), the three projections run as ONE matmul — one weight
+    stream from HBM and one MXU dispatch instead of three back-to-back
+    GEMVs, which matters in the per-token decode hot path (the decoder
+    step is weight-bandwidth-bound; see PERF.md).  Falls back to the
+    separate ``q_w``/``k_w``/``v_w`` form (identical math: whisper's
+    k_proj has no bias, so the fused bias carries zeros for K).
+    """
+    key = f"{px}qkv_w"
+    if key + "_q" in lp:  # int8 fused (quantize_decoder after fuse_qkv)
+        w = lp[key + "_q"].astype(x.dtype)
+        y = jnp.einsum("...d,dce->...ce", x, w, preferred_element_type=jnp.float32)
+        y = y * lp[key + "_s"].astype(jnp.float32)
+        y = (y + lp[f"{px}qkv_b"].astype(jnp.float32)).astype(x.dtype)
+    elif key in lp:
+        y = jnp.einsum(
+            "...d,dce->...ce", x, lp[key], preferred_element_type=jnp.float32
+        )
+        y = (y + lp[f"{px}qkv_b"].astype(jnp.float32)).astype(x.dtype)
+    else:
+        q = ldense(lp, f"{px}q_w", x, lp[f"{px}q_b"])
+        k = ldense(lp, f"{px}k_w", x)  # whisper k_proj has no bias
+        v = ldense(lp, f"{px}v_w", x, lp[f"{px}v_b"])
+        return q, k, v
+    return y[..., 0, :], y[..., 1, :], y[..., 2, :]
+
+
 def _split_heads(x: jax.Array, n_heads: int) -> jax.Array:
     # [B, T, D] -> [B, T, H, Dh]
     b, t, d = x.shape
@@ -118,6 +151,48 @@ def attention(
     return _merge_heads(out.astype(q.dtype))
 
 
+def attention_chunked(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    n_heads: int,
+    chunk: int,
+    scores_bf16: bool = False,
+) -> jax.Array:
+    """Query-chunked attention in pure XLA (no pallas_call barrier).
+
+    Mathematically identical to :func:`attention` with no mask: the softmax
+    normalizes over the FULL key axis for every query row, so chunking the
+    query axis is exact (no online-softmax needed).  The win is the
+    materialized score buffer: [B,H,chunk,Tk] per scan step instead of
+    [B,H,Tq,Tk] — small enough (~16 MB VMEM/core) for XLA to schedule the
+    QK->softmax->PV chain without round-tripping a [20,1500,1500] tensor
+    through HBM, while staying inside XLA's fusion/DMA pipeline (the
+    failure mode of the pallas kernel in the fused window program;
+    PERF.md "Flash attention: the context-dependence finding").
+    """
+    b, t, d = q.shape
+    if t % chunk != 0:  # fall back rather than pad (encoder T is 1500)
+        return attention(q, k, v, n_heads, None, scores_bf16=scores_bf16)
+    dh = d // n_heads
+    scale = dh**-0.25
+    kh = _split_heads(k, n_heads) * scale
+    vh = _split_heads(v, n_heads)
+    nc = t // chunk
+    qh = (_split_heads(q, n_heads) * scale).reshape(b, nc, chunk, n_heads, dh)
+    qh = qh.transpose(1, 0, 2, 3, 4)  # [nc, B, C, H, dh]
+    pet = jnp.bfloat16 if scores_bf16 else jnp.float32
+
+    def body(_, qc):
+        logits = jnp.einsum("bchd,bkhd->bhck", qc, kh, preferred_element_type=pet)
+        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+        o = jnp.einsum("bhck,bkhd->bchd", w, vh, preferred_element_type=jnp.float32)
+        return None, o.astype(q.dtype)
+
+    _, out = jax.lax.scan(body, None, qh)  # [nc, B, C, H, dh]
+    return out.transpose(1, 0, 2, 3, 4).reshape(b, t, n_heads * dh)
+
+
 def attention_grouped(
     q: jax.Array, k: jax.Array, v: jax.Array, n_heads: int, n_groups: int
 ) -> jax.Array:
@@ -150,9 +225,7 @@ def _self_attn(
     p: Params, prefix: str, x: jax.Array, n_heads: int, mask=None,
     scores_bf16: bool = False,
 ):
-    q = ldense(p, f"{prefix}q_w", x, p[f"{prefix}q_b"])
-    k = ldense(p, f"{prefix}k_w", x)  # whisper k_proj has no bias
-    v = ldense(p, f"{prefix}v_w", x, p[f"{prefix}v_b"])
+    q, k, v = qkv_proj(p, x, prefix)
     o = attention(q, k, v, n_heads, mask, scores_bf16=scores_bf16)
     return ldense(p, f"{prefix}o_w", o, p[f"{prefix}o_b"])
 
@@ -192,9 +265,7 @@ def encoder_layer(
     if use_flash:
         from ..ops.flash_encoder import flash_self_attention
 
-        q = ldense(p, "q_w", h, p["q_b"])
-        k = ldense(p, "k_w", h)
-        v = ldense(p, "v_w", h, p["v_b"])
+        q, k, v = qkv_proj(p, h)
         a = flash_self_attention(q, k, v, n_heads)
         x = x + ldense(p, "o_w", a, p["o_b"])
     else:
@@ -290,9 +361,7 @@ def _decoder_layer_prefill(
     lp: Params, x: jax.Array, xk: jax.Array, xv: jax.Array, n_heads: int, causal: jax.Array
 ):
     h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
-    q = ldense(lp, "q_w", h, lp["q_b"])
-    k = ldense(lp, "k_w", h)
-    v = ldense(lp, "v_w", h, lp["v_b"])
+    q, k, v = qkv_proj(lp, h)
     a = attention(q, k, v, n_heads, causal)
     x = x + ldense(lp, "o_w", a, lp["o_b"])
 
@@ -381,9 +450,7 @@ def decoder_step(
     def body(x, layer_in):
         lp, ck, cv, lxk, lxv = layer_in
         h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
-        q = ldense(lp, "q_w", h, lp["q_b"])
-        k = ldense(lp, "k_w", h)
-        v = ldense(lp, "v_w", h, lp["v_b"])
+        q, k, v = qkv_proj(lp, h)
         ck = jax.lax.dynamic_update_slice(ck, k.astype(dtype), (0, pos, 0))
         cv = jax.lax.dynamic_update_slice(cv, v.astype(dtype), (0, pos, 0))
         a = attention(q, ck, cv, n_heads, key_mask)

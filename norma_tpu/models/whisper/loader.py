@@ -145,6 +145,9 @@ def build_model(
         params = load_gguf_q8(files.weights, cfg, dtype)
     else:
         params = load_safetensors(files.weights, cfg, dtype)
+    from ...model.load import fuse_qkv
+
+    params = fuse_qkv(params)  # one fused QKV matmul in the decode hot path
     if quantize_decoder:
         from ...model.quant import quantize_decoder as _qd
 

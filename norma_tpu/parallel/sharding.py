@@ -40,11 +40,20 @@ def make_mesh(
 _COL = ("q_w", "k_w", "v_w", "xq_w", "xk_w", "xv_w", "fc1_w")  # shard out-dim
 _COL_B = ("q_b", "v_b", "xq_b", "xv_b", "fc1_b")  # shard bias
 _ROW = ("o_w", "xo_w", "fc2_w")  # shard in-dim
+# Fused QKV (load.fuse_qkv): [L, D, 3, D] — sharding the LAST axis keeps
+# Megatron head-sharding for q, k and v simultaneously (axis 2 indexes
+# which projection, so head boundaries never straddle ranks).
+_QKV_W = P(None, None, None, "tp")
+_QKV_B = P(None, None, "tp")  # [L, 3, D]
 
 
 def _layer_leaf_spec(name: str) -> P:
     # int8 variants (quantize_decoder): name_q shards like the base weight;
     # name_s is per-out-channel and follows the out dim.
+    if name == "qkv_w" or name == "qkv_w_q":
+        return _QKV_W
+    if name in ("qkv_b", "qkv_w_s"):
+        return _QKV_B
     if name.endswith("_q"):
         base = name[:-2]
         if base in _COL:

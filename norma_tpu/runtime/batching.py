@@ -100,6 +100,12 @@ class BatchedTranscriber:
         self._streams: Dict[int, _Stream] = {}
         self._lock = threading.Lock()
         self._next_sid = 0
+        # Loss accounting for retired streams (live streams are added on
+        # top in metrics()): the batched path's lossy sends are a
+        # deliberate tradeoff vs the reference's blocking channel — these
+        # counters make the tradeoff observable (zero under nominal load).
+        self._retired_transcript_drops = 0
+        self._retired_audio_drops = 0
         self._closed = threading.Event()
         # Signaled by every stream ring on send/close: the scheduler blocks
         # on this single event when idle instead of polling (the reference's
@@ -250,7 +256,11 @@ class BatchedTranscriber:
         for i, s in enumerate(ready):
             windows[i] = prepare_audio(s.state.next_window(), n_frames=n_frames)
         if n < B:
-            windows[n:] = windows[0]  # pad rows; results discarded
+            # Pad rows: content is irrelevant (n_active marks them inert in
+            # the ladder program — born-finished, zero decode steps); row 0
+            # is copied only to keep the mel/encoder numerics on well-formed
+            # audio.
+            windows[n:] = windows[0]
 
         langs = np.zeros(B, np.int32)
         for i, s in enumerate(ready):
@@ -271,7 +281,7 @@ class BatchedTranscriber:
 
             audio_j = jax.device_put(audio_j, self._batch_sharding)
         drs, info = self.engine.transcribe_window(
-            audio_j, langs, seed=ready[0].seed
+            audio_j, langs, seed=ready[0].seed, n_active=n
         )
 
         for i, s in enumerate(ready):
@@ -295,6 +305,25 @@ class BatchedTranscriber:
         s.schan.close_sender()
         with self._lock:
             self._streams.pop(s.sid, None)
+            self._retired_transcript_drops += s.schan.dropped
+            self._retired_audio_drops += s.ring.dropped
+
+    def metrics(self) -> Dict[str, int]:
+        """Loss counters across retired and live streams.
+
+        ``transcript_drops``: segments discarded by the bounded-wait
+        ``StringChannel.try_send`` (a consumer stalled > 0.2 s);
+        ``audio_drops``: chunks discarded by the lossy audio ring
+        (reference semantics, lib.rs:248-252).  Both are 0 under nominal
+        load (pinned by the churn soaks).
+        """
+        with self._lock:
+            live = list(self._streams.values())
+            t = self._retired_transcript_drops + sum(
+                s.schan.dropped for s in live
+            )
+            a = self._retired_audio_drops + sum(s.ring.dropped for s in live)
+        return {"transcript_drops": t, "audio_drops": a}
 
     def _run(self) -> None:
         while True:

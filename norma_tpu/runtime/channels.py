@@ -189,6 +189,11 @@ class StringChannel:
         self._maxsize = max(maxsize, 1)
         self._sender_closed = False
         self._receiver_closed = False
+        # Transcripts dropped by try_send on a full channel.  Surfaced so
+        # the lossy-batched-path tradeoff vs the reference's always-blocking
+        # StringChannel is MEASURED, not assumed (zero under nominal load —
+        # pinned by the churn soak tests).
+        self.dropped = 0
 
     def send(self, s: str) -> None:
         """Blocking send; raises ReceiverClosed if the receiver is gone."""
@@ -216,6 +221,7 @@ class StringChannel:
                     return True
                 remaining = deadline - time.monotonic()
                 if remaining <= 0 or not self._cond.wait(remaining):
+                    self.dropped += 1
                     logger.warning("transcript channel full; dropping segment")
                     return False
 

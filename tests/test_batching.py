@@ -121,3 +121,136 @@ def test_batched_matches_single_stream(model):
     bt.close()
 
     assert got == expected_tone
+
+
+def test_admission_bounded_by_one_round(model):
+    """A stream whose audio arrives while a round is IN FLIGHT is admitted
+    in the immediately following round — worst-case admission latency is
+    one program duration (VERDICT r2: bounded-latency admission)."""
+    import threading
+
+    from norma_tpu.decode import DecodeEngine
+    from norma_tpu.model import init_params
+
+    cfg = tiny_config()
+    engine = DecodeEngine(
+        init_params(cfg, seed=3), cfg, TEST_ST, language_token_ids=TEST_LANG_IDS
+    )
+    from norma_tpu.models.whisper.model import WhisperModel
+
+    m = WhisperModel(
+        engine, ToyTokenizer(), LanguageState(const=TEST_LANG_IDS[0]),
+        language_tokens=TEST_LANG_IDS,
+    )
+    bt = BatchedTranscriber(m, max_streams=4)
+
+    permits = threading.Semaphore(0)
+    gate_on = threading.Event()
+    gate_on.set()
+    rounds = []
+    orig_round = bt._decode_round
+    orig_window = engine.transcribe_window
+
+    def gated_window(audio, langs, seed, n_active=None):
+        if gate_on.is_set():
+            assert permits.acquire(timeout=60), "test gate timed out"
+        return orig_window(audio, langs, seed, n_active=n_active)
+
+    def spy_round(ready):
+        rounds.append(sorted(s.sid for s in ready))
+        return orig_round(ready)
+
+    engine.transcribe_window = gated_window
+    bt._decode_round = spy_round
+    try:
+        # Stream A: enough audio for several windows => several rounds.
+        ha = bt.blocking_start(
+            Settings(source=SyntheticSource(
+                sample_rate=16_000, channels=1, duration=3.0, freq=330.0,
+                realtime=False,
+            ))
+        )
+        ta = threading.Thread(target=lambda: list(ha.receiver), daemon=True)
+        ta.start()
+        # Wait for round 1 to be in flight (blocked on the gate).
+        deadline = time.monotonic() + 30
+        while not rounds and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert rounds, "no round started"
+
+        # Mid-round: stream B arrives and its audio is fully buffered.
+        hb = bt.blocking_start(
+            Settings(source=SyntheticSource(
+                sample_rate=16_000, channels=1, duration=0.6, freq=440.0,
+                realtime=False,
+            ))
+        )
+        tb = threading.Thread(target=lambda: list(hb.receiver), daemon=True)
+        tb.start()
+        time.sleep(0.3)  # let B's source drain into its ring
+        n_before = len(rounds)
+        permits.release()  # finish the in-flight round
+
+        # B must be in the very next round that starts.
+        deadline = time.monotonic() + 30
+        while len(rounds) <= n_before and time.monotonic() < deadline:
+            permits.release()
+            time.sleep(0.01)
+        assert len(rounds) > n_before, "no further round started"
+        assert hb._sid in rounds[n_before], (
+            f"stream admitted late: rounds={rounds}"
+        )
+        gate_on.clear()
+        for _ in range(64):
+            permits.release()
+        ta.join(timeout=60)
+        tb.join(timeout=60)
+        assert not ta.is_alive() and not tb.is_alive()
+    finally:
+        gate_on.clear()
+        for _ in range(256):
+            permits.release()
+        bt.close()
+
+
+def test_pad_rows_are_inert(monkeypatch):
+    """Engine-level: padded rows (n_active) decode nothing and leave real
+    rows' results identical to an unpadded batch."""
+    import norma_tpu.decode.engine as engine_mod
+
+    monkeypatch.setattr(engine_mod, "LOGPROB_THRESHOLD", -100.0)
+    from norma_tpu.decode import DecodeEngine
+    from norma_tpu.frontend.mel import prepare_audio
+    from norma_tpu.model import init_params
+    import jax.numpy as jnp
+
+    cfg = tiny_config()
+    engine = DecodeEngine(
+        init_params(cfg, seed=0), cfg, TEST_ST, language_token_ids=TEST_LANG_IDS
+    )
+    n_frames = 2 * cfg.max_source_positions
+    rng = np.random.default_rng(7)
+    wins = np.stack([
+        prepare_audio(
+            (0.1 * rng.standard_normal(12_000)).astype(np.float32),
+            n_frames=n_frames,
+        )
+        for _ in range(2)
+    ])
+    lang = TEST_LANG_IDS[0]
+
+    want, _ = engine.transcribe_window(jnp.asarray(wins), [lang] * 2, seed=0)
+    # B=4 with 2 pad rows (duplicating row 0, as the scheduler does).
+    padded = np.concatenate([wins, wins[:1], wins[:1]], axis=0)
+    got, _ = engine.transcribe_window(
+        jnp.asarray(padded), [lang] * 4, seed=0, n_active=2
+    )
+    for i in range(2):
+        assert got[i].tokens == want[i].tokens
+        assert got[i].avg_logprob == pytest.approx(
+            want[i].avg_logprob, abs=1e-4, nan_ok=True
+        )
+    # Pad rows decoded nothing: prefix-only token state (or None when the
+    # host ladder sees the born-finished row as all-rungs-failed).
+    for i in (2, 3):
+        assert got[i] is None or len(got[i].tokens) == 3

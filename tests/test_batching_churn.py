@@ -67,6 +67,11 @@ def test_churn_waves_and_abandoned_receiver():
         for tag, segs in results.items():
             assert segs, f"stream {tag} produced no output"
             assert all(isinstance(s, str) for s in segs)
+        # Under nominal load (receivers drained promptly) the lossy paths
+        # must not fire: zero transcript drops, zero audio-chunk drops.
+        m = bt.metrics()
+        assert m["transcript_drops"] == 0, m
+        assert m["audio_drops"] == 0, m
     finally:
         bt.close()
     assert not bt._thread.is_alive(), "scheduler thread did not exit"
