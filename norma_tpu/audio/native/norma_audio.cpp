@@ -20,6 +20,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <dlfcn.h>
 #include <thread>
@@ -288,7 +289,13 @@ struct AlsaFns {
 
   bool load() {
     if (lib) return true;
-    lib = dlopen("libasound.so.2", RTLD_NOW | RTLD_LOCAL);
+    // NTA_ALSA_LIB overrides the library path: nonstandard ALSA installs,
+    // and the hermetic CI stub (tests/stub_alsa) that lets the ranked
+    // config-negotiation path execute on hosts with no sound stack.
+    const char* override_path = getenv("NTA_ALSA_LIB");
+    if (override_path && *override_path)
+      lib = dlopen(override_path, RTLD_NOW | RTLD_LOCAL);
+    if (!lib) lib = dlopen("libasound.so.2", RTLD_NOW | RTLD_LOCAL);
     if (!lib) lib = dlopen("libasound.so", RTLD_NOW | RTLD_LOCAL);
     if (!lib) return false;
     pcm_open = reinterpret_cast<decltype(pcm_open)>(dlsym(lib, "snd_pcm_open"));

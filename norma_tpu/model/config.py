@@ -59,7 +59,14 @@ class WhisperConfig:
     # ``flash_attention=True`` is the legacy alias for "flash".
     encoder_attn_impl: str = "xla"
     # Query-chunk length for "chunked" (scores buffer = H*chunk*Tk).
-    encoder_attn_chunk: int = 256
+    # Must divide the encoder sequence length (1500) or the layer falls
+    # back to full attention.
+    encoder_attn_chunk: int = 250
+    # Unroll factor for the encoder layer scan (1 = rolled).  Unrolling
+    # lets XLA overlap one layer's tail with the next layer's weight DMAs
+    # at the cost of compile time; relevant mainly for the pallas attention
+    # impls whose kernel boundary blocks cross-iteration pipelining.
+    encoder_unroll: int = 1
     # Materialize encoder self-attention scores in bf16 (TPU only).  The
     # [heads, 1500, 1500] score buffer is the dominant HBM traffic of the
     # encoder; bf16 halves it (~11% device window time, PERF.md).  Default

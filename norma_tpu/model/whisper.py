@@ -258,18 +258,30 @@ def encoder_layer(
     p: Params,
     x: jax.Array,
     n_heads: int,
-    use_flash: bool = False,
+    attn_impl: str = "xla",
     scores_bf16: bool = False,
+    chunk: int = 256,
 ) -> jax.Array:
     h = layer_norm(x, p["attn_ln_g"], p["attn_ln_b"])
-    if use_flash:
-        from ..ops.flash_encoder import flash_self_attention
-
-        q, k, v = qkv_proj(p, h)
-        a = flash_self_attention(q, k, v, n_heads)
-        x = x + ldense(p, "o_w", a, p["o_b"])
-    else:
+    if attn_impl == "xla":
         x = x + _self_attn(p, "", h, n_heads, scores_bf16=scores_bf16)
+    else:
+        q, k, v = qkv_proj(p, h)
+        if attn_impl == "chunked":
+            a = attention_chunked(
+                q, k, v, n_heads, chunk, scores_bf16=scores_bf16
+            )
+        elif attn_impl == "flash":
+            from ..ops.flash_encoder import flash_self_attention
+
+            a = flash_self_attention(q, k, v, n_heads)
+        elif attn_impl == "jax_flash":
+            from ..ops.flash_encoder import jax_flash_self_attention
+
+            a = jax_flash_self_attention(q, k, v, n_heads)
+        else:
+            raise ValueError(f"unknown encoder_attn_impl {attn_impl!r}")
+        x = x + ldense(p, "o_w", a, p["o_b"])
     h = layer_norm(x, p["mlp_ln_g"], p["mlp_ln_b"])
     return x + _mlp(p, h)
 
@@ -284,18 +296,29 @@ def encode(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Array:
     x = x + enc["pos"][: x.shape[1]].astype(x.dtype)
 
     n_heads = cfg.encoder_attention_heads
-    # Flash kernel: opt-in, TPU-only (trace-time backend check keeps CPU
-    # tests and the virtual-device mesh on the XLA attention).
-    use_flash = bool(cfg.flash_attention) and jax.default_backend() == "tpu"
+    # Non-default attention impls are opt-in and TPU-only (trace-time
+    # backend check keeps CPU tests and the virtual-device mesh on the
+    # exact XLA attention); flash_attention=True is the legacy alias.
+    attn_impl = cfg.encoder_attn_impl
+    if cfg.flash_attention and attn_impl == "xla":
+        attn_impl = "flash"
+    if jax.default_backend() != "tpu":
+        attn_impl = "xla"
     # bf16 score materialization: TPU-only so CPU parity tests keep f32.
     scores_bf16 = (
         bool(cfg.encoder_scores_bf16) and jax.default_backend() == "tpu"
     )
 
     def body(carry, layer_p):
-        return encoder_layer(layer_p, carry, n_heads, use_flash, scores_bf16), None
+        return (
+            encoder_layer(
+                layer_p, carry, n_heads, attn_impl, scores_bf16,
+                cfg.encoder_attn_chunk,
+            ),
+            None,
+        )
 
-    x, _ = jax.lax.scan(body, x, enc["layers"])
+    x, _ = jax.lax.scan(body, x, enc["layers"], unroll=cfg.encoder_unroll)
     return layer_norm(x, enc["ln_g"], enc["ln_b"])
 
 

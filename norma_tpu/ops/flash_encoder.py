@@ -20,7 +20,9 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array, n_heads: int):
+def flash_self_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, n_heads: int, block_sizes=None
+):
     """q/k/v: [B, T, D] projected inputs (whisper scaling applied inside).
 
     Returns [B, T, D] attention output, numerically matching the standard
@@ -57,6 +59,23 @@ def flash_self_attention(q: jax.Array, k: jax.Array, v: jax.Array, n_heads: int)
         segment_ids=segment_ids,
         causal=False,
         sm_scale=float(dh) ** -0.5,
+        block_sizes=block_sizes,
     )  # [B,H,Tp,dh]
     out = out[:, :, :T, :].transpose(0, 2, 1, 3).reshape(B, T, D)
     return out.astype(q.dtype)
+
+
+def jax_flash_self_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, n_heads: int
+):
+    """Flash attention with v5e-tuned block sizes.
+
+    The default BlockSizes (128/128/128) drive a 12x12 grid per head over
+    the padded 1536-length sequence; larger tiles cut grid/pipeline
+    overhead and raise MXU occupancy per step (512x512 scores = 1 MB f32,
+    comfortably inside VMEM next to the K/V tiles).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+
+    bs = BlockSizes(block_q=512, block_k_major=512, block_k=512, block_b=1)
+    return flash_self_attention(q, k, v, n_heads, block_sizes=bs)

@@ -7,6 +7,10 @@ dependency-free gate built on PEP 669 ``sys.monitoring``: LINE events with
 first-hit DISABLE (near-zero steady-state overhead), measured against the
 set of executable lines from each module's compiled code objects.
 
+On Python < 3.12 (no sys.monitoring) it falls back to a ``sys.settrace``
+tracer scoped to package frames — slower, but it lets the SAME bar run on
+every CI matrix leg (VERDICT r2 item 7: the gate must not be single-leg).
+
 Usage:
   python tools/coverage_gate.py [--fail-under PCT] [pytest args...]
 
@@ -59,24 +63,55 @@ def iter_sources():
                 yield os.path.join(dirpath, f)
 
 
+def _settrace_tracer(frame, event, arg):
+    """Pre-3.12 fallback: line tracer scoped to package frames.
+
+    Returning None from a non-package 'call' event disables tracing for
+    that frame (and only that frame), so test/third-party code runs at
+    full speed; package frames pay per-line overhead.
+    """
+    if event == "call":
+        if not frame.f_code.co_filename.startswith(PKG):
+            return None
+        return _settrace_tracer
+    if event == "line":
+        _hits.add((frame.f_code.co_filename, frame.f_lineno))
+    return _settrace_tracer
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--fail-under", type=float, default=85.0)
     args, pytest_args = ap.parse_known_args()
 
-    tool = sys.monitoring.COVERAGE_ID
-    sys.monitoring.use_tool_id(tool, "norma-coverage-gate")
-    sys.monitoring.register_callback(
-        tool, sys.monitoring.events.LINE, _on_line
+    use_monitoring = hasattr(sys, "monitoring") and not os.environ.get(
+        "COVERAGE_GATE_FORCE_SETTRACE"  # test hook for the 3.10 path
     )
-    sys.monitoring.set_events(tool, sys.monitoring.events.LINE)
+    if use_monitoring:
+        tool = sys.monitoring.COVERAGE_ID
+        sys.monitoring.use_tool_id(tool, "norma-coverage-gate")
+        sys.monitoring.register_callback(
+            tool, sys.monitoring.events.LINE, _on_line
+        )
+        sys.monitoring.set_events(tool, sys.monitoring.events.LINE)
+    else:
+        import threading
+
+        threading.settrace(_settrace_tracer)  # runtime threads too
+        sys.settrace(_settrace_tracer)
 
     import pytest
 
     rc = pytest.main(pytest_args or ["tests/", "-q"])
 
-    sys.monitoring.set_events(tool, 0)
-    sys.monitoring.free_tool_id(tool)
+    if use_monitoring:
+        sys.monitoring.set_events(tool, 0)
+        sys.monitoring.free_tool_id(tool)
+    else:
+        sys.settrace(None)
+        import threading
+
+        threading.settrace(None)
 
     if rc != 0:
         print(f"coverage gate: test run failed (rc={rc}); not scoring")
