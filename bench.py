@@ -22,11 +22,37 @@ Prints ONE JSON line.
 """
 
 import json
+import shutil
 import time
 
 import numpy as np
 
 TOKENS_PER_WINDOW = 132  # max_target_positions=136 minus prefix+final slot
+
+
+def device_ms_per_window(fn, n: int, tag: str):
+    """DEVICE milliseconds per window call, from a jax.profiler xplane.
+
+    Wall-clock through the remotely-attached TPU carries ~70-200 ms/call
+    of tunnel dispatch+fetch overhead, so the device-side time from the
+    profiler is the trustworthy per-window number (PERF.md methodology).
+    Returns None when profiling is unavailable (e.g. no tensorflow proto
+    parser on the host) — the bench then reports wall only.
+    """
+    try:
+        from norma_tpu.tracing import device_time_report, profile
+
+        tdir = f"/tmp/norma_bench_prof/{tag}"
+        shutil.rmtree(tdir, ignore_errors=True)
+        with profile(tdir):
+            for _ in range(n):
+                fn()
+        mods = device_time_report(tdir, "XLA Modules")
+        total = sum(t for t, _ in mods.values())
+        return total / n
+    except Exception as e:  # pragma: no cover - environment-dependent
+        print(f"# device profiling unavailable ({tag}): {e!r}")
+        return None
 
 
 class _NullTokenizer:
@@ -77,13 +103,16 @@ def main() -> None:
 
     t_single = min(run_single() for _ in range(4))
     rtf = t_single / 30.0
+    d_single = device_ms_per_window(
+        lambda: make_lf().transcribe(audio, final_chunk=True), 2, "single"
+    )
 
     # Quantized variants: int8 logits head (quantize_logits — the
     # measured -10% device win, PERF.md) and full int8 decoder weights
     # (quantize_decoder — a memory lever).
     from norma_tpu.model.quant import quantize_decoder, quantize_logits_head
 
-    def time_variant(qparams):
+    def time_variant(qparams, tag):
         e = DecodeEngine(jax.device_put(qparams, jax.devices()[0]), cfg, st)
 
         def run():
@@ -94,10 +123,12 @@ def main() -> None:
             return time.perf_counter() - t0
 
         run()  # warmup
-        return min(run() for _ in range(4))
+        wall = min(run() for _ in range(4))
+        dev = device_ms_per_window(run, 2, tag)
+        return wall, dev
 
-    t_w8h = time_variant(quantize_logits_head(params))
-    t_w8 = time_variant(quantize_decoder(params))
+    t_w8h, d_w8h = time_variant(quantize_logits_head(params), "w8_head")
+    t_w8, d_w8 = time_variant(quantize_decoder(params), "w8_decoder")
 
     # Batched shape: B=8 windows through the PRODUCTION fused program
     # (the multi-stream scheduler's exact call: one dispatch covering
@@ -121,8 +152,16 @@ def main() -> None:
     run_batched()  # warmup/compile
     t_batched = min(run_batched() for _ in range(4))
     rtf8 = t_batched / 30.0 / B
+    d_batched = device_ms_per_window(run_batched, 2, "batched8")
+
+    def rtf_of(ms):
+        return None if ms is None else round(ms / 1e3 / 30.0, 6)
+
+    def r(ms):
+        return None if ms is None else round(ms, 1)
 
     target = 0.05
+    rtf_device = rtf_of(d_single)
     print(
         json.dumps(
             {
@@ -131,20 +170,46 @@ def main() -> None:
                 "unit": "rtf (wall-clock per 30s window / 30s; lower is better)",
                 "vs_baseline": round(target / rtf, 2),
                 "detail": {
+                    "rtf_wall": round(rtf, 6),
+                    "rtf_device": rtf_device,
                     # Partial-transcript latency == time from a window's
                     # audio being complete to its text being available,
                     # i.e. one window's decode wall-clock.
                     "p50_partial_latency_ms": round(t_single * 1e3, 1),
                     "t_window_single_ms": round(t_single * 1e3, 1),
+                    "t_window_single_device_ms": r(d_single),
                     "t_window_w8_head_ms": round(t_w8h * 1e3, 1),
+                    "t_window_w8_head_device_ms": r(d_w8h),
                     "rtf_w8_head": round(t_w8h / 30.0, 6),
+                    "rtf_w8_head_device": rtf_of(d_w8h),
                     "t_window_w8_decoder_ms": round(t_w8 * 1e3, 1),
+                    "t_window_w8_decoder_device_ms": r(d_w8),
                     "rtf_w8_decoder": round(t_w8 / 30.0, 6),
+                    "rtf_w8_decoder_device": rtf_of(d_w8),
                     "t_window_batched8_ms": round(t_batched * 1e3, 1),
+                    "t_window_batched8_device_ms": r(d_batched),
                     "rtf_per_stream_batched8": round(rtf8, 6),
+                    "rtf_per_stream_batched8_device": (
+                        None if d_batched is None
+                        else round(d_batched / 1e3 / 30.0 / B, 6)
+                    ),
                     "realtime_streams_per_chip_batched": int(1.0 / rtf8),
                     "tokens_per_window": TOKENS_PER_WINDOW,
-                    "methodology": "production LongFormDecoder.transcribe wall-clock, forced 132-token decode; single-stream = speculative 6-rung ladder (worst case: every rung decoded), batched-8 = sequential on-device rung ladder",
+                    "methodology": (
+                        "production LongFormDecoder.transcribe, forced "
+                        "132-token decode; single-stream = speculative "
+                        "6-rung ladder (worst case: every rung decoded), "
+                        "batched-8 = sequential on-device rung ladder. "
+                        "value/rtf_wall is WALL-CLOCK and on this "
+                        "remotely-attached (tunneled) TPU includes "
+                        "~70-200 ms/call dispatch+fetch overhead that a "
+                        "locally-attached chip does not pay; rtf_device "
+                        "(jax.profiler xplane, total device ms per window) "
+                        "is the chip-side number and the one to trust for "
+                        "kernel/variant comparisons — see PERF.md. The "
+                        "*_device_ms fields settle the r02 w8-decoder "
+                        "wall-vs-device contradiction in one table."
+                    ),
                     "device": str(jax.devices()[0]),
                     "dtype": "bfloat16",
                 },

@@ -35,6 +35,27 @@ def quantize_logits_head(params: dict) -> dict:
     return out
 
 
+def quantize_logits_head_int4(params: dict, block: int = 64) -> dict:
+    """Return params with a blockwise-int4 tied-embedding head added.
+
+    Halves the int8 head's weight stream again (the head measures AT its
+    int8 streaming roofline, so bytes are the only remaining lever —
+    PERF.md).  Per-(input-block, output-channel) scales bound the grid
+    error; opt-in via ``quantize_logits="int4"`` in the loaders.
+    Takes precedence over an existing tok_emb_q8 in logits_head dispatch.
+    """
+    from ..ops.quant_matmul import quantize_blockwise_int4
+
+    dec = dict(params["decoder"])
+    w = np.asarray(dec["tok_emb"], np.float32).T  # [D, V]
+    q, s = quantize_blockwise_int4(w, block=block)
+    dec["tok_emb_q4"] = {"q": q, "s": s}
+    dec.pop("tok_emb_q8", None)
+    out = dict(params)
+    out["decoder"] = dec
+    return out
+
+
 # Decoder-layer weight matrices eligible for int8 (stacked [L, in, ...out]).
 # ``qkv_w`` is the fused [L, in, 3, out] form (load.fuse_qkv); unfused
 # params carry the separate q_w/k_w/v_w instead.

@@ -337,6 +337,14 @@ def logits_head(dec: Params, x: jax.Array) -> jax.Array:
     vs 136 us for the Pallas kernel and 177 us for the bf16 head (XLA
     fuses the int8->bf16 dequant into the matmul's weight fetch).
     """
+    if "tok_emb_q4" in dec:
+        from ..ops.quant_matmul import w4_matmul_jnp
+
+        q4 = dec["tok_emb_q4"]
+        lead = x.shape[:-1]
+        flat = x.reshape(-1, x.shape[-1])
+        y = w4_matmul_jnp(flat, q4["q"], q4["s"])
+        return y.reshape(*lead, y.shape[-1])
     if "tok_emb_q8" in dec:
         from ..ops.quant_matmul import w8_matmul_jnp
 

@@ -119,7 +119,7 @@ def build_model(
     local_dir: Optional[str] = None,
     dtype=jnp.float32,
     seed: int = 0,
-    quantize_logits: bool = False,
+    quantize_logits: "bool | str" = False,
     quantize_decoder: bool = False,
     mel_center: bool = False,
     timestamps: bool = False,
@@ -153,9 +153,16 @@ def build_model(
 
         params = _qd(params)
     elif quantize_logits:
-        from ...model.quant import quantize_logits_head
+        # True/"int8" -> per-channel int8 head; "int4" -> blockwise int4
+        # (half the int8 head's weight stream again).
+        if quantize_logits == "int4":
+            from ...model.quant import quantize_logits_head_int4
 
-        params = quantize_logits_head(params)
+            params = quantize_logits_head_int4(params)
+        else:
+            from ...model.quant import quantize_logits_head
+
+            params = quantize_logits_head(params)
     params = jax.device_put(params, jdev)
 
     st = SpecialTokens.from_tokenizer(tokenizer, task_token_str)

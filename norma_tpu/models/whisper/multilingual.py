@@ -85,7 +85,7 @@ class Definition(ModelDefinition):
         *,
         local_dir: Optional[str] = None,
         dtype=jnp.float32,
-        quantize_logits: bool = False,
+        quantize_logits: "bool | str" = False,
         quantize_decoder: bool = False,
         mel_center: bool = False,
         timestamps: bool = False,

@@ -93,3 +93,58 @@ def w8_logits(x, q, scale, use_pallas: bool = True):
     if use_pallas:
         return w8_matmul_pallas(x, q, scale)
     return w8_matmul_jnp(x, q, scale)
+
+
+# ---------------------------------------------------------------------------
+# int4 blockwise (the logits head's second halving: w8 streams ~66 MB for
+# distil-large-v3's [1280, 51866] head and measures AT its streaming
+# roofline, so the only way down is fewer bytes — int4 weights with
+# per-(input-block, output-channel) scales).
+# ---------------------------------------------------------------------------
+
+
+def quantize_blockwise_int4(
+    w, block: int = 64
+) -> Tuple[jax.Array, jax.Array]:
+    """[in, out] float weights -> (int4 [nb, block, out], bf16 scale [nb, out]).
+
+    Symmetric 4-bit grid (±7) per (input-block, output-channel) — the
+    blockwise scale recovers most of the accuracy a flat per-channel
+    4-bit grid loses (this is the GGUF q4-family layout, transposed to
+    our [in, out] convention).  Scales are bf16: their traffic is
+    in/block of the int4 bytes; bf16 keeps them negligible while the
+    dequantized product accumulates in f32.
+    """
+    w = np.asarray(w, np.float32)
+    IN, OUT = w.shape
+    assert IN % block == 0, (IN, block)
+    nb = IN // block
+    wb = w.reshape(nb, block, OUT)
+    amax = np.abs(wb).max(axis=1)  # [nb, out]
+    scale = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(wb / scale[:, None, :]), -7, 7)
+    return (
+        jnp.asarray(q.astype(np.int8), jnp.int4),
+        jnp.asarray(scale, jnp.bfloat16),
+    )
+
+
+def w4_matmul_jnp(x: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Array:
+    """x [B, in] @ blockwise-int4 [nb, block, out] -> [B, out] f32.
+
+    Per-block partial products hit the MXU in bf16 (XLA fuses the
+    int4->bf16 widening into the weight fetch, as with the w8 head); the
+    [B, nb, out] partials are scaled and reduced in f32.
+    """
+    nb, block, out = q.shape
+    # bf16 operands on the MXU; CPU's dot thunk lacks BF16xBF16=F32 for
+    # batched contractions, so non-TPU backends compute in f32.
+    cd = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    xb = x.reshape(x.shape[0], nb, block).astype(cd)
+    partial = jnp.einsum(
+        "bnk,nko->bno",
+        xb,
+        q.astype(cd),
+        preferred_element_type=jnp.float32,
+    )
+    return (partial * scale.astype(jnp.float32)[None]).sum(axis=1)

@@ -82,6 +82,17 @@ def param_shardings(params, mesh: Mesh):
         keys = [getattr(p, "key", None) for p in path]
         if "layers" in keys:
             return _layer_leaf_spec(keys[-1])
+        # Quantized logits heads: shard the vocab axis over tp (the head
+        # is the single largest per-token weight read; each rank streams
+        # its vocab slice and GSPMD gathers the [B, V] logits).
+        if "tok_emb_q8" in keys:
+            # q [D, V], s [V]
+            return P(None, "tp") if keys[-1] == "q" else P("tp")
+        if "tok_emb_q4" in keys:
+            # q [nb, block, V], s [nb, V]
+            return (
+                P(None, None, "tp") if keys[-1] == "q" else P(None, "tp")
+            )
         # conv weights, positional embeddings, embeddings, final LN:
         # replicated (they are small relative to the layer stack).
         return P()
