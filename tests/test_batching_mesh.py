@@ -90,9 +90,9 @@ def test_gated_stream_does_not_serialize_round():
     calls = []
     orig = engine.transcribe_window
 
-    def spy(audio, langs, seed):
+    def spy(audio, langs, seed, n_active=None):
         calls.append(int(audio.shape[0]))
-        return orig(audio, langs, seed)
+        return orig(audio, langs, seed, n_active=n_active)
 
     engine.transcribe_window = spy
     bt = BatchedTranscriber(model, max_streams=4)
@@ -129,9 +129,9 @@ def test_non_power_of_two_dp_rounds_batch(monkeypatch):
     seen_batches = []
     orig = engine.transcribe_window
 
-    def spy(audio, langs, seed):
+    def spy(audio, langs, seed, n_active=None):
         seen_batches.append(int(audio.shape[0]))
-        return orig(audio, langs, seed=seed)
+        return orig(audio, langs, seed=seed, n_active=n_active)
 
     engine.transcribe_window = spy
     # 2 ready streams -> power-of-two B=2, not divisible by dp=3: must be
