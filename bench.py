@@ -154,6 +154,25 @@ def main() -> None:
     rtf8 = t_batched / 30.0 / B
     d_batched = device_ms_per_window(run_batched, 2, "batched8")
 
+    # Opt-in serving config: tuned-tile flash attention in the encoder
+    # (encoder_attn_impl="jax_flash") — the measured batched window win
+    # (348 -> 267 ms device on v5e, tools/perf_encoder_ab.py).  Opt-in
+    # because its bf16 tile math drifts transcripts on knife-edge
+    # random-weight models (PERF.md accuracy ladder); reported here so
+    # the scored artifact carries the throughput ceiling too.
+    e_flash = DecodeEngine(
+        params, cfg.with_(encoder_attn_impl="jax_flash"), st
+    )
+
+    def run_batched_flash():
+        t0 = time.perf_counter()
+        e_flash.transcribe_window(wj, [50259] * B, seed=0)
+        return time.perf_counter() - t0
+
+    run_batched_flash()  # warmup/compile
+    t_bf = min(run_batched_flash() for _ in range(4))
+    d_bf = device_ms_per_window(run_batched_flash, 2, "batched8_flash")
+
     def rtf_of(ms):
         return None if ms is None else round(ms / 1e3 / 30.0, 6)
 
@@ -188,6 +207,9 @@ def main() -> None:
                     "rtf_w8_decoder_device": rtf_of(d_w8),
                     "t_window_batched8_ms": round(t_batched * 1e3, 1),
                     "t_window_batched8_device_ms": r(d_batched),
+                    "t_window_batched8_flash_ms": round(t_bf * 1e3, 1),
+                    "t_window_batched8_flash_device_ms": r(d_bf),
+                    "rtf_per_stream_batched8_flash": round(t_bf / 30.0 / B, 6),
                     "rtf_per_stream_batched8": round(rtf8, 6),
                     "rtf_per_stream_batched8_device": (
                         None if d_batched is None

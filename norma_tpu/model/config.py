@@ -50,14 +50,21 @@ class WhisperConfig:
     flash_attention: bool = False
     # Encoder self-attention implementation (TPU-only selector; non-TPU
     # backends always use "xla"):
-    #   "xla"       — plain einsum QK/softmax/PV (default)
+    #   "auto"      — B=1 -> "chunked" (same f32 math as "xla", measured
+    #                 -14% device window on v5e), batched -> "xla"
+    #                 (chunking regresses at B=8; the bigger batched win,
+    #                 "jax_flash", changes numerics so it stays opt-in)
+    #   "xla"       — plain einsum QK/softmax/PV
     #   "chunked"   — lax.scan over query chunks: bounds the materialized
     #                 score buffer to [H, chunk, Tk] so XLA can keep the
     #                 QK->softmax->PV chain VMEM-resident per chunk
-    #   "flash"     — in-house Pallas kernel (ops/flash_encoder.py)
-    #   "jax_flash" — jax.experimental.pallas.ops.tpu.flash_attention
+    #   "flash"     — pallas flash kernel at default 128-tiles (loses in
+    #                 context on v5e; kept for comparison)
+    #   "jax_flash" — pallas flash kernel at tuned tiles (flash_block_*):
+    #                 the measured B=8 window win (348 -> 279 ms device)
     # ``flash_attention=True`` is the legacy alias for "flash".
-    encoder_attn_impl: str = "xla"
+    # All in-context device numbers: tools/perf_encoder_ab.py on v5e.
+    encoder_attn_impl: str = "auto"
     # Query-chunk length for "chunked" (scores buffer = H*chunk*Tk).
     # Must divide the encoder sequence length (1500) or the layer falls
     # back to full attention.
@@ -67,6 +74,14 @@ class WhisperConfig:
     # at the cost of compile time; relevant mainly for the pallas attention
     # impls whose kernel boundary blocks cross-iteration pipelining.
     encoder_unroll: int = 1
+    # Tile sizes for "jax_flash".  This is THE lever that decides whether
+    # flash attention wins in context on v5e: the kernel's default
+    # 128x128 tiles measured 597 ms for the B=8 window vs 279 ms at
+    # 512x512 and 267 ms at 1536x1536 (one tile per head; baseline 348)
+    # — the r2 "pallas_call fusion barrier" regression was a tile-size
+    # artifact, not a kernel-boundary tax.
+    flash_block_q: int = 1536
+    flash_block_k: int = 1536
     # Materialize encoder self-attention scores in bf16 (TPU only).  The
     # [heads, 1500, 1500] score buffer is the dominant HBM traffic of the
     # encoder; bf16 halves it (~11% device window time, PERF.md).  Default

@@ -261,6 +261,8 @@ def encoder_layer(
     attn_impl: str = "xla",
     scores_bf16: bool = False,
     chunk: int = 256,
+    flash_bq: int = 512,
+    flash_bk: int = 512,
 ) -> jax.Array:
     h = layer_norm(x, p["attn_ln_g"], p["attn_ln_b"])
     if attn_impl == "xla":
@@ -278,7 +280,9 @@ def encoder_layer(
         elif attn_impl == "jax_flash":
             from ..ops.flash_encoder import jax_flash_self_attention
 
-            a = jax_flash_self_attention(q, k, v, n_heads)
+            a = jax_flash_self_attention(
+                q, k, v, n_heads, block_q=flash_bq, block_k=flash_bk
+            )
         else:
             raise ValueError(f"unknown encoder_attn_impl {attn_impl!r}")
         x = x + ldense(p, "o_w", a, p["o_b"])
@@ -296,12 +300,18 @@ def encode(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Array:
     x = x + enc["pos"][: x.shape[1]].astype(x.dtype)
 
     n_heads = cfg.encoder_attention_heads
-    # Non-default attention impls are opt-in and TPU-only (trace-time
+    # Non-"auto" attention impls are opt-in and TPU-only (trace-time
     # backend check keeps CPU tests and the virtual-device mesh on the
     # exact XLA attention); flash_attention=True is the legacy alias.
     attn_impl = cfg.encoder_attn_impl
-    if cfg.flash_attention and attn_impl == "xla":
+    if cfg.flash_attention and attn_impl in ("xla", "auto"):
         attn_impl = "flash"
+    if attn_impl == "auto":
+        # B is static at trace time: the single-stream window program
+        # takes the exact-math chunked form (in-context device win on
+        # v5e), batched windows keep plain XLA (chunking regresses there;
+        # see config.encoder_attn_impl for the measured numbers).
+        attn_impl = "chunked" if x.shape[0] == 1 else "xla"
     if jax.default_backend() != "tpu":
         attn_impl = "xla"
     # bf16 score materialization: TPU-only so CPU parity tests keep f32.
@@ -313,7 +323,7 @@ def encode(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Array:
         return (
             encoder_layer(
                 layer_p, carry, n_heads, attn_impl, scores_bf16,
-                cfg.encoder_attn_chunk,
+                cfg.encoder_attn_chunk, cfg.flash_block_q, cfg.flash_block_k,
             ),
             None,
         )

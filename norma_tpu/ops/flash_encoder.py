@@ -66,16 +66,25 @@ def flash_self_attention(
 
 
 def jax_flash_self_attention(
-    q: jax.Array, k: jax.Array, v: jax.Array, n_heads: int
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    n_heads: int,
+    block_q: int = 512,
+    block_k: int = 512,
 ):
     """Flash attention with v5e-tuned block sizes.
 
     The default BlockSizes (128/128/128) drive a 12x12 grid per head over
-    the padded 1536-length sequence; larger tiles cut grid/pipeline
-    overhead and raise MXU occupancy per step (512x512 scores = 1 MB f32,
-    comfortably inside VMEM next to the K/V tiles).
+    the padded 1536-length sequence and LOSE in the production window
+    program (597 ms B=8 vs 348 baseline); 512x512 tiles cut the
+    grid/pipeline overhead, raise MXU occupancy per step (512x512 scores
+    = 1 MB f32, comfortably inside VMEM next to the K/V tiles), and WIN
+    (279 ms) — measured in-context on v5e, tools/perf_encoder_ab.py.
     """
     from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
 
-    bs = BlockSizes(block_q=512, block_k_major=512, block_k=512, block_b=1)
+    bs = BlockSizes(
+        block_q=block_q, block_k_major=block_k, block_k=block_k, block_b=1
+    )
     return flash_self_attention(q, k, v, n_heads, block_sizes=bs)

@@ -165,3 +165,27 @@ def test_safetensors_roundtrip(tmp_path, setup):
     mel = jnp.zeros((1, M, 64), jnp.float32)
     feats = encode(params2, cfg, mel)
     assert feats.shape == (1, 32, D)
+
+
+def test_attention_chunked_exact():
+    """attention_chunked == attention bit-for-bit math (query chunking is
+    exact: softmax normalizes over the full key axis per query row).  The
+    TPU 'auto' impl relies on this equivalence (hardware check:
+    tools/verify_encoder_attn_tpu.py)."""
+    import numpy as np
+
+    from norma_tpu.model.whisper import attention, attention_chunked
+
+    rng = np.random.default_rng(0)
+    B, T, D, H = 2, 500, 64, 4
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+        for _ in range(3)
+    )
+    want = np.asarray(attention(q, k, v, H))
+    for chunk in (100, 250, 500):
+        got = np.asarray(attention_chunked(q, k, v, H, chunk))
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+    # Non-dividing chunk falls back to full attention (still exact).
+    got = np.asarray(attention_chunked(q, k, v, H, 333))
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)

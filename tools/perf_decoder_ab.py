@@ -1,0 +1,107 @@
+"""Device-time A/B of the decoder token loop: QKV fusion, int8 variants.
+
+VERDICT r2 item 3: push the token loop toward its ~0.08-0.10 ms/step
+weight-streaming roofline.  Profiles engine.run_loop (the compiled
+while_loop alone — prefill state prepared outside the trace) for 132
+forced tokens at B=1, reporting device ms/step and the top fused-op
+attribution for each variant:
+
+  - unfused  : separate q/k/v GEMVs (r2 baseline, 0.155 ms/step layer scan)
+  - fused    : one [D,3,D] QKV matmul per layer (round-3 change)
+  - fused_w8 : + int8 decoder weights (settling the w8 question at loop level)
+  - fused_w8h: + int8 logits head only (r2's measured winner)
+  - fused_w4h: + blockwise-int4 logits head (round-3, halves head bytes)
+
+Run ON TPU:  python tools/perf_decoder_ab.py
+"""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TOKENS = 132
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from norma_tpu.constants import N_SAMPLES
+    from norma_tpu.decode import DecodeEngine
+    from norma_tpu.decode.masks import SpecialTokens
+    from norma_tpu.frontend.mel import prepare_audio
+    from norma_tpu.model import PRESETS, fuse_qkv, init_params
+    from norma_tpu.model.quant import (
+        quantize_decoder,
+        quantize_logits_head,
+        quantize_logits_head_int4,
+    )
+    from norma_tpu.tracing import device_time_report, profile
+
+    cfg = PRESETS["distil-large-v3"].with_(max_target_positions=136)
+    st = SpecialTokens(
+        sot=50258, eot=-1, task=50360, no_speech=50363,
+        no_timestamps=50364, zero_sec=50365, one_sec=50415,
+    )
+    raw = init_params(cfg, seed=0, dtype=jnp.bfloat16)
+    fused = fuse_qkv(raw)
+    dev0 = jax.devices()[0]
+
+    variants = {
+        "unfused": raw,
+        "fused": fused,
+        "fused_w8": quantize_decoder(fused),
+        "fused_w8h": quantize_logits_head(fused),
+        "fused_w4h": quantize_logits_head_int4(fused),
+    }
+    pick = sys.argv[1:] or list(variants)
+
+    rng = np.random.default_rng(0)
+    a1 = jnp.asarray(
+        prepare_audio((0.1 * rng.standard_normal(N_SAMPLES)).astype(np.float32))
+    )[None]
+
+    for name in pick:
+        params = jax.device_put(variants[name], dev0)
+        engine = DecodeEngine(params, cfg, st)
+        state = engine.prefill_window(a1, 50259)
+        engine.run_loop(state, 0.0, seed=0)  # compile + warm
+        walls = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            engine.run_loop(state, 0.0, seed=0)
+            walls.append(time.perf_counter() - t0)
+        tdir = f"/tmp/dec_ab/{name}"
+        shutil.rmtree(tdir, ignore_errors=True)
+        n = 3
+        with profile(tdir):
+            for _ in range(n):
+                engine.run_loop(state, 0.0, seed=0)
+        mods = device_time_report(tdir, "XLA Modules")
+        loop_ms = sum(t for t, _ in mods.values()) / n
+        ops = device_time_report(tdir, "XLA Ops")
+        top = [
+            {"op": k[:90], "ms_per_loop": round(t / n, 3), "n": c}
+            for k, (t, c) in list(ops.items())[:10]
+        ]
+        print(json.dumps({
+            name: {
+                "device_ms_per_loop": round(loop_ms, 2),
+                "device_us_per_step": round(loop_ms / TOKENS * 1e3, 1),
+                "wall_ms": round(min(walls) * 1e3, 1),
+                "top_ops": top,
+            }
+        }, indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -65,6 +65,36 @@ def main() -> None:
             fused,
             {"encoder_attn_impl": "flash", "encoder_unroll": 4},
         ),
+        # Block-size sweep around the 512x512 winner.
+        "jf_q768_k768": (
+            fused,
+            {"encoder_attn_impl": "jax_flash", "flash_block_q": 768,
+             "flash_block_k": 768},
+        ),
+        "jf_q1536_k512": (
+            fused,
+            {"encoder_attn_impl": "jax_flash", "flash_block_q": 1536,
+             "flash_block_k": 512},
+        ),
+        "jf_q512_k1536": (
+            fused,
+            {"encoder_attn_impl": "jax_flash", "flash_block_q": 512,
+             "flash_block_k": 1536},
+        ),
+        "jf_q256_k512": (
+            fused,
+            {"encoder_attn_impl": "jax_flash", "flash_block_q": 256,
+             "flash_block_k": 512},
+        ),
+        "jf_q1536_k1536": (
+            fused,
+            {"encoder_attn_impl": "jax_flash", "flash_block_q": 1536,
+             "flash_block_k": 1536},
+        ),
+        "jf_unroll4": (
+            fused,
+            {"encoder_attn_impl": "jax_flash", "encoder_unroll": 4},
+        ),
     }
     pick = sys.argv[1:] or list(VARIANTS)
 

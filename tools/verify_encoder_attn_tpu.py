@@ -1,0 +1,107 @@
+"""Hardware numeric verification of the encoder attention impls.
+
+Compares encoder features and full production transcripts for each
+non-default ``encoder_attn_impl`` against the exact "xla" path on the
+real TPU (the impls are TPU-only; CPU tests cannot see them).  Evidence
+ladder for defaults:
+
+  - "chunked" computes the SAME f32 math as "xla" (query chunking is
+    exact; no online softmax) — expect ulp-level drift and identical
+    transcripts => eligible to be a default.
+  - "jax_flash"/"flash" use bf16 tile math with f32 accumulation inside
+    the kernel — expect ~1e-3 feature drift; transcripts may flip on
+    random-weight models (near-uniform logits) => stays opt-in unless
+    clean here AND on real-audio WER when weights are reachable.
+
+Run ON TPU:  python tools/verify_encoder_attn_tpu.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        print("SKIP: requires a TPU backend")
+        return 0
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from norma_tpu.constants import N_SAMPLES
+    from norma_tpu.decode import DecodeEngine
+    from norma_tpu.decode.masks import SpecialTokens
+    from norma_tpu.frontend.mel import prepare_audio
+    from norma_tpu.model import PRESETS, fuse_qkv, init_params
+    from norma_tpu.model.whisper import encode
+
+    st = SpecialTokens(
+        sot=50258, eot=50257, task=50360, no_speech=50363,
+        no_timestamps=50364, zero_sec=50365, one_sec=50415,
+    )
+    failures = {}
+    for preset in ("distil-large-v3",):
+        cfg0 = PRESETS[preset]
+        params = jax.device_put(
+            fuse_qkv(init_params(cfg0, seed=0, dtype=jnp.bfloat16)),
+            jax.devices()[0],
+        )
+        rng = np.random.default_rng(0)
+        audio = prepare_audio(
+            (0.1 * rng.standard_normal(N_SAMPLES)).astype(np.float32)
+        )[None]
+        mel_in = jnp.asarray(audio)
+
+        from norma_tpu.frontend.mel import log_mel_spectrogram
+
+        mel = log_mel_spectrogram(
+            mel_in, n_mels=cfg0.num_mel_bins,
+            n_frames=2 * cfg0.max_source_positions,
+        )
+        f_ref = np.asarray(
+            jax.jit(lambda p, m: encode(p, cfg0, m))(params, mel), np.float32
+        )
+        e_ref = DecodeEngine(params, cfg0, st)
+        t_ref = [
+            (e_ref.transcribe_window(mel_in, [50259], seed=s)[0][0] or
+             type("N", (), {"tokens": None})).tokens
+            for s in range(3)
+        ]
+
+        for impl in ("chunked", "jax_flash"):
+            cfg = cfg0.with_(encoder_attn_impl=impl)
+            f = np.asarray(
+                jax.jit(lambda p, m, c=cfg: encode(p, c, m))(params, mel),
+                np.float32,
+            )
+            rel = float(
+                np.sqrt(np.mean((f - f_ref) ** 2))
+                / (np.sqrt(np.mean(f_ref**2)) + 1e-12)
+            )
+            e = DecodeEngine(params, cfg, st)
+            t = [
+                (e.transcribe_window(mel_in, [50259], seed=s)[0][0] or
+                 type("N", (), {"tokens": None})).tokens
+                for s in range(3)
+            ]
+            match = sum(a == b for a, b in zip(t, t_ref))
+            print(f"{preset}/{impl}: feature rel-RMS {rel:.2e}, "
+                  f"transcripts {match}/3 identical")
+            bound = 1e-4 if impl == "chunked" else 5e-2
+            if rel > bound:
+                failures[f"{preset}/{impl}"] = f"rel {rel} > {bound}"
+            if impl == "chunked" and match != 3:
+                failures[f"{preset}/{impl}-tokens"] = f"{match}/3"
+
+    print("PASS" if not failures else f"FAIL {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
