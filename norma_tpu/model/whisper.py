@@ -348,12 +348,21 @@ def logits_head(dec: Params, x: jax.Array) -> jax.Array:
     fuses the int8->bf16 dequant into the matmul's weight fetch).
     """
     if "tok_emb_q4" in dec:
-        from ..ops.quant_matmul import w4_matmul_jnp
-
+        # Packed-nibble int4: on TPU the Pallas kernel streams the packed
+        # bytes and unpacks in VMEM (XLA would materialize the unpacked
+        # weights, forfeiting the bandwidth win — unlike the w8 case,
+        # where XLA fuses the plain widening convert into the fetch).
         q4 = dec["tok_emb_q4"]
         lead = x.shape[:-1]
         flat = x.reshape(-1, x.shape[-1])
-        y = w4_matmul_jnp(flat, q4["q"], q4["s"])
+        if jax.default_backend() == "tpu":
+            from ..ops.quant_matmul import w4_matmul_pallas
+
+            y = w4_matmul_pallas(flat, q4["q"], q4["s"])
+        else:
+            from ..ops.quant_matmul import w4_matmul_jnp
+
+            y = w4_matmul_jnp(flat, q4["q"], q4["s"])
         return y.reshape(*lead, y.shape[-1])
     if "tok_emb_q8" in dec:
         from ..ops.quant_matmul import w8_matmul_jnp

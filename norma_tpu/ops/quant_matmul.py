@@ -106,45 +106,118 @@ def w8_logits(x, q, scale, use_pallas: bool = True):
 def quantize_blockwise_int4(
     w, block: int = 64
 ) -> Tuple[jax.Array, jax.Array]:
-    """[in, out] float weights -> (int4 [nb, block, out], bf16 scale [nb, out]).
+    """[in, out] float -> (nibble-packed int8 [in//2, out], bf16 [in//block, out]).
 
     Symmetric 4-bit grid (±7) per (input-block, output-channel) — the
     blockwise scale recovers most of the accuracy a flat per-channel
-    4-bit grid loses (this is the GGUF q4-family layout, transposed to
-    our [in, out] convention).  Scales are bf16: their traffic is
-    in/block of the int4 bytes; bf16 keeps them negligible while the
-    dequantized product accumulates in f32.
+    4-bit grid loses (the GGUF q4-family layout, transposed to our
+    [in, out] convention).  Two 4-bit codes pack into each int8 byte in
+    SPLIT-HALF order: byte i holds input-row ``i`` in the low nibble and
+    row ``i + in/2`` in the high nibble, so unpacking is two shifts and
+    one concat (no interleave relayout).  Packed int8 storage — not the
+    jnp int4 dtype — keeps the format portable: int4 device transfers
+    are unsupported in at least one TPU runtime (the axon plugin
+    recurses), while int8 works everywhere and streams the same bytes.
     """
     w = np.asarray(w, np.float32)
     IN, OUT = w.shape
-    assert IN % block == 0, (IN, block)
+    assert IN % block == 0 and IN % 2 == 0, (IN, block)
     nb = IN // block
     wb = w.reshape(nb, block, OUT)
     amax = np.abs(wb).max(axis=1)  # [nb, out]
     scale = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)
-    q = np.clip(np.round(wb / scale[:, None, :]), -7, 7)
-    return (
-        jnp.asarray(q.astype(np.int8), jnp.int4),
-        jnp.asarray(scale, jnp.bfloat16),
+    q = (
+        np.clip(np.round(wb / scale[:, None, :]), -7, 7)
+        .astype(np.int8)
+        .reshape(IN, OUT)
     )
+    lo = q[: IN // 2] & 0xF
+    hi = q[IN // 2 :] & 0xF
+    packed = (lo | (hi << 4)).astype(np.int8)
+    return jnp.asarray(packed), jnp.asarray(scale, jnp.bfloat16)
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """Nibble-packed int8 [in//2, out] -> int8 codes [in, out] (sign-extended)."""
+    v = packed.astype(jnp.int32)
+    lo = jnp.left_shift(v, 28) >> 28  # arithmetic: sign-extends the nibble
+    hi = jnp.left_shift(v, 24) >> 28
+    return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
 
 
 def w4_matmul_jnp(x: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Array:
-    """x [B, in] @ blockwise-int4 [nb, block, out] -> [B, out] f32.
+    """x [B, in] @ packed-int4 [in//2, out] -> [B, out] f32 (XLA path).
 
-    Per-block partial products hit the MXU in bf16 (XLA fuses the
-    int4->bf16 widening into the weight fetch, as with the w8 head); the
-    [B, nb, out] partials are scaled and reduced in f32.
+    Unpacks in-graph, then per-block partial products accumulate in f32.
+    XLA materializes the unpacked weights, so this path does NOT realize
+    the bandwidth win — it is the semantics oracle / CPU path; the
+    Pallas kernel (:func:`w4_matmul_pallas`) unpacks in VMEM.
     """
-    nb, block, out = q.shape
+    nb, out = scale.shape
+    IN = q.shape[0] * 2
+    block = IN // nb
     # bf16 operands on the MXU; CPU's dot thunk lacks BF16xBF16=F32 for
     # batched contractions, so non-TPU backends compute in f32.
     cd = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    w = unpack_int4(q).reshape(nb, block, out)
     xb = x.reshape(x.shape[0], nb, block).astype(cd)
     partial = jnp.einsum(
-        "bnk,nko->bno",
-        xb,
-        q.astype(cd),
-        preferred_element_type=jnp.float32,
+        "bnk,nko->bno", xb, w.astype(cd), preferred_element_type=jnp.float32
     )
     return (partial * scale.astype(jnp.float32)[None]).sum(axis=1)
+
+
+def _w4_kernel(x_ref, qp_ref, s_ref, o_ref, *, block: int):
+    # qp tile [IN/2, BLK] int8 -> two sign-extended nibble planes.
+    v = qp_ref[:].astype(jnp.int32)
+    lo = (jnp.left_shift(v, 28) >> 28).astype(jnp.bfloat16)
+    hi = (jnp.left_shift(v, 24) >> 28).astype(jnp.bfloat16)
+    w = jnp.concatenate([lo, hi], axis=0)  # [IN, BLK]
+    # Per-(input-block, out-channel) scales expanded to rows.
+    s_rows = jnp.repeat(s_ref[:].astype(jnp.bfloat16), block, axis=0)
+    y = jnp.dot(x_ref[:], w * s_rows, preferred_element_type=jnp.float32)
+    o_ref[:] = y
+
+
+def w4_matmul_pallas(
+    x: jax.Array,
+    q: jax.Array,
+    scale: jax.Array,
+    block_out: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas w4a16: x [B, in] bf16 @ packed-int4 [in//2, out] -> [B, out] f32.
+
+    Streams the PACKED int8 bytes HBM->VMEM (half the int8 head's
+    traffic — the head measures at its int8 streaming roofline, so bytes
+    are the whole game), unpacks nibbles and applies blockwise scales on
+    the VPU, and feeds the MXU in bf16.
+    """
+    import functools as ft
+
+    from jax.experimental import pallas as pl
+
+    B, IN = x.shape
+    HALF, OUT = q.shape
+    nb = scale.shape[0]
+    block = IN // nb
+    assert HALF * 2 == IN
+    pad = (-OUT) % block_out
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad)))
+        scale = jnp.pad(scale, ((0, 0), (0, pad)))
+    OUTP = OUT + pad
+
+    out = pl.pallas_call(
+        ft.partial(_w4_kernel, block=block),
+        grid=(OUTP // block_out,),
+        in_specs=[
+            pl.BlockSpec((B, IN), lambda j: (0, 0)),
+            pl.BlockSpec((HALF, block_out), lambda j: (0, j)),
+            pl.BlockSpec((nb, block_out), lambda j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((B, block_out), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((B, OUTP), jnp.float32),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), q, scale)
+    return out[:, :OUT]

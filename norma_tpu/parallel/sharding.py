@@ -89,10 +89,8 @@ def param_shardings(params, mesh: Mesh):
             # q [D, V], s [V]
             return P(None, "tp") if keys[-1] == "q" else P("tp")
         if "tok_emb_q4" in keys:
-            # q [nb, block, V], s [nb, V]
-            return (
-                P(None, None, "tp") if keys[-1] == "q" else P(None, "tp")
-            )
+            # q nibble-packed [in//2, V], s [nb, V]: vocab axis over tp.
+            return P(None, "tp")
         # conv weights, positional embeddings, embeddings, final LN:
         # replicated (they are small relative to the layer stack).
         return P()

@@ -106,15 +106,17 @@ def test_quantized_engine_decodes():
 
 
 def test_int4_blockwise_roundtrip_error():
-    from norma_tpu.ops.quant_matmul import quantize_blockwise_int4
+    from norma_tpu.ops.quant_matmul import quantize_blockwise_int4, unpack_int4
 
     rng = np.random.default_rng(3)
     w = rng.standard_normal((128, 300)).astype(np.float32)
     q, s = quantize_blockwise_int4(w, block=32)
-    assert q.dtype == jnp.int4 and s.dtype == jnp.bfloat16
-    deq = (
-        np.asarray(q, np.float32) * np.asarray(s, np.float32)[:, None, :]
-    ).reshape(128, 300)
+    # Nibble-packed int8 storage: half the rows, portable everywhere.
+    assert q.dtype == jnp.int8 and q.shape == (64, 300)
+    assert s.dtype == jnp.bfloat16 and s.shape == (4, 300)
+    codes = np.asarray(unpack_int4(q), np.float32).reshape(4, 32, 300)
+    assert codes.min() >= -7 and codes.max() <= 7
+    deq = (codes * np.asarray(s, np.float32)[:, None, :]).reshape(128, 300)
     # 4-bit grid with per-32-block scales: ~7% worst-case grid error.
     rel = np.abs(deq - w).max() / np.abs(w).max()
     assert rel < 0.12
@@ -131,6 +133,27 @@ def test_w4_matmul_close_to_f32():
     got = np.asarray(w4_matmul_jnp(jnp.asarray(x), q, s))
     # int4 grid + bf16 activations: coarser than w8 but bounded.
     assert np.abs(got - want).max() / np.abs(want).max() < 0.15
+
+
+def test_w4_pallas_matches_jnp_interpret():
+    from norma_tpu.ops.quant_matmul import (
+        quantize_blockwise_int4,
+        w4_matmul_jnp,
+        w4_matmul_pallas,
+    )
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 128)).astype(np.float32)
+    w = rng.standard_normal((128, 700)).astype(np.float32)  # needs padding
+    q, s = quantize_blockwise_int4(w, block=32)
+    want = np.asarray(w4_matmul_jnp(jnp.asarray(x), q, s))
+    got = np.asarray(
+        w4_matmul_pallas(jnp.asarray(x), q, s, block_out=512, interpret=True)
+    )
+    # Same codes; jnp scales the partials in f32, the kernel pre-scales
+    # the bf16 weights — bf16-rounding accumulates over the 128-term dot
+    # (~0.7% of the |y|~11 logit scale here).
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=0.15)
 
 
 def test_int4_head_engine_decodes(monkeypatch):

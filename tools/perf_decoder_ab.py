@@ -70,6 +70,21 @@ def main() -> None:
         prepare_audio((0.1 * rng.standard_normal(N_SAMPLES)).astype(np.float32))
     )[None]
 
+    # Hardware numeric check of the packed-int4 Pallas kernel (interpret
+    # mode hides Mosaic issues; PERF.md hardware-verification rule).
+    from norma_tpu.ops.quant_matmul import (
+        quantize_blockwise_int4, w4_matmul_jnp, w4_matmul_pallas,
+    )
+
+    wq = (0.02 * rng.standard_normal((1280, 51866))).astype(np.float32)
+    xq = rng.standard_normal((2, 1280)).astype(np.float32)
+    q4, s4 = quantize_blockwise_int4(wq)
+    ref = np.asarray(w4_matmul_jnp(jnp.asarray(xq), q4, s4))
+    got = np.asarray(w4_matmul_pallas(jnp.asarray(xq), q4, s4))
+    rel = float(np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9))
+    print(json.dumps({"w4_pallas_vs_jnp_hw_max_rel": round(rel, 5)}), flush=True)
+    assert rel < 0.03, "w4 pallas kernel diverges on hardware"
+
     for name in pick:
         params = jax.device_put(variants[name], dev0)
         engine = DecodeEngine(params, cfg, st)
