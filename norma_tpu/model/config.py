@@ -40,13 +40,8 @@ class WhisperConfig:
     max_source_positions: int = 1500
     max_target_positions: int = 448
     suppress_tokens: Tuple[int, ...] = field(default=_DEFAULT_SUPPRESS_V1)
-    # Fused flash-attention kernel for encoder self-attention (TPU backend
-    # only; ignored elsewhere).  Default OFF on profiler evidence from the
-    # PRODUCTION window program on v5e: device time 90.8 -> 117.7 ms (B=1)
-    # and 349 -> 605 ms (B=8) with flash, even though the STANDALONE
-    # encoder jit measures flash 1.9x faster (29.7 vs 56.5 ms) — inside
-    # the fused program the pallas_call is a fusion/pipelining barrier.
-    # Only in-context device profiles are trusted for this switch.
+    # Legacy boolean alias for encoder_attn_impl="jax_flash" (r1/r2 API;
+    # prefer the string selector).
     flash_attention: bool = False
     # Encoder self-attention implementation (TPU-only selector; non-TPU
     # backends always use "xla"):
@@ -62,7 +57,8 @@ class WhisperConfig:
     #                 context on v5e; kept for comparison)
     #   "jax_flash" — pallas flash kernel at tuned tiles (flash_block_*):
     #                 the measured B=8 window win (348 -> 279 ms device)
-    # ``flash_attention=True`` is the legacy alias for "flash".
+    # ``flash_attention=True`` is the legacy alias; it now selects
+    # "jax_flash" (the tuned, winning tiles).
     # All in-context device numbers: tools/perf_encoder_ab.py on v5e.
     encoder_attn_impl: str = "auto"
     # Query-chunk length for "chunked" (scores buffer = H*chunk*Tk).

@@ -302,10 +302,12 @@ def encode(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Array:
     n_heads = cfg.encoder_attention_heads
     # Non-"auto" attention impls are opt-in and TPU-only (trace-time
     # backend check keeps CPU tests and the virtual-device mesh on the
-    # exact XLA attention); flash_attention=True is the legacy alias.
+    # exact XLA attention); the legacy flash_attention=True alias now
+    # selects the TUNED-tile kernel (the winning config), not the
+    # 128-tile loser it originally named.
     attn_impl = cfg.encoder_attn_impl
     if cfg.flash_attention and attn_impl in ("xla", "auto"):
-        attn_impl = "flash"
+        attn_impl = "jax_flash"
     if attn_impl == "auto":
         # B is static at trace time: the single-stream window program
         # takes the exact-math chunked form (in-context device win on
