@@ -72,18 +72,34 @@ class BatchedTranscriber:
     """Serve up to ``max_streams`` concurrent streams with one model."""
 
     def __init__(
-        self, model: WhisperModel, max_streams: int = 8, mesh=None
+        self,
+        model: WhisperModel,
+        max_streams: int = 8,
+        mesh=None,
+        max_round_streams: int | None = None,
     ) -> None:
         """``mesh``: an optional ``jax.sharding.Mesh`` with a 'dp' axis; the
         live batch is sharded over it so each decode round runs SPMD across
         the mesh (params should be placed with ``parallel.shard_params``).
-        ``max_streams`` must be a multiple of the dp axis size."""
+        ``max_streams`` must be a multiple of the dp axis size.
+
+        ``max_round_streams`` caps how many ready streams one fused round
+        takes — a LATENCY knob: worst-case admission latency is one round's
+        program duration, which shrinks with the round's batch size (a
+        large-v3 B=8 round runs ~1.4 s; B=4 roughly 0.75 s).  Rounds
+        rotate through ready streams so a cap never starves anyone.
+        None (default) = one round serves every ready stream (max
+        throughput)."""
         if not isinstance(model, WhisperModel):
             raise NormaError("BatchedTranscriber requires a WhisperModel")
         self.model = model
         self.engine = model.engine
         self.tokenizer = model.tokenizer
         self.max_streams = max_streams
+        if max_round_streams is not None and max_round_streams < 1:
+            raise NormaError("max_round_streams must be >= 1")
+        self.max_round_streams = max_round_streams
+        self._round_rr = 0  # rotation cursor for capped rounds
         self._dp = 1
         self._batch_sharding = None
         if mesh is not None:
@@ -215,11 +231,21 @@ class BatchedTranscriber:
     def _ready(self) -> List[_Stream]:
         with self._lock:
             streams = list(self._streams.values())
-        return [
+        ready = [
             s
             for s in streams
             if not s.dead and s.want_decode and s.state.next_window() is not None
         ]
+        cap = self.max_round_streams
+        if cap is not None and len(ready) > cap:
+            # Capped round: rotate the slice so successive rounds cycle
+            # through all ready streams (no starvation under a permanent
+            # backlog).
+            ready.sort(key=lambda s: s.sid)
+            start = self._round_rr % len(ready)
+            ready = (ready + ready)[start : start + cap]
+            self._round_rr += cap
+        return ready
 
     @staticmethod
     def _batch_size(n: int, cap: int) -> int:

@@ -254,3 +254,47 @@ def test_pad_rows_are_inert(monkeypatch):
     # host ladder sees the born-finished row as all-rungs-failed).
     for i in (2, 3):
         assert got[i] is None or len(got[i].tokens) == 3
+
+
+def test_round_cap_rotates_and_completes(model):
+    """max_round_streams caps the fused round's width (the admission
+    latency knob) while rotation cycles through the backlog so nothing
+    starves and every stream still completes."""
+    bt = BatchedTranscriber(model, max_streams=4, max_round_streams=2)
+    rounds = []
+    orig = bt._decode_round
+
+    def spy(ready):
+        rounds.append(sorted(s.sid for s in ready))
+        return orig(ready)
+
+    bt._decode_round = spy
+    handles = [
+        bt.blocking_start(Settings(source=_source(i, seconds=1.4,
+                                                  freq=220.0 + 60 * i)))
+        for i in range(4)
+    ]
+    import threading
+
+    outs = {}
+    threads = []
+    for i, h in enumerate(handles):
+        t = threading.Thread(
+            target=lambda i=i, h=h: outs.setdefault(i, list(h.receiver)),
+            daemon=True,
+        )
+        t.start()
+        threads.append(t)
+    time.sleep(0.5)
+    for h in handles:
+        h.stop()
+    for t in threads:
+        t.join(timeout=120)
+    bt.close()
+
+    assert len(outs) == 4
+    assert rounds, "no rounds ran"
+    assert all(len(r) <= 2 for r in rounds), rounds
+    # Rotation served every stream (no starvation).
+    served = set().union(*map(set, rounds))
+    assert served == {h._sid for h in handles}, (rounds, served)
