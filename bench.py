@@ -40,16 +40,10 @@ def device_ms_per_window(fn, n: int, tag: str):
     parser on the host) — the bench then reports wall only.
     """
     try:
-        from norma_tpu.tracing import device_time_report, profile
+        from norma_tpu.tracing import profiled_device_ms
 
-        tdir = f"/tmp/norma_bench_prof/{tag}"
-        shutil.rmtree(tdir, ignore_errors=True)
-        with profile(tdir):
-            for _ in range(n):
-                fn()
-        mods = device_time_report(tdir, "XLA Modules")
-        total = sum(t for t, _ in mods.values())
-        return total / n
+        avg, _ = profiled_device_ms(fn, n, f"/tmp/norma_bench_prof/{tag}")
+        return avg
     except Exception as e:  # pragma: no cover - environment-dependent
         print(f"# device profiling unavailable ({tag}): {e!r}")
         return None

@@ -558,6 +558,12 @@ class DecodeEngine:
         st = self.st
         out: List[Optional[DecodingResult]] = []
         for b in range(btoks.shape[0]):
+            if not active[b]:
+                # Batch-pad row: decoded nothing (born-finished); emit no
+                # result and, importantly, no telemetry — a pad row's
+                # rung-0/avg=0 carry would read as a perfect real decode.
+                out.append(None)
+                continue
             if nsp[b] > NO_SPEECH_THRESHOLD:
                 out.append(
                     DecodingResult(

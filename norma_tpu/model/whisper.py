@@ -260,7 +260,7 @@ def encoder_layer(
     n_heads: int,
     attn_impl: str = "xla",
     scores_bf16: bool = False,
-    chunk: int = 256,
+    chunk: int = 250,
     flash_bq: int = 512,
     flash_bk: int = 512,
 ) -> jax.Array:

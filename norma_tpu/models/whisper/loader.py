@@ -155,6 +155,11 @@ def build_model(
     elif quantize_logits:
         # True/"int8" -> per-channel int8 head; "int4" -> blockwise int4
         # (half the int8 head's weight stream again).
+        if quantize_logits not in (True, "int8", "int4"):
+            raise ValueError(
+                f"quantize_logits={quantize_logits!r}: expected True, False,"
+                " 'int8' or 'int4'"
+            )
         if quantize_logits == "int4":
             from ...model.quant import quantize_logits_head_int4
 

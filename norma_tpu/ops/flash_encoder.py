@@ -84,6 +84,12 @@ def jax_flash_self_attention(
     """
     from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
 
+    # Clamp tiles to the padded sequence length: the tuned defaults
+    # (1536 = whisper's padded 1500) exceed shorter encoders' sequences
+    # and pallas' BlockSizes verification rejects block > seq_len.
+    Tp = _round_up(q.shape[1], 512)
+    block_q = min(block_q, Tp)
+    block_k = min(block_k, Tp)
     bs = BlockSizes(
         block_q=block_q, block_k_major=block_k, block_k=block_k, block_b=1
     )

@@ -130,6 +130,35 @@ def annotate(name: str):
         yield
 
 
+def profiled_device_ms(fn, n: int, trace_dir: str, ops: int = 0):
+    """Run ``fn`` ``n`` times under the profiler; return the average device
+    milliseconds per call (sum of the "XLA Modules" line / n) and, when
+    ``ops`` > 0, the top fused-op rows
+    ``[{"op", "ms_per_call", "n"}, ...]`` for attribution.
+
+    The single measurement path behind ``bench.py`` and the
+    ``tools/perf_*_ab.py`` A/Bs, so every artifact's "device ms" is
+    produced by the same code (PERF.md methodology).
+    """
+    import shutil
+
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    with profile(trace_dir):
+        for _ in range(n):
+            fn()
+    mods = device_time_report(trace_dir, "XLA Modules")
+    avg = sum(t for t, _ in mods.values()) / n
+    if not ops:
+        return avg, []
+    rows = [
+        {"op": k[:90], "ms_per_call": round(t / n, 3), "n": c}
+        for k, (t, c) in list(
+            device_time_report(trace_dir, "XLA Ops").items()
+        )[:ops]
+    ]
+    return avg, rows
+
+
 def device_time_report(trace_dir: str, line: str = "XLA Modules"):
     """Aggregate per-program DEVICE time from a jax.profiler trace.
 

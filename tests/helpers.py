@@ -4,6 +4,7 @@ no_timestamps < timestamps), plus a toy tokenizer."""
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 import numpy as np
@@ -87,3 +88,49 @@ class ToyTokenizer:
 def random_feats(cfg: WhisperConfig, B: int = 1, T: int = 16, seed: int = 0):
     rng = np.random.default_rng(seed)
     return rng.standard_normal((B, T, cfg.d_model)).astype(np.float32)
+
+
+# ---- hermetic ALSA stub (tests/stub_alsa/stub_asound.c) --------------------
+# Shared by test_native_stub.py and test_config_negotiation.py so the build
+# command and the NTA_ALSA_LIB injection mechanism live in exactly one place.
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+REPO_ROOT = os.path.dirname(_HERE)
+ALSA_STUB_SRC = os.path.join(_HERE, "stub_alsa", "stub_asound.c")
+
+
+def build_alsa_stub(out_path: str) -> str:
+    """Compile the stub libasound to ``out_path``.
+
+    Raises OSError/SubprocessError when no C toolchain is available —
+    callers decide whether that is a skip or a failure.
+    """
+    import subprocess
+
+    subprocess.run(
+        ["gcc", "-O2", "-shared", "-fPIC", "-o", out_path, ALSA_STUB_SRC, "-lm"],
+        check=True,
+        capture_output=True,
+        timeout=60,
+    )
+    return out_path
+
+
+def run_stub_driver(driver: str, stub_path: str, timeout: int = 120):
+    """Run ``driver`` source in a subprocess with the stub injected via
+    NTA_ALSA_LIB (dlopen consults it at AlsaFns.load() time; a subprocess
+    is required because this process may have cached a real/failed load).
+    ``sys.argv[1]`` inside the driver is the repo root."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, NTA_ALSA_LIB=stub_path)
+    return subprocess.run(
+        [sys.executable, "-c", driver, REPO_ROOT],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        env=env,
+        cwd=REPO_ROOT,
+    )

@@ -97,7 +97,7 @@ def test_whisper_definitions():
 
 def test_batched_transcriber_api():
     assert _params(BatchedTranscriber.__init__) == [
-        "self", "model", "max_streams", "mesh",
+        "self", "model", "max_streams", "mesh", "max_round_streams",
     ]
     assert hasattr(BatchedTranscriber, "blocking_start")
     assert hasattr(BatchedTranscriber, "close")

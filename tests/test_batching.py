@@ -250,10 +250,11 @@ def test_pad_rows_are_inert(monkeypatch):
         assert got[i].avg_logprob == pytest.approx(
             want[i].avg_logprob, abs=1e-4, nan_ok=True
         )
-    # Pad rows decoded nothing: prefix-only token state (or None when the
-    # host ladder sees the born-finished row as all-rungs-failed).
+    # Pad rows decoded nothing and emit NO result (and, inside the host
+    # loop, no decode_telemetry — a pad row's rung-0/avg=0 carry must not
+    # read as a perfect real decode).
     for i in (2, 3):
-        assert got[i] is None or len(got[i].tokens) == 3
+        assert got[i] is None
 
 
 def test_round_cap_rotates_and_completes(model):

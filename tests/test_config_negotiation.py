@@ -169,23 +169,17 @@ def test_real_library_query_shape():
         return
 
     # No system sound stack: run the same shape check in a subprocess with
-    # the stub libasound injected via NTA_ALSA_LIB (dlopen reads it at
-    # AlsaFns.load() time; this process may have cached the failed load).
+    # the stub libasound (shared infra in helpers.build_alsa_stub /
+    # run_stub_driver; this process may have cached the failed load).
     import os
     import subprocess
-    import sys
     import tempfile
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    repo = os.path.dirname(here)
-    stub_src = os.path.join(here, "stub_alsa", "stub_asound.c")
+    from helpers import build_alsa_stub, run_stub_driver
+
     with tempfile.TemporaryDirectory() as td:
-        stub = os.path.join(td, "libasound_stub.so")
         try:
-            subprocess.run(
-                ["gcc", "-O2", "-shared", "-fPIC", "-o", stub, stub_src, "-lm"],
-                check=True, capture_output=True, timeout=60,
-            )
+            stub = build_alsa_stub(os.path.join(td, "libasound_stub.so"))
         except (OSError, subprocess.SubprocessError) as e:
             pytest.fail(f"no libasound AND no C toolchain for the stub: {e}")
         driver = (
@@ -201,10 +195,6 @@ def test_real_library_query_shape():
             "    assert 1 <= c.channels <= 32\n"
             "print('QUERY-SHAPE-OK')\n"
         )
-        env = dict(os.environ, NTA_ALSA_LIB=stub)
-        proc = subprocess.run(
-            [sys.executable, "-c", driver, repo],
-            capture_output=True, text=True, timeout=60, env=env, cwd=repo,
-        )
+        proc = run_stub_driver(driver, stub, timeout=60)
         assert proc.returncode == 0, (proc.stdout, proc.stderr)
         assert "QUERY-SHAPE-OK" in proc.stdout

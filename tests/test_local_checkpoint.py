@@ -136,6 +136,19 @@ def test_quantize_logits_flag(ckpt):
     assert isinstance(out, str)
 
 
+def test_quantize_logits_rejects_unknown_string(ckpt):
+    """A typo'd quantization name must raise, not silently select int8."""
+    d = monolingual.Definition(
+        monolingual.ModelType.TINY_EN,
+        SelectedDevice.cpu(),
+        local_dir=ckpt,
+        quantize_logits="INT4",
+    )
+    with pytest.raises(Exception) as ei:
+        d.blocking_try_to_model()
+    assert "quantize_logits" in str(ei.value)
+
+
 def test_weights_without_model_prefix(tmp_path, ckpt):
     """Some exports drop the leading 'model.' on tensor names; the loader
     must resolve either convention."""

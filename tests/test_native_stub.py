@@ -11,30 +11,20 @@ host with a real libasound (already cached in this process) cannot mask
 the stub.
 """
 
-import os
 import subprocess
-import sys
 
 import pytest
 
-HERE = os.path.dirname(os.path.abspath(__file__))
-REPO = os.path.dirname(HERE)
-STUB_SRC = os.path.join(HERE, "stub_alsa", "stub_asound.c")
+from helpers import build_alsa_stub, run_stub_driver
 
 
 @pytest.fixture(scope="module")
 def stub_lib(tmp_path_factory):
     out = str(tmp_path_factory.mktemp("stub_alsa") / "libasound_stub.so")
     try:
-        subprocess.run(
-            ["gcc", "-O2", "-shared", "-fPIC", "-o", out, STUB_SRC, "-lm"],
-            check=True,
-            capture_output=True,
-            timeout=60,
-        )
+        return build_alsa_stub(out)
     except (OSError, subprocess.SubprocessError) as e:
         pytest.skip(f"no C toolchain to build the ALSA stub: {e}")
-    return out
 
 
 DRIVER = r"""
@@ -92,23 +82,12 @@ print("STUB-NATIVE-OK", rms, peak_hz)
 
 
 def test_ranked_negotiation_and_capture_via_stub(stub_lib):
-    env = dict(os.environ)
-    env["NTA_ALSA_LIB"] = stub_lib
-    proc = subprocess.run(
-        [sys.executable, "-c", DRIVER, REPO],
-        capture_output=True,
-        text=True,
-        timeout=120,
-        env=env,
-        cwd=REPO,
-    )
+    proc = run_stub_driver(DRIVER, stub_lib, timeout=120)
     assert proc.returncode == 0, (proc.stdout, proc.stderr)
     assert "STUB-NATIVE-OK" in proc.stdout, proc.stdout
 
 
 def test_stub_rejects_unknown_device(stub_lib):
-    env = dict(os.environ)
-    env["NTA_ALSA_LIB"] = stub_lib
     driver = (
         "import sys; sys.path.insert(0, sys.argv[1]);\n"
         "from norma_tpu.audio.native import load\n"
@@ -117,13 +96,6 @@ def test_stub_rejects_unknown_device(stub_lib):
         "assert query_configs(lib, 'nonexistent-device') == []\n"
         "print('REJECT-OK')\n"
     )
-    proc = subprocess.run(
-        [sys.executable, "-c", driver, REPO],
-        capture_output=True,
-        text=True,
-        timeout=60,
-        env=env,
-        cwd=REPO,
-    )
+    proc = run_stub_driver(driver, stub_lib, timeout=60)
     assert proc.returncode == 0, (proc.stdout, proc.stderr)
     assert "REJECT-OK" in proc.stdout

@@ -17,7 +17,6 @@ Run ON TPU:  python tools/perf_decoder_ab.py
 
 import json
 import os
-import shutil
 import sys
 import time
 
@@ -45,7 +44,7 @@ def main() -> None:
         quantize_logits_head,
         quantize_logits_head_int4,
     )
-    from norma_tpu.tracing import device_time_report, profile
+    from norma_tpu.tracing import profiled_device_ms
 
     cfg = PRESETS["distil-large-v3"].with_(max_target_positions=136)
     st = SpecialTokens(
@@ -95,19 +94,10 @@ def main() -> None:
             t0 = time.perf_counter()
             engine.run_loop(state, 0.0, seed=0)
             walls.append(time.perf_counter() - t0)
-        tdir = f"/tmp/dec_ab/{name}"
-        shutil.rmtree(tdir, ignore_errors=True)
-        n = 3
-        with profile(tdir):
-            for _ in range(n):
-                engine.run_loop(state, 0.0, seed=0)
-        mods = device_time_report(tdir, "XLA Modules")
-        loop_ms = sum(t for t, _ in mods.values()) / n
-        ops = device_time_report(tdir, "XLA Ops")
-        top = [
-            {"op": k[:90], "ms_per_loop": round(t / n, 3), "n": c}
-            for k, (t, c) in list(ops.items())[:10]
-        ]
+        loop_ms, top = profiled_device_ms(
+            lambda: engine.run_loop(state, 0.0, seed=0),
+            3, f"/tmp/dec_ab/{name}", ops=10,
+        )
         print(json.dumps({
             name: {
                 "device_ms_per_loop": round(loop_ms, 2),

@@ -26,7 +26,6 @@ Run ON TPU:  python tools/perf_ladder_ab.py
 
 import json
 import os
-import shutil
 import sys
 import time
 
@@ -48,7 +47,7 @@ def main() -> None:
     from norma_tpu.decode.masks import SpecialTokens
     from norma_tpu.frontend.mel import prepare_audio
     from norma_tpu.model import PRESETS, fuse_qkv, init_params
-    from norma_tpu.tracing import device_time_report, profile
+    from norma_tpu.tracing import profiled_device_ms
 
     # Forced 132-token decodes make loop length deterministic; the lever
     # under test is which ROWS are born-finished.
@@ -107,12 +106,11 @@ def main() -> None:
                     engine.transcribe_window(audio, [50259] * B, seed=0)
                     walls.append(time.perf_counter() - t0)
                 tdir = f"/tmp/ladder_ab/{sname}_{'fin' if fin else 'nofin'}"
-                shutil.rmtree(tdir, ignore_errors=True)
-                with profile(tdir):
-                    for _ in range(2):
-                        engine.transcribe_window(audio, [50259] * B, seed=0)
-                mods = device_time_report(tdir, "XLA Modules")
-                dev = round(sum(t for t, _ in mods.values()) / 2, 2)
+                dev, _ = profiled_device_ms(
+                    lambda: engine.transcribe_window(audio, [50259] * B, seed=0),
+                    2, tdir,
+                )
+                dev = round(dev, 2)
             finally:
                 DecodeEngine._token_loop = orig_token_loop
                 for k, v in saved.items():

@@ -47,7 +47,10 @@ def main() -> int:
     )
     failures = {}
     for preset in ("distil-large-v3",):
-        cfg0 = PRESETS[preset]
+        # The reference MUST pin impl="xla": the preset default is "auto",
+        # which resolves to "chunked" at B=1 on TPU — the chunked leg would
+        # then compare against itself and pass vacuously.
+        cfg0 = PRESETS[preset].with_(encoder_attn_impl="xla")
         params = jax.device_put(
             fuse_qkv(init_params(cfg0, seed=0, dtype=jnp.bfloat16)),
             jax.devices()[0],
