@@ -167,6 +167,24 @@ def main() -> None:
     t_bf = min(run_batched_flash() for _ in range(4))
     d_bf = device_ms_per_window(run_batched_flash, 2, "batched8_flash")
 
+    # Full opt-in serving stack: flash encoder + int8 decoder weights +
+    # int8 cross-KV (quantize_cross_kv) — the measured best B=8 config
+    # (347.9 -> 242.6 ms device on v5e, -30%; see PERF.md).
+    e_serving = DecodeEngine(
+        jax.device_put(quantize_decoder(params), jax.devices()[0]),
+        cfg.with_(encoder_attn_impl="jax_flash"), st,
+        quantize_cross_kv=True,
+    )
+
+    def run_batched_serving():
+        t0 = time.perf_counter()
+        e_serving.transcribe_window(wj, [50259] * B, seed=0)
+        return time.perf_counter() - t0
+
+    run_batched_serving()  # warmup/compile
+    t_bs = min(run_batched_serving() for _ in range(4))
+    d_bs = device_ms_per_window(run_batched_serving, 2, "batched8_serving")
+
     def rtf_of(ms):
         return None if ms is None else round(ms / 1e3 / 30.0, 6)
 
@@ -204,6 +222,13 @@ def main() -> None:
                     "t_window_batched8_flash_ms": round(t_bf * 1e3, 1),
                     "t_window_batched8_flash_device_ms": r(d_bf),
                     "rtf_per_stream_batched8_flash": round(t_bf / 30.0 / B, 6),
+                    "t_window_batched8_serving_ms": round(t_bs * 1e3, 1),
+                    "t_window_batched8_serving_device_ms": r(d_bs),
+                    "rtf_per_stream_batched8_serving": round(t_bs / 30.0 / B, 6),
+                    "rtf_per_stream_batched8_serving_device": (
+                        None if d_bs is None
+                        else round(d_bs / 1e3 / 30.0 / B, 6)
+                    ),
                     "rtf_per_stream_batched8": round(rtf8, 6),
                     "rtf_per_stream_batched8_device": (
                         None if d_batched is None
@@ -224,7 +249,10 @@ def main() -> None:
                         "is the chip-side number and the one to trust for "
                         "kernel/variant comparisons — see PERF.md. The "
                         "*_device_ms fields settle the r02 w8-decoder "
-                        "wall-vs-device contradiction in one table."
+                        "wall-vs-device contradiction in one table. "
+                        "batched8_serving = jax_flash encoder + int8 "
+                        "decoder weights + int8 cross-KV, the full opt-in "
+                        "serving stack."
                     ),
                     "device": str(jax.devices()[0]),
                     "dtype": "bfloat16",

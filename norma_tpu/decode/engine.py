@@ -36,7 +36,13 @@ import numpy as np
 
 from ..constants import LOGPROB_THRESHOLD, NO_SPEECH_THRESHOLD, TEMPERATURES
 from ..model.config import WhisperConfig
-from ..model.whisper import cross_kv, decoder_prefill, decoder_step, encode
+from ..model.whisper import (
+    cross_kv,
+    decoder_prefill,
+    decoder_step,
+    encode,
+    quantize_cross_kv,
+)
 from ..tracing import decode_telemetry, instrument as decode_instrument
 from .masks import SpecialTokens, build_masks
 
@@ -73,6 +79,7 @@ class DecodeEngine:
         language_token_ids: Optional[Sequence[int]] = None,
         mel_center: bool = False,
         fused_sampler: bool = True,
+        quantize_cross_kv: bool = False,
     ):
         self.params = params
         self.cfg = cfg
@@ -84,6 +91,14 @@ class DecodeEngine:
         # the first decode call would silently have no effect on the
         # already-compiled programs.
         self.fused_sampler = bool(fused_sampler)
+        # int8 cross-attention K/V for the token loop: halves the decode
+        # loop's dominant per-step HBM stream at batch (~123 MB/step of
+        # cross-K/V at B=8 distil vs ~66 MB of weights).  Scales fold
+        # exactly into the attention math (model/whisper.py
+        # attention_cross_q8); prefill/detect stay bf16.  Trace-time, so a
+        # constructor argument like fused_sampler.  Opt-in: int8 rounding
+        # of K/V can perturb logits ~0.1-0.5%.
+        self.quantize_cross_kv = bool(quantize_cross_kv)
         # False = reference (whisper.cpp/candle) framing; True = OpenAI/HF
         # centered STFT (matches how the checkpoints were trained).
         self.mel_center = bool(mel_center)
@@ -128,6 +143,8 @@ class DecodeEngine:
         logits, cache_k, cache_v = decoder_prefill(
             params, self.cfg, prefix_tokens, xk, xv
         )
+        if self.quantize_cross_kv:  # loop-side only; prefill above is bf16
+            xk, xv = quantize_cross_kv(xk, xv)
         probe = jax.nn.softmax(logits[:, 0, :], axis=-1)
         no_speech_prob = probe[:, self.st.no_speech]
         return xk, xv, cache_k, cache_v, logits[:, -1, :], no_speech_prob
@@ -374,6 +391,8 @@ class DecodeEngine:
             axis=1,
         )
         logits, cache_k, cache_v = decoder_prefill(params, cfg, prefix, xk, xv)
+        if self.quantize_cross_kv:  # loop-side only; prefill/detect are bf16
+            xk, xv = quantize_cross_kv(xk, xv)
         probe = jax.nn.softmax(logits[:, 0, :], axis=-1)
         nsp = probe[:, st.no_speech]
         next_logits = logits[:, -1, :]

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -321,6 +321,12 @@ def encode(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Array:
         bool(cfg.encoder_scores_bf16) and jax.default_backend() == "tpu"
     )
 
+    # NOTE a hoisted-pad variant (pad the residual stream to 1536 once
+    # before the scan, thread true_len to the kernel for masking, slice
+    # after) measured device-NEUTRAL on v5e: the per-layer pad ops it
+    # removes (~9 ms/B=8 window in op-attribution) were already hidden
+    # under other work, and the MLP fusion grew by the same amount at
+    # 1536 rows.  Reverted; see PERF.md negative results.
     def body(carry, layer_p):
         return (
             encoder_layer(
@@ -407,6 +413,80 @@ def cross_kv(params: Params, cfg: WhisperConfig, xa: jax.Array) -> Tuple[jax.Arr
         return y.astype(xa.dtype)
 
     return proj("xk_w", None), proj("xv_w", layers["xv_b"])
+
+
+def quantize_cross_kv(
+    xk: jax.Array, xv: jax.Array
+) -> Tuple[Dict[str, jax.Array], Dict[str, jax.Array]]:
+    """Per-channel int8 quantization of the precomputed cross-attention K/V.
+
+    xk/xv: [L, B, Ta, D] bf16 -> {"q": int8 same shape, "s": [L, B, D] f32}.
+
+    Why: the cross-K/V stream is the decode loop's dominant per-step HBM
+    traffic at batch (B=8 distil: ~123 MB/step vs ~66 MB of weights) and,
+    unlike weights, scales linearly with B.  int8 halves it.  The scales
+    are folded EXACTLY into the attention math (per-channel scale factors
+    commute out of both contractions — onto q for the K side and onto the
+    output for the V side, see :func:`attention_cross_q8`), so the only
+    approximation is the int8 rounding of K/V themselves (<=0.4% of the
+    per-channel max).  Quantized per window AFTER prefill (prefill's own
+    cross-attention stays bf16 — it reads K/V once, so there is nothing
+    to save there).  Opt-in: ``DecodeEngine(quantize_cross_kv=True)``.
+    """
+
+    def q8(x):
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=2)  # [L,B,D]
+        s = jnp.maximum(amax, 1e-8) / 127.0
+        q = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / s[:, :, None, :]), -127, 127
+        ).astype(jnp.int8)
+        return {"q": q, "s": s}
+
+    return q8(xk), q8(xv)
+
+
+def attention_cross_q8(
+    q: jax.Array,
+    kq: Dict[str, jax.Array],
+    vq: Dict[str, jax.Array],
+    n_heads: int,
+    n_groups: int = 1,
+) -> jax.Array:
+    """Cross-attention over int8-quantized K/V (see :func:`quantize_cross_kv`).
+
+    q: [G*B, Tq, D] (``n_groups`` G query rows share one K/V stream, as in
+    :func:`attention_grouped`; G=1 is plain batched cross-attention).
+    kq/vq: {"q": [B, Tk, D] int8, "s": [B, D] f32}.
+
+    Exact scale folding: with per-channel scales the K dequant commutes
+    onto q (sum_d q[d]*(k8[t,d]*sk[d]) == sum_d (q[d]*sk[d])*k8[t,d]) and
+    the V dequant onto the output row.  int8 values are integers <= 127,
+    exactly representable in bf16, so the MXU contractions see the same
+    operands as a dequantize-then-matmul — only the memory stream halves.
+    """
+    gb, tq, d = q.shape
+    b = kq["q"].shape[0]
+    g = n_groups
+    dh = d // n_heads
+    # Fold BOTH whisper dh**-0.25 factors and the per-channel K scale
+    # onto q, in f32 before the bf16 cast (one tiny [B,D] elementwise).
+    qf = (
+        q.astype(jnp.float32).reshape(g, b, tq, d)
+        * kq["s"][None, :, None, :]
+        * float(dh) ** -0.5
+    ).astype(q.dtype)
+    qh = qf.reshape(g, b, tq, n_heads, dh)
+    kh = _split_heads(kq["q"].astype(q.dtype), n_heads)
+    vh = _split_heads(vq["q"].astype(q.dtype), n_heads)
+    logits = jnp.einsum(
+        "gbqhd,bkhd->gbhqk", qh, kh, preferred_element_type=jnp.float32
+    )
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum(
+        "gbhqk,bkhd->gbqhd", w, vh, preferred_element_type=jnp.float32
+    )
+    out = out.reshape(g, b, tq, d) * vq["s"][None, :, None, :]
+    return out.astype(q.dtype).reshape(gb, tq, d)
 
 
 def _decoder_layer_prefill(
@@ -510,7 +590,9 @@ def decoder_step(
 
         h = layer_norm(x, lp["xattn_ln_g"], lp["xattn_ln_b"])
         xq = ldense(lp, "xq_w", h, lp["xq_b"])
-        if n_rungs == 1:
+        if isinstance(lxk, dict):  # int8 cross-KV (quantize_cross_kv)
+            a = attention_cross_q8(xq, lxk, lxv, n_heads, n_rungs)
+        elif n_rungs == 1:
             a = attention(xq, lxk, lxv, n_heads)
         else:
             a = attention_grouped(xq, lxk, lxv, n_heads, n_rungs)

@@ -121,6 +121,7 @@ def build_model(
     seed: int = 0,
     quantize_logits: "bool | str" = False,
     quantize_decoder: bool = False,
+    quantize_cross_kv: bool = False,
     mel_center: bool = False,
     timestamps: bool = False,
     files: Optional[CheckpointFiles] = None,
@@ -182,7 +183,10 @@ def build_model(
         lang_state = LanguageState()
 
     engine = DecodeEngine(
-        params, cfg, st, language_token_ids=lang_token_ids, mel_center=mel_center
+        params, cfg, st,
+        language_token_ids=lang_token_ids,
+        mel_center=mel_center,
+        quantize_cross_kv=quantize_cross_kv,
     )
     return WhisperModel(
         engine,

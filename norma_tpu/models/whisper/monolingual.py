@@ -114,6 +114,7 @@ class Definition(ModelDefinition):
         dtype=jnp.float32,
         quantize_logits: "bool | str" = False,
         quantize_decoder: bool = False,
+        quantize_cross_kv: bool = False,
         mel_center: bool = False,
         timestamps: bool = False,
     ) -> None:
@@ -124,6 +125,9 @@ class Definition(ModelDefinition):
         self.quantize_logits = quantize_logits
         # Full int8 decoder weights (implies quantize_logits).
         self.quantize_decoder = quantize_decoder
+        # int8 cross-attention K/V per window (decode-loop HBM lever at
+        # batch; see model/whisper.py quantize_cross_kv).
+        self.quantize_cross_kv = quantize_cross_kv
         # OpenAI/HF centered STFT framing instead of the reference's
         # whisper.cpp convention (see frontend/mel.py).
         self.mel_center = mel_center
@@ -164,6 +168,7 @@ class Definition(ModelDefinition):
             dtype=self.dtype,
             quantize_logits=self.quantize_logits,
             quantize_decoder=self.quantize_decoder,
+            quantize_cross_kv=self.quantize_cross_kv,
             mel_center=self.mel_center,
             timestamps=self.timestamps,
         )

@@ -247,3 +247,107 @@ def test_int4_head_tp_shardable():
     a = np.asarray(logits_head(sp["decoder"], x))
     b = np.asarray(logits_head(params["decoder"], x))
     np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
+
+
+# ---- int8 cross-attention K/V (quantize_cross_kv) -------------------------
+
+
+def test_cross_kv_quantization_roundtrip():
+    from norma_tpu.model.whisper import quantize_cross_kv
+
+    rng = np.random.default_rng(7)
+    xk = jnp.asarray(rng.standard_normal((2, 3, 16, 32)), jnp.float32)
+    xv = jnp.asarray(rng.standard_normal((2, 3, 16, 32)), jnp.float32)
+    kq, vq = quantize_cross_kv(xk, xv)
+    assert kq["q"].dtype == jnp.int8 and kq["q"].shape == xk.shape
+    assert kq["s"].shape == (2, 3, 32)
+    deq = np.asarray(kq["q"], np.float32) * np.asarray(kq["s"])[:, :, None, :]
+    rel = np.abs(deq - np.asarray(xk)).max() / np.abs(np.asarray(xk)).max()
+    assert rel < 0.01  # int8 grid error per channel
+
+
+def test_cross_q8_attention_matches_dequantized_reference():
+    """The folded-scale int8 cross-attention must equal attention() over
+    the explicitly dequantized K/V (the scales commute exactly; only
+    float rounding differs)."""
+    from norma_tpu.model.whisper import (
+        attention,
+        attention_cross_q8,
+        attention_grouped,
+        quantize_cross_kv,
+    )
+
+    rng = np.random.default_rng(8)
+    B, Tq, Tk, D, H = 2, 1, 12, 32, 4
+    q = jnp.asarray(rng.standard_normal((B, Tq, D)), jnp.float32)
+    xk = jnp.asarray(rng.standard_normal((1, B, Tk, D)), jnp.float32)
+    xv = jnp.asarray(rng.standard_normal((1, B, Tk, D)), jnp.float32)
+    kq, vq = quantize_cross_kv(xk, xv)
+    k_deq = (kq["q"].astype(jnp.float32) * kq["s"][:, :, None, :])[0]
+    v_deq = (vq["q"].astype(jnp.float32) * vq["s"][:, :, None, :])[0]
+
+    want = np.asarray(attention(q, k_deq, v_deq, H))
+    got = np.asarray(
+        attention_cross_q8(
+            q, {"q": kq["q"][0], "s": kq["s"][0]},
+            {"q": vq["q"][0], "s": vq["s"][0]}, H,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    # Grouped form (speculative ladder): G query rows share one K/V row.
+    G = 3
+    qg = jnp.asarray(rng.standard_normal((G * B, Tq, D)), jnp.float32)
+    want_g = np.asarray(attention_grouped(qg, k_deq, v_deq, H, G))
+    got_g = np.asarray(
+        attention_cross_q8(
+            qg, {"q": kq["q"][0], "s": kq["s"][0]},
+            {"q": vq["q"][0], "s": vq["s"][0]}, H, n_groups=G,
+        )
+    )
+    np.testing.assert_allclose(got_g, want_g, rtol=1e-4, atol=1e-4)
+
+
+def test_engine_quantize_cross_kv_decodes_both_ladders():
+    """quantize_cross_kv engines run the full fused window on both ladder
+    strategies (speculative B=1, sequential B>2) and stay close to the
+    bf16 engine's no-speech probe."""
+    from norma_tpu.decode.engine import DecodeEngine
+    from norma_tpu.frontend.mel import prepare_audio
+
+    cfg = tiny_config()
+    params = init_params(cfg, seed=2)
+    e_ref = DecodeEngine(params, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS)
+    e_q = DecodeEngine(
+        params, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS,
+        quantize_cross_kv=True,
+    )
+    assert e_q.quantize_cross_kv
+
+    feats = jnp.asarray(
+        np.random.default_rng(9).standard_normal((1, 16, cfg.d_model)),
+        jnp.float32,
+    )
+    s_ref = e_ref.prefill(feats, TEST_LANG_IDS[0])
+    s_q = e_q.prefill(feats, TEST_LANG_IDS[0])
+    # Prefill itself is bf16 in both engines: probes must match closely.
+    assert abs(
+        float(s_ref["no_speech_prob"][0]) - float(s_q["no_speech_prob"][0])
+    ) < 1e-5
+    dr = e_q.run_loop(s_q, 0.0, seed=0)[0]
+    assert dr.tokens[0] == TEST_ST.sot
+
+    n_frames = 2 * cfg.max_source_positions
+    rng = np.random.default_rng(10)
+    win1 = prepare_audio(
+        (0.1 * rng.standard_normal(12_000)).astype(np.float32),
+        n_frames=n_frames,
+    )
+    # Speculative path (B=1) and sequential path (B=4 > rows max / R).
+    out1, _ = e_q.transcribe_window(
+        jnp.asarray(win1)[None], [TEST_LANG_IDS[0]], seed=0
+    )
+    assert out1[0] is None or out1[0].tokens[0] == TEST_ST.sot
+    win4 = jnp.asarray(np.stack([win1] * 4))
+    out4, _ = e_q.transcribe_window(win4, [TEST_LANG_IDS[0]] * 4, seed=0)
+    assert len(out4) == 4
