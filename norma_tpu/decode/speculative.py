@@ -1,0 +1,588 @@
+"""Speculative decoding: a distil draft decoder proposes, the target verifies.
+
+TPU-native serving lever with no reference equivalent (the reference decodes
+one token per full target forward, ``/root/reference/src/models/whisper/
+model.rs:317-371``).  The distil-whisper checkpoints share the target's
+encoder (distil-large-v3's encoder is a frozen copy of large-v3's), so one
+encoder pass feeds BOTH decoders; the 2-layer draft decoder proposes K
+greedy tokens sequentially, then the 32-layer target scores all K proposals
+plus one bonus position in ONE chunked forward (:func:`~norma_tpu.model.
+whisper.decoder_chunk`) — per-round target weight and cross-K/V HBM
+streaming is paid once for up to K+1 committed tokens instead of per token.
+
+EXACT greedy equivalence: every committed token is the TARGET's own
+grammar-masked greedy choice, by induction — position j of a verify chunk
+is accepted only if the target's choice (computed with the same stateful
+timestamp-grammar state the target-only loop would carry, advanced along
+the accepted prefix) equals the draft's proposal; the first mismatch
+commits the target's choice instead (the "bonus"/correction token).  The
+avg_logprob gate consumes the target's own masked probabilities, so the
+temperature-fallback semantics (reference model.rs:164-191) are unchanged:
+the t=0 rung is speculative, t>0 rungs fall back to the plain ladder.
+
+Cache-staleness invariant (why rejected proposals never corrupt state):
+each round writes chunk K/V at positions [n-1, n+K) and commits n' >= n+1,
+so stale rows left by rejected tokens live at positions >= n'-1 and are
+overwritten by the next round's chunk write (which starts exactly at
+n'-1) before any attention read — queries mask keys beyond their own
+position in between.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import LOGPROB_THRESHOLD, NO_SPEECH_THRESHOLD, TEMPERATURES
+from ..tracing import instrument as decode_instrument
+from ..model.config import WhisperConfig
+from ..model.whisper import (
+    cross_kv,
+    decoder_chunk,
+    decoder_prefill,
+    encode,
+    quantize_cross_kv,
+)
+from .engine import DecodeEngine, DecodingResult
+from .masks import SpecialTokens
+
+
+class SpeculativeEngine(DecodeEngine):
+    """DecodeEngine whose greedy (t=0) rung runs draft/verify speculation.
+
+    ``draft_params``/``draft_cfg`` describe a shallow Whisper decoder with
+    the SAME d_model, vocab and tokenizer as the target (the distil-*
+    checkpoints); its encoder weights are unused — the target's encoder
+    output feeds the draft's own cross-attention projections.
+
+    ``spec_k`` proposals are drafted per round.  Worst case (every proposal
+    rejected) still commits one target-chosen token per round, at the cost
+    of K draft steps + one (K+1)-wide target chunk per committed token;
+    best case commits K+1 tokens per target-weight-stream.  Temperatures
+    above 0 (rare: only after the t=0 rung fails the reference's
+    avg_logprob gate) fall back to the inherited non-speculative ladder
+    over the remaining rungs.
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg: WhisperConfig,
+        draft_params,
+        draft_cfg: WhisperConfig,
+        st: SpecialTokens,
+        language_token_ids: Optional[Sequence[int]] = None,
+        mel_center: bool = False,
+        fused_sampler: bool = True,
+        quantize_cross_kv: bool = False,
+        spec_k: int = 4,
+    ):
+        if draft_cfg.d_model != cfg.d_model:
+            raise ValueError(
+                "draft d_model must match the target's (the draft reuses "
+                f"the target encoder output): {draft_cfg.d_model} != {cfg.d_model}"
+            )
+        if draft_cfg.vocab_size != cfg.vocab_size:
+            raise ValueError("draft vocab must match the target's")
+        if draft_cfg.max_target_positions != cfg.max_target_positions:
+            raise ValueError(
+                "draft max_target_positions must match the target's (both "
+                "decoders share the round's position bookkeeping)"
+            )
+        super().__init__(
+            params, cfg, st,
+            language_token_ids=language_token_ids,
+            mel_center=mel_center,
+            fused_sampler=fused_sampler,
+            quantize_cross_kv=quantize_cross_kv,
+        )
+        self.draft_params = draft_params
+        self.draft_cfg = draft_cfg
+        if spec_k < 1:
+            raise ValueError("spec_k must be >= 1")
+        self.spec_k = int(spec_k)
+        # Fused speculative window programs (t=0 rung only); the t>0
+        # fallback reuses the inherited ladder over feats.
+        self._spec_window = jax.jit(partial(self._spec_window_impl, detect=False))
+        self._spec_window_detect = jax.jit(
+            partial(self._spec_window_impl, detect=True)
+        )
+        self._fallback_rungs = jax.jit(self._fallback_rungs_impl)
+
+    # ------------------------------------------------------------------
+    # The speculative greedy loop
+    # ------------------------------------------------------------------
+
+    def _spec_loop(
+        self,
+        params,
+        draft_params,
+        xk,
+        xv,
+        dxk,
+        dxv,
+        cache_k,  # target caches: positions [0, P-1) filled (prefix MINUS
+        cache_v,  # the pending token)
+        dcache_k,
+        dcache_v,
+        tokens_init,  # [B, Tmax] with the FULL prefix written at [0, P)
+        n0,  # scalar int32 == P (pending token at P-1 not yet fed)
+        prev1,  # [B] int32 == tokens_init[:, P-1] (the pending token)
+        prev2,  # [B] int32 == tokens_init[:, P-2]
+        fin_init,  # [B] bool
+    ):
+        """Greedy draft/verify loop.  Token-for-token equal to
+        ``_token_loop(..., temp=0)`` over the target alone (pinned by
+        tests/test_speculative.py oracle tests).
+
+        State invariant at the top of each round, per row: tokens
+        [0, n) are committed; BOTH caches hold positions [0, n-1); the
+        committed token at n-1 ("pending") has not been fed to either
+        decoder yet.  Grammar state (p1, p2, last_ts, step) is the state
+        for predicting position n: p1 = tokens[n-1], p2 = tokens[n-2],
+        step = n - n0.
+        """
+        cfg, st = self.cfg, self.st
+        K = self.spec_k
+        B, Tmax = tokens_init.shape
+        mtp = cfg.max_target_positions
+        ids_row = jnp.arange(Tmax)[None]  # [1, Tmax]
+        jseq = jnp.arange(K + 1)
+
+        use_kernel = self.fused_sampler and jax.default_backend() == "tpu"
+        if use_kernel:
+            from ..ops.sample_step import sample_step_pallas as _sample
+        else:
+            from ..ops.sample_step import sample_step_jnp as _sample
+        zero_temp = jnp.zeros((B,), jnp.float32)
+        zero_temp_v = jnp.zeros(((K + 1) * B,), jnp.float32)
+        # t=0 everywhere: the PRNG argument is never consumed by the
+        # greedy path (the kernel takes a seed pair, the jnp twin a key).
+        seed2 = jnp.zeros((2,), jnp.uint32)
+        key = jax.random.PRNGKey(0)
+        rng_arg = seed2 if use_kernel else key
+
+        def grammar(ll, p1, p2, lts, step, temp):
+            # step may be per-row here (rows of a verify chunk sit at
+            # different depths); the kernel/jnp twin accept both.
+            return _sample(
+                ll, self._m_suppress, self._m_non_ts, self._m_ts,
+                self._m_first, p1, p2, lts, step, temp, rng_arg,
+                eot=st.eot, no_timestamps=st.no_timestamps,
+            )
+
+        def cond(c):
+            (it, tokens, n, p1, p2, lts, slp, fin, ck, cv, dk, dv) = c
+            return jnp.logical_and(jnp.any(~fin), it < mtp)
+
+        def body(c):
+            (it, tokens, n, p1, p2, lts, slp, fin, ck, cv, dk, dv) = c
+            step0 = n - n0  # [B] grammar step for position n
+
+            # -- draft phase: K+1 sequential 1-token steps -------------
+            # Feeds [pending, d_0 .. d_{K-1}] at positions n-1 .. n+K-1,
+            # proposing d_j from the j-th step's logits; emits the grammar
+            # state s_j used at each prediction so verify can reuse it.
+            def draft_body(carry, j):
+                x_in, dp1, dp2, dlts, dk, dv = carry
+                logits, dk, dv = decoder_chunk(
+                    draft_params, self.draft_cfg, x_in[:, None],
+                    n - 1 + j, dk, dv, dxk, dxv,
+                )
+                state_out = (dp1, dp2, dlts, step0 + j)
+                d_j, _, _ = grammar(
+                    logits[:, 0, :], dp1, dp2, dlts, step0 + j, zero_temp
+                )
+                ndp2 = dp1
+                ndp1 = d_j
+                ndlts = jnp.where(d_j > st.no_timestamps, d_j, dlts)
+                return (d_j, ndp1, ndp2, ndlts, dk, dv), (x_in, state_out)
+
+            (_, _, _, _, dk, dv), (fed, states) = jax.lax.scan(
+                draft_body, (p1, p1, p2, lts, dk, dv), jseq
+            )
+            # fed[j] is the token fed at step j: [pending, d_0..d_{K-1}];
+            # proposals d_j = fed[j+1] for j < K.
+            drafts = fed[1:]  # [K, B]
+            s_p1, s_p2, s_lts, s_step = states  # each [K+1, B]
+
+            # -- verify phase: one (K+1)-wide target chunk --------------
+            chunk = fed.T  # [B, K+1]
+            logits, ck, cv = decoder_chunk(
+                params, cfg, chunk, n - 1, ck, cv, xk, xv
+            )
+            # logits[:, j] predicts position n+j; grammar state s_j.
+            ll = logits.reshape(B * (K + 1), -1)
+            g, prob, _ = grammar(
+                ll,
+                s_p1.T.reshape(-1),
+                s_p2.T.reshape(-1),
+                s_lts.T.reshape(-1),
+                s_step.T.reshape(-1),
+                zero_temp_v,
+            )
+            g = g.reshape(B, K + 1)  # target's choice at positions n..n+K
+            prob = prob.reshape(B, K + 1)
+
+            # -- acceptance: longest matching prefix --------------------
+            match = g[:, :K] == drafts.T  # [B, K]
+            a = jnp.where(
+                match.all(axis=1), K, jnp.argmin(match, axis=1)
+            ).astype(jnp.int32)  # [B] in [0, K]
+            # Candidate committed tokens: c_j = d_j for j < a, c_a = g_a
+            # (g_j == d_j on the accepted prefix, so just g everywhere).
+            cand = g  # [B, K+1]
+
+            # Sequential push semantics over j = 0..a (mirrors the
+            # non-speculative body): stop after the first EOT; at
+            # len >= mtp-1 push the token plus an extra EOT and stop.
+            js = jseq[None, :]  # [1, K+1]
+            in_range = js <= a[:, None]
+            is_eot = cand == st.eot
+            # first EOT among the committed window (K+1 = "none").
+            first_eot = jnp.min(
+                jnp.where(in_range & is_eot, js, K + 1), axis=1
+            )
+            # first length-limit hit: pushing c_j makes len n+j+1.
+            limit_j = ((n[:, None] + js + 1) >= (mtp - 1)) & ~is_eot
+            first_lim = jnp.min(
+                jnp.where(in_range & limit_j, js, K + 1), axis=1
+            )
+            stop_j = jnp.minimum(first_eot, first_lim)  # K+1 = no stop
+            cc = jnp.minimum(a + 1, stop_j + 1)  # committed count
+            hit_lim = first_lim < jnp.minimum(first_eot, a + 1)
+
+            # Write committed tokens at [n, n+cc); extra EOT at n+cc when
+            # the length limit fired.
+            committed = (js < cc[:, None]) & (~fin)[:, None]
+            sel = ids_row - n[:, None]  # token-slot -> chunk index
+            write = (sel >= 0) & (sel < K + 1)
+            cand_at = jnp.take_along_axis(
+                cand, jnp.clip(sel, 0, K), axis=1
+            )
+            take = write & (sel < cc[:, None]) & (~fin)[:, None]
+            tokens = jnp.where(take, cand_at, tokens)
+            lim_slot = ids_row == (n + cc)[:, None]
+            tokens = jnp.where(
+                lim_slot & (hit_lim & ~fin)[:, None], st.eot, tokens
+            )
+
+            slp = slp + jnp.sum(
+                jnp.where(committed, jnp.log(prob), 0.0), axis=1
+            )
+
+            got_eot = first_eot <= a
+            new_fin = fin | got_eot | hit_lim
+            n_new = jnp.where(fin, n, n + cc + hit_lim.astype(jnp.int32))
+
+            # Grammar state after the commit: advance s_{cc-1} by its
+            # committed token (the states beyond the accepted prefix are
+            # only reached when the row finishes, where they are unused).
+            last_j = jnp.maximum(cc - 1, 0)
+            gather = lambda s: jnp.take_along_axis(
+                s.T, last_j[:, None], axis=1
+            )[:, 0]
+            c_last = jnp.take_along_axis(cand, last_j[:, None], axis=1)[:, 0]
+            np1 = jnp.where(fin, p1, c_last)
+            np2 = jnp.where(fin, p2, gather(s_p1))
+            nlts = jnp.where(
+                (~fin) & (c_last > st.no_timestamps), c_last, gather(s_lts)
+            )
+            nlts = jnp.where(fin, lts, nlts)
+
+            return (it + 1, tokens, n_new, np1, np2, nlts, slp, new_fin,
+                    ck, cv, dk, dv)
+
+        init = (
+            jnp.int32(0),
+            tokens_init,
+            jnp.full((B,), n0, jnp.int32),
+            prev1,
+            prev2,
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), jnp.float32),
+            fin_init,
+            cache_k,
+            cache_v,
+            dcache_k,
+            dcache_v,
+        )
+        (_, tokens, n, _, _, _, slp, _, _, _, _, _) = jax.lax.while_loop(
+            cond, body, init
+        )
+        return tokens, n, slp
+
+    # ------------------------------------------------------------------
+    # Fused window programs
+    # ------------------------------------------------------------------
+
+    def _spec_window_impl(self, params, draft_params, audio, langs, active,
+                          *, detect: bool):
+        """ONE device program: mel -> encoder -> (detect) -> both prefills
+        -> no-speech gate -> speculative greedy loop.  Returns the packed
+        ladder layout (at_rung 0 everywhere; the host applies the logprob
+        gate and runs the t>0 fallback program on failures) plus the
+        device-resident encoder features for that fallback.
+        """
+        from ..frontend.mel import log_mel_spectrogram
+
+        cfg, st = self.cfg, self.st
+        B = audio.shape[0]
+        n_frames = 2 * cfg.max_source_positions
+
+        mel = log_mel_spectrogram(
+            audio, n_mels=cfg.num_mel_bins, n_frames=n_frames,
+            center=self.mel_center,
+        )
+        feats = encode(params, cfg, mel)
+        xk, xv = cross_kv(params, cfg, feats)
+        dxk, dxv = cross_kv(draft_params, self.draft_cfg, feats)
+
+        if detect:
+            sot = jnp.full((B, 1), st.sot, jnp.int32)
+            logits1, _, _ = decoder_prefill(params, cfg, sot, xk, xv)
+            lang_probs = jax.nn.softmax(logits1[:, 0, self._lang_ids], axis=-1)
+            detected = self._lang_ids[jnp.argmax(lang_probs, axis=-1)]
+            langs = jnp.where(langs < 0, detected, langs).astype(jnp.int32)
+        else:
+            lang_probs = jnp.zeros((B, 1), jnp.float32)
+
+        prefix = jnp.stack(
+            [
+                jnp.full((B,), st.sot, jnp.int32),
+                langs.astype(jnp.int32),
+                jnp.full((B,), st.task, jnp.int32),
+            ],
+            axis=1,
+        )
+        # Prefill BOTH decoders on the prefix MINUS the pending task token
+        # (the speculative loop's invariant: the last committed token is
+        # re-fed as the head of the first verify chunk).  The no-speech
+        # probe still reads the SOT position, as in the full prefill.
+        logits, cache_k, cache_v = decoder_prefill(
+            params, cfg, prefix[:, :2], xk, xv
+        )
+        _, dcache_k, dcache_v = decoder_prefill(
+            draft_params, self.draft_cfg, prefix[:, :2], dxk, dxv
+        )
+        # Over-allocate the loop caches by the chunk width: rows pinned at
+        # the length limit (and finished rows, which keep lockstep-feeding
+        # their final pending token) issue chunk writes whose start+width
+        # would otherwise exceed Tmax and CLAMP — silently shifting the
+        # whole chunk's K/V onto earlier live rows (see decoder_chunk).
+        slack = self.spec_k + 1
+        pad_t = lambda c: jnp.pad(c, ((0, 0), (0, 0), (0, slack), (0, 0)))
+        cache_k, cache_v = pad_t(cache_k), pad_t(cache_v)
+        dcache_k, dcache_v = pad_t(dcache_k), pad_t(dcache_v)
+        if self.quantize_cross_kv:  # loop-side only
+            xk, xv = quantize_cross_kv(xk, xv)
+        probe = jax.nn.softmax(logits[:, 0, :], axis=-1)
+        nsp = probe[:, st.no_speech]
+
+        Tmax = cfg.max_target_positions
+        tokens_init = jnp.zeros((B, Tmax), jnp.int32).at[:, :3].set(prefix)
+        gated0 = (nsp > NO_SPEECH_THRESHOLD) | ~active
+
+        toks, n, slp = self._spec_loop(
+            params, draft_params, xk, xv, dxk, dxv,
+            cache_k, cache_v, dcache_k, dcache_v,
+            tokens_init, jnp.int32(3), prefix[:, -1], prefix[:, -2],
+            fin_init=gated0,
+        )
+        avg = slp / jnp.maximum(n, 1).astype(jnp.float32)
+        rung0 = jnp.zeros((B,), jnp.int32)
+        packed = self._pack_ladder(toks, n, avg, rung0, nsp, langs, lang_probs)
+        return packed, feats
+
+    def _fallback_rungs_impl(self, params, feats, langs, seed, settled):
+        """The t>0 rungs (TEMPERATURES[1:]) over device-resident features,
+        for rows where the speculative t=0 rung failed the logprob gate.
+        Mirrors the sequential arm of ``_ladder_impl`` with rung r mapping
+        to TEMPERATURES[r+1]; settled rows are born finished.
+        """
+        cfg, st = self.cfg, self.st
+        B = feats.shape[0]
+        xk, xv = cross_kv(params, cfg, feats)
+        prefix = jnp.stack(
+            [
+                jnp.full((B,), st.sot, jnp.int32),
+                langs.astype(jnp.int32),
+                jnp.full((B,), st.task, jnp.int32),
+            ],
+            axis=1,
+        )
+        logits, cache_k, cache_v = decoder_prefill(params, cfg, prefix, xk, xv)
+        if self.quantize_cross_kv:
+            xk, xv = quantize_cross_kv(xk, xv)
+        next_logits = logits[:, -1, :]
+        Tmax = cfg.max_target_positions
+        tokens_init = jnp.zeros((B, Tmax), jnp.int32).at[:, :3].set(prefix)
+        temps = jnp.asarray(TEMPERATURES, jnp.float32)
+        R = len(TEMPERATURES)
+        key0 = jax.random.PRNGKey(seed)
+
+        def cond(c):
+            r, settled, *_ = c
+            return jnp.logical_and(r < R, jnp.any(~settled))
+
+        def body(c):
+            r, settled, btoks, bn, bavg, brung = c
+            toks, n, slp = self._token_loop(
+                params, xk, xv, cache_k, cache_v, next_logits, tokens_init,
+                jnp.int32(3), prefix[:, -1], prefix[:, -2],
+                jnp.broadcast_to(temps[r], (B,)), jax.random.fold_in(key0, r),
+                fin_init=settled,
+            )
+            avg = slp / jnp.maximum(n, 1).astype(jnp.float32)
+            accept = ~(avg < LOGPROB_THRESHOLD)
+            take = (~settled) & accept
+            btoks = jnp.where(take[:, None], toks, btoks)
+            bn = jnp.where(take, n, bn)
+            bavg = jnp.where(take, avg, bavg)
+            brung = jnp.where(take, r, brung)
+            return (r + 1, settled | accept, btoks, bn, bavg, brung)
+
+        init = (
+            jnp.int32(1),  # rung 0 already ran speculatively
+            settled,
+            tokens_init,
+            jnp.full((B,), 3, jnp.int32),
+            jnp.zeros((B,), jnp.float32),
+            jnp.full((B,), -1, jnp.int32),
+        )
+        _, _, btoks, bn, bavg, brung = jax.lax.while_loop(cond, body, init)
+        return jnp.concatenate(
+            [
+                btoks.astype(jnp.float32),
+                bn.astype(jnp.float32)[:, None],
+                bavg[:, None],
+                brung.astype(jnp.float32)[:, None],
+            ],
+            axis=1,
+        )
+
+    # ------------------------------------------------------------------
+    # Host orchestration
+    # ------------------------------------------------------------------
+
+    @decode_instrument(
+        fields={
+            "B": lambda a: int(a["audio"].shape[0]),
+            "samples": lambda a: int(a["audio"].shape[1]),
+            "seed": lambda a: a["seed"],
+        }
+    )
+    def transcribe_window(
+        self,
+        audio: jax.Array,
+        langs,
+        seed: int,
+        n_active: Optional[int] = None,
+    ) -> Tuple[List[Optional[DecodingResult]], dict]:
+        """Speculative window transcription: one fused dispatch for the
+        common case (t=0 accepted / no-speech), a second dispatch over
+        device-resident features only for streams whose greedy decode
+        failed the reference's avg_logprob gate.
+        """
+        langs_arr = np.broadcast_to(
+            np.asarray(langs, np.int32).reshape(-1), (audio.shape[0],)
+        )
+        detect = bool((langs_arr < 0).any())
+        if detect and self._lang_ids is None:
+            raise ValueError("language detection requires language_token_ids")
+        B = audio.shape[0]
+        active = np.ones(B, bool)
+        if n_active is not None:
+            active[n_active:] = False
+        fn = self._spec_window_detect if detect else self._spec_window
+        packed_dev, feats = fn(
+            self.params, self.draft_params, audio,
+            jnp.asarray(langs_arr), jnp.asarray(active),
+        )
+        # ONE fetch; feats stays on device.  np.array (not asarray): the
+        # zero-copy view of a device buffer is read-only, and the fallback
+        # path below writes failed rows back into it.
+        packed = np.array(packed_dev)
+        Tmax = self.cfg.max_target_positions
+        bn = packed[:, Tmax].astype(np.int32)
+        bavg = packed[:, Tmax + 1]
+        nsp = packed[:, Tmax + 3]
+        langs_out = packed[:, Tmax + 4].astype(np.int32)
+
+        # Reference gate (model.rs:175-186): the greedy rung is accepted
+        # unless avg_logprob < threshold (NaN avg accepted; nsp-gated rows
+        # exit early regardless).
+        need_fb = (
+            active
+            & ~(nsp > NO_SPEECH_THRESHOLD)
+            & (bavg < LOGPROB_THRESHOLD)
+        )
+        if need_fb.any():
+            fb = np.asarray(
+                self._fallback_rungs(
+                    self.params, feats, jnp.asarray(langs_out),
+                    jnp.uint32(seed), jnp.asarray(~need_fb),
+                )
+            )
+            packed[need_fb, : Tmax + 3] = fb[need_fb]
+        else:
+            # Normalize accepted-rung bookkeeping: rung stays 0.
+            pass
+
+        return self._unpack_window(packed, active, detect)
+
+    def _unpack_window(self, packed, active, detect):
+        """Shared host-side unpack (the tail of DecodeEngine.
+        transcribe_window, kept in sync with _pack_ladder's layout)."""
+        from ..tracing import decode_telemetry
+
+        Tmax = self.cfg.max_target_positions
+        btoks = packed[:, :Tmax].astype(np.int32)
+        bn = packed[:, Tmax].astype(np.int32)
+        bavg = packed[:, Tmax + 1]
+        brung = packed[:, Tmax + 2].astype(np.int32)
+        nsp = packed[:, Tmax + 3]
+        langs_out = packed[:, Tmax + 4].astype(np.int32)
+        lang_probs = packed[:, Tmax + 5 :]
+        st = self.st
+        out: List[Optional[DecodingResult]] = []
+        for b in range(btoks.shape[0]):
+            if not active[b]:
+                out.append(None)
+                continue
+            if nsp[b] > NO_SPEECH_THRESHOLD:
+                out.append(
+                    DecodingResult(
+                        tokens=btoks[b, :3].tolist(),
+                        avg_logprob=0.0,
+                        no_speech_prob=float(nsp[b]),
+                    )
+                )
+                continue
+            if brung[b] < 0 or (
+                brung[b] == 0 and bavg[b] < LOGPROB_THRESHOLD
+            ):
+                out.append(None)  # failed at all temperatures
+                continue
+            toks = btoks[b, : bn[b]].tolist()
+            while len(toks) >= 2 and toks[-2] > st.no_timestamps:
+                del toks[-2]
+            decode_telemetry(
+                float(TEMPERATURES[brung[b]]), float(bavg[b]), float(nsp[b])
+            )
+            out.append(
+                DecodingResult(
+                    tokens=toks,
+                    avg_logprob=float(bavg[b]),
+                    no_speech_prob=float(nsp[b]),
+                )
+            )
+        info = {
+            "langs": langs_out,
+            "lang_probs": lang_probs if detect else None,
+        }
+        return out, info

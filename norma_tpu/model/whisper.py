@@ -624,6 +624,93 @@ def decoder_step(
     return logits, new_k, new_v
 
 
+def decoder_chunk(
+    params: Params,
+    cfg: WhisperConfig,
+    toks: jax.Array,  # [B, C] int32 — tokens at positions pos[b] .. pos[b]+C-1
+    pos: jax.Array,  # [B] int32 per-row start position
+    cache_k: jax.Array,  # [L, B, Tmax, D]
+    cache_v: jax.Array,
+    xk: jax.Array,  # [L, B, Ta, D] bf16, or int8 dict (quantize_cross_kv)
+    xv: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Multi-token incremental decode step with PER-ROW positions.
+
+    The speculative-decoding verify pass (decode/speculative.py): row b's
+    chunk of C proposal tokens is scored in ONE forward instead of C
+    sequential :func:`decoder_step` calls, so per-chunk weight and
+    cross-K/V HBM streaming is paid once for C tokens.  Positions are
+    per-row because streams accept different proposal counts per round and
+    drift apart.  Causal within the chunk; cache rows beyond each query's
+    position are masked out (stale rows left by a rejected earlier chunk
+    sit at positions >= pos[b] and are overwritten here before any read).
+
+    Returns (logits [B, C, V] f32 — logits[:, j] predicts position
+    pos+j+1, caches with rows [pos, pos+C) updated).
+
+    The caches may be allocated LONGER than ``cfg.max_target_positions``
+    (the speculative loop over-allocates by the chunk width): a finished
+    row keeps being fed at its final position in the lockstep loop, and
+    without the slack the ``dynamic_update_slice`` start would clamp and
+    silently shift the whole chunk's K/V onto earlier (live) rows.
+    """
+    dec = params["decoder"]
+    n_heads = cfg.decoder_attention_heads
+    Tmax = cache_k.shape[2]
+    dtype = dec["tok_emb"].dtype
+    B, C = toks.shape
+
+    pos_idx = pos[:, None] + jnp.arange(C)[None, :]  # [B, C]
+    # Clamp the embedding gather only: positions at/beyond the limit occur
+    # only on rows whose results this round are discarded (fin / len-limit),
+    # but the gather must stay in bounds deterministically.
+    emb_idx = jnp.minimum(pos_idx, cfg.max_target_positions - 1)
+    x = dec["tok_emb"][toks] + dec["pos_emb"][emb_idx].astype(dtype)
+
+    # Query at chunk offset ci (global pos+ci) sees cache keys <= pos+ci.
+    key_idx = jnp.arange(Tmax)
+    key_mask = jnp.where(
+        key_idx[None, None, None, :] <= pos_idx[:, None, :, None], 0.0, -jnp.inf
+    ).astype(jnp.float32)  # [B, 1, C, Tmax]
+
+    write = jax.vmap(
+        lambda c, k, p: jax.lax.dynamic_update_slice(c, k, (p, 0))
+    )
+
+    def body(x, layer_in):
+        lp, ck, cv, lxk, lxv = layer_in
+        h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
+        q, k, v = qkv_proj(lp, h)
+        ck = write(ck, k.astype(dtype), pos)
+        cv = write(cv, v.astype(dtype), pos)
+        a = attention(q, ck, cv, n_heads, key_mask)
+        x = x + ldense(lp, "o_w", a, lp["o_b"])
+
+        h = layer_norm(x, lp["xattn_ln_g"], lp["xattn_ln_b"])
+        xq = ldense(lp, "xq_w", h, lp["xq_b"])
+        if isinstance(lxk, dict):  # int8 cross-KV (quantize_cross_kv)
+            a = attention_cross_q8(xq, lxk, lxv, n_heads)
+        else:
+            a = attention(xq, lxk, lxv, n_heads)
+        x = x + ldense(lp, "xo_w", a, lp["xo_b"])
+
+        h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
+        x = x + _mlp(lp, h)
+        return x, (ck, cv)
+
+    unroll = (
+        cfg.decoder_layers
+        if cfg.decoder_layers <= 4 and B <= 6
+        else 1
+    )
+    x, (new_k, new_v) = jax.lax.scan(
+        body, x, (dec["layers"], cache_k, cache_v, xk, xv), unroll=unroll
+    )
+
+    x = layer_norm(x, dec["ln_g"], dec["ln_b"])
+    return logits_head(dec, x), new_k, new_v
+
+
 def decoder_full(
     params: Params, cfg: WhisperConfig, tokens: jax.Array, xa: jax.Array
 ) -> jax.Array:

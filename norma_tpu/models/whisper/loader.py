@@ -18,7 +18,12 @@ import jax
 import jax.numpy as jnp
 
 from ...constants import TRANSCRIBE_TOKEN
-from ...decode import DecodeEngine, LanguageState, SpecialTokens
+from ...decode import (
+    DecodeEngine,
+    LanguageState,
+    SpecialTokens,
+    SpeculativeEngine,
+)
 from ...errors import MelBinsError, WhisperError
 from ...model.config import WhisperConfig
 from ...model.load import load_safetensors
@@ -125,12 +130,29 @@ def build_model(
     mel_center: bool = False,
     timestamps: bool = False,
     files: Optional[CheckpointFiles] = None,
+    draft_repo_id: Optional[str] = None,
+    draft_revision: str = "main",
+    draft_local_dir: Optional[str] = None,
+    draft_files: Optional[CheckpointFiles] = None,
+    spec_k: int = 4,
 ) -> WhisperModel:
     """Build a WhisperModel from a checkpoint.
 
     ``const_language_token_str`` set => monolingual (ConstLang); otherwise
     the model detects the language per utterance (Detect).  ``files``
     short-circuits resolution (the async path resolves ahead of time).
+
+    ``draft_repo_id``/``draft_files`` select a shallow DRAFT checkpoint
+    (e.g. distil-large-v3 drafting for large-v3 — the distil models share
+    the target's encoder lineage, vocab and tokenizer) and switch the
+    decode engine to speculative draft/verify greedy decoding
+    (:class:`~norma_tpu.decode.SpeculativeEngine`): the draft proposes
+    ``spec_k`` tokens per round and the target scores them in one chunked
+    forward, committing up to ``spec_k + 1`` tokens per target weight
+    stream with EXACTLY the target-only greedy output.  No reference
+    equivalent (the reference decodes one token per target forward,
+    model.rs:317-371); this is a TPU-native serving lever for the
+    weight-bound deep decoders.
     """
     if files is None:
         files = resolve_files(repo_id, revision, quantized_ext, local_dir)
@@ -182,12 +204,34 @@ def build_model(
     else:
         lang_state = LanguageState()
 
-    engine = DecodeEngine(
-        params, cfg, st,
-        language_token_ids=lang_token_ids,
-        mel_center=mel_center,
-        quantize_cross_kv=quantize_cross_kv,
-    )
+    if (
+        draft_repo_id is not None
+        or draft_files is not None
+        or draft_local_dir is not None
+    ):
+        if draft_files is None:
+            draft_files = resolve_files(
+                draft_repo_id, draft_revision, None, draft_local_dir
+            )
+        draft_cfg = WhisperConfig.from_json(draft_files.config)
+        draft_params = fuse_qkv(
+            load_safetensors(draft_files.weights, draft_cfg, dtype)
+        )
+        draft_params = jax.device_put(draft_params, jdev)
+        engine = SpeculativeEngine(
+            params, cfg, draft_params, draft_cfg, st,
+            language_token_ids=lang_token_ids,
+            mel_center=mel_center,
+            quantize_cross_kv=quantize_cross_kv,
+            spec_k=spec_k,
+        )
+    else:
+        engine = DecodeEngine(
+            params, cfg, st,
+            language_token_ids=lang_token_ids,
+            mel_center=mel_center,
+            quantize_cross_kv=quantize_cross_kv,
+        )
     return WhisperModel(
         engine,
         tokenizer,

@@ -117,10 +117,29 @@ class Definition(ModelDefinition):
         quantize_cross_kv: bool = False,
         mel_center: bool = False,
         timestamps: bool = False,
+        draft: Optional[str] = None,
+        draft_local_dir: Optional[str] = None,
+        spec_k: int = 4,
     ) -> None:
         self.model = model
         self.device = device
         self.local_dir = local_dir
+        # Speculative decoding: ``draft`` is an HF repo id of a shallow
+        # same-vocab checkpoint, or "auto" to pair the official distil
+        # draft (medium.en only — the distil-large-en drafts ARE already
+        # the recommended serving models here).  See decode/speculative.py.
+        if draft == "auto":
+            draft = {
+                ModelType.MEDIUM_EN: "distil-whisper/distil-medium.en",
+            }.get(model)
+            if draft is None:
+                raise ValueError(
+                    f"no official distil draft for {model}; pass an "
+                    "explicit draft repo id"
+                )
+        self.draft = draft
+        self.draft_local_dir = draft_local_dir
+        self.spec_k = spec_k
         self.dtype = dtype
         self.quantize_logits = quantize_logits
         # Full int8 decoder weights (implies quantize_logits).
@@ -171,6 +190,9 @@ class Definition(ModelDefinition):
             quantize_cross_kv=self.quantize_cross_kv,
             mel_center=self.mel_center,
             timestamps=self.timestamps,
+            draft_repo_id=self.draft,
+            draft_local_dir=self.draft_local_dir,
+            spec_k=self.spec_k,
         )
 
     def blocking_try_to_model(self) -> WhisperModel:

@@ -90,6 +90,9 @@ class Definition(ModelDefinition):
         quantize_cross_kv: bool = False,
         mel_center: bool = False,
         timestamps: bool = False,
+        draft: Optional[str] = None,
+        draft_local_dir: Optional[str] = None,
+        spec_k: int = 4,
     ) -> None:
         self.model = model
         self.device = device
@@ -102,6 +105,22 @@ class Definition(ModelDefinition):
         # int8 cross-attention K/V per window (decode-loop HBM lever at
         # batch; see model/whisper.py quantize_cross_kv).
         self.quantize_cross_kv = quantize_cross_kv
+        # Speculative decoding: ``draft`` is an HF repo id of a shallow
+        # same-vocab checkpoint, or "auto" to pair the official distil
+        # draft (large-v2/v3 only).  See decode/speculative.py.
+        if draft == "auto":
+            draft = {
+                ModelType.LARGE_V2: "distil-whisper/distil-large-v2",
+                ModelType.LARGE_V3: "distil-whisper/distil-large-v3",
+            }.get(model)
+            if draft is None:
+                raise ValueError(
+                    f"no official distil draft for {model}; pass an "
+                    "explicit draft repo id"
+                )
+        self.draft = draft
+        self.draft_local_dir = draft_local_dir
+        self.spec_k = spec_k
         # OpenAI/HF centered STFT framing instead of the reference's
         # whisper.cpp convention (see frontend/mel.py).
         self.mel_center = mel_center
@@ -142,6 +161,9 @@ class Definition(ModelDefinition):
             quantize_cross_kv=self.quantize_cross_kv,
             mel_center=self.mel_center,
             timestamps=self.timestamps,
+            draft_repo_id=self.draft,
+            draft_local_dir=self.draft_local_dir,
+            spec_k=self.spec_k,
         )
 
     def blocking_try_to_model(self) -> WhisperModel:

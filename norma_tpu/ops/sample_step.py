@@ -42,7 +42,7 @@ def sample_step_jnp(
     prev1: jax.Array,  # [B] i32 last pushed token
     prev2: jax.Array,  # [B] i32 token before that
     last_ts: jax.Array,  # [B] i32 largest timestamp token seen (0 = none)
-    step: jax.Array,  # scalar i32 — 0 selects the first-token mask
+    step: jax.Array,  # scalar or [B] i32 — 0 selects the first-token mask
     temp: jax.Array,  # [B] f32 per-row temperature (0 = greedy)
     key: jax.Array,  # PRNG key for the t>0 draw
     *,
@@ -73,7 +73,10 @@ def sample_step_jnp(
     last_is_ts = (prev1 > no_timestamps)[:, None]
     extra = jnp.where(last_is_ts, mask_a, mask_b)
     masked = base + extra
-    masked = jnp.where(step == 0, probs + m_first[None], masked)
+    # step may be per-row (the speculative verify scores chunk positions at
+    # different grammar depths in one call) or a shared scalar.
+    step_b = jnp.broadcast_to(jnp.asarray(step, jnp.int32), prev1.shape)
+    masked = jnp.where((step_b == 0)[:, None], probs + m_first[None], masked)
 
     greedy = jnp.argmax(masked, axis=-1).astype(jnp.int32)
     temp_safe = jnp.maximum(temp, 1e-6)[:, None]
@@ -111,8 +114,8 @@ def _make_kernel(V: int, eot: int, no_timestamps: int):
     R = _ROWS
 
     def kernel(
-        step_ref,  # SMEM [1,1] i32 (shared)
         seed_ref,  # SMEM [1,2] u32 (shared)
+        step_ref,  # VMEM [R,1] i32 (row block — per-row grammar depth)
         p1_ref,  # VMEM [R,1] i32 (row block; SMEM only serves scalars)
         p2_ref,
         lts_ref,
@@ -127,7 +130,7 @@ def _make_kernel(V: int, eot: int, no_timestamps: int):
         nan_ref,  # VMEM [R, 128] i32
     ):
         blk = pl.program_id(0)
-        step = step_ref[0, 0]
+        step = step_ref[:]  # [R, 1]
         p1 = p1_ref[:]  # [R, 1]
         p2 = p2_ref[:]
         lts = lts_ref[:]
@@ -165,8 +168,13 @@ def _make_kernel(V: int, eot: int, no_timestamps: int):
         # per-core PRNG seeded on (key, step, block) — rows inside a block
         # draw from disjoint slices of one bit matrix.  The TPU accepts at
         # most two seed words, so step/block are mixed in multiplicatively
-        # (odd constants => bijective mod 2^32).
-        s0 = seed_ref[0, 0] + step.astype(jnp.uint32) * jnp.uint32(2654435761)
+        # (odd constants => bijective mod 2^32).  The seed uses the block's
+        # FIRST row's step: every t>0 caller runs all rows at one shared
+        # step (per-row steps only occur in the greedy speculative verify,
+        # which never consumes the draw).
+        s0 = seed_ref[0, 0] + step[0, 0].astype(jnp.uint32) * jnp.uint32(
+            2654435761
+        )
         s1 = seed_ref[0, 1] + jnp.uint32(blk) * jnp.uint32(0x9E3779B9)
         pltpu.prng_seed(s0, s1)
         # prng_random_bits returns int32: bitcast to uint32 BEFORE the
@@ -218,7 +226,8 @@ def sample_step_pallas(
     interpret: bool = False,
 ):
     """Fused kernel path.  Same contract as :func:`sample_step_jnp` except
-    the t>0 draw comes from the TPU PRNG (same Gumbel-max law)."""
+    the t>0 draw comes from the TPU PRNG (same Gumbel-max law); ``step``
+    may be a shared scalar or per-row [B]."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -226,6 +235,7 @@ def sample_step_pallas(
     R = _ROWS
     BP = ((B + R - 1) // R) * R
     pad = BP - B
+    step = jnp.broadcast_to(jnp.asarray(step, jnp.int32), (B,))
     if pad:
         # Padded rows run the full pipeline on neutral inputs; results are
         # sliced away.  temp=0 keeps them on the greedy path.
@@ -234,6 +244,7 @@ def sample_step_pallas(
         prev2 = jnp.pad(prev2, (0, pad))
         last_ts = jnp.pad(last_ts, (0, pad))
         temp = jnp.pad(temp, (0, pad))
+        step = jnp.pad(step, (0, pad))
     kernel = _make_kernel(V, eot, no_timestamps)
 
     def smem_row(x):
@@ -251,8 +262,8 @@ def sample_step_pallas(
         kernel,
         grid=(BP // R,),
         in_specs=[
-            shared_smem(1),  # step
             shared_smem(2),  # seed
+            rows_vmem,  # step
             rows_vmem,  # prev1
             rows_vmem,  # prev2
             rows_vmem,  # last_ts
@@ -271,8 +282,8 @@ def sample_step_pallas(
         ],
         interpret=interpret,
     )(
-        jnp.asarray(step, jnp.int32).reshape(1, 1),
         jnp.asarray(seed2, jnp.uint32).reshape(1, 2),
+        smem_row(step),
         smem_row(prev1.astype(jnp.int32)),
         smem_row(prev2.astype(jnp.int32)),
         smem_row(last_ts.astype(jnp.int32)),

@@ -185,3 +185,47 @@ def test_missing_local_file_errors(tmp_path):
     )
     with pytest.raises(WhisperError, match="not found"):
         d.blocking_try_to_model()
+
+
+def test_speculative_draft_definition_end_to_end(ckpt):
+    """draft_local_dir switches the decode engine to SpeculativeEngine and
+    the whole public path still works (self-draft: the fixture checkpoint
+    drafts for itself, so every proposal is accepted)."""
+    from norma_tpu.decode.speculative import SpeculativeEngine
+
+    base = monolingual.Definition(
+        monolingual.ModelType.TINY_EN, SelectedDevice.cpu(), local_dir=ckpt
+    )
+    spec = monolingual.Definition(
+        monolingual.ModelType.TINY_EN, SelectedDevice.cpu(), local_dir=ckpt,
+        draft=None, draft_local_dir=ckpt, spec_k=3,
+    )
+    m_base = base.blocking_try_to_model()
+    m_spec = spec.blocking_try_to_model()
+    assert isinstance(m_spec.engine, SpeculativeEngine)
+    assert m_spec.engine.spec_k == 3
+    audio = (
+        0.2 * np.random.default_rng(5).standard_normal(12_000)
+    ).astype(np.float32)
+    a = m_base.transcribe(audio, final_chunk=True)
+    b = m_spec.transcribe(audio, final_chunk=True)
+    # Greedy draft/verify is token-for-token the target's own decode.
+    assert b == a
+
+
+def test_speculative_auto_draft_mapping():
+    assert (
+        multilingual.Definition(
+            multilingual.ModelType.LARGE_V3, SelectedDevice.cpu(),
+            draft="auto",
+        ).draft
+        == "distil-whisper/distil-large-v3"
+    )
+    with pytest.raises(ValueError, match="no official distil draft"):
+        multilingual.Definition(
+            multilingual.ModelType.TINY, SelectedDevice.cpu(), draft="auto"
+        )
+    with pytest.raises(ValueError, match="no official distil draft"):
+        monolingual.Definition(
+            monolingual.ModelType.TINY_EN, SelectedDevice.cpu(), draft="auto"
+        )
