@@ -185,6 +185,62 @@ def main() -> None:
     t_bs = min(run_batched_serving() for _ in range(4))
     d_bs = device_ms_per_window(run_batched_serving, 2, "batched8_serving")
 
+    # Speculative decoding on the DEEP target (large-v3): the distil-dims
+    # draft proposes 4 tokens/round, the 32-layer target verifies them in
+    # one chunked forward (decode/speculative.py).  The r3 serving lever
+    # for quality-first deployments; guarded so a failure never sinks the
+    # bench.
+    lv3_spec = {}
+    try:
+        from norma_tpu.decode import SpeculativeEngine
+
+        tcfg = PRESETS["large-v3"].with_(max_target_positions=136)
+        tgt = jax.device_put(
+            init_params(tcfg, seed=0, dtype=jnp.bfloat16), jax.devices()[0]
+        )
+        # cfg here is distil-large-v3 dims == the official draft's dims.
+        draft = jax.device_put(
+            init_params(cfg, seed=7, dtype=jnp.bfloat16), jax.devices()[0]
+        )
+        wj1 = wj[:1]
+
+        e_lv3 = DecodeEngine(tgt, tcfg, st)
+        e_spec = SpeculativeEngine(tgt, tcfg, draft, cfg, st, spec_k=4)
+
+        def run_lv3():
+            t0 = time.perf_counter()
+            e_lv3.transcribe_window(wj1, [50259], seed=0)
+            return time.perf_counter() - t0
+
+        def run_spec():
+            t0 = time.perf_counter()
+            e_spec.transcribe_window(wj1, [50259], seed=0)
+            return time.perf_counter() - t0
+
+        run_lv3(); run_spec()  # warmup/compile
+        t_lv3 = min(run_lv3() for _ in range(3))
+        t_spec = min(run_spec() for _ in range(3))
+        d_lv3 = device_ms_per_window(run_lv3, 2, "lv3_plain")
+        d_spec = device_ms_per_window(run_spec, 2, "lv3_spec")
+        lv3_spec = {
+            "t_window_lv3_ms": round(t_lv3 * 1e3, 1),
+            "t_window_lv3_device_ms": None if d_lv3 is None else round(d_lv3, 1),
+            "t_window_lv3_spec_ms": round(t_spec * 1e3, 1),
+            "t_window_lv3_spec_device_ms": (
+                None if d_spec is None else round(d_spec, 1)
+            ),
+            "rtf_lv3_device": (
+                None if d_lv3 is None else round(d_lv3 / 1e3 / 30.0, 6)
+            ),
+            "rtf_lv3_spec_device": (
+                None if d_spec is None else round(d_spec / 1e3 / 30.0, 6)
+            ),
+            "lv3_spec_tokens_per_round": e_spec.last_tokens_per_round,
+        }
+        del e_lv3, e_spec, tgt, draft
+    except Exception as e:  # pragma: no cover - environment-dependent
+        print(f"# lv3 speculative bench unavailable: {e!r}")
+
     def rtf_of(ms):
         return None if ms is None else round(ms / 1e3 / 30.0, 6)
 
@@ -236,6 +292,7 @@ def main() -> None:
                     ),
                     "realtime_streams_per_chip_batched": int(1.0 / rtf8),
                     "tokens_per_window": TOKENS_PER_WINDOW,
+                    **lv3_spec,
                     "methodology": (
                         "production LongFormDecoder.transcribe, forced "
                         "132-token decode; single-stream = speculative "
@@ -252,7 +309,11 @@ def main() -> None:
                         "wall-vs-device contradiction in one table. "
                         "batched8_serving = jax_flash encoder + int8 "
                         "decoder weights + int8 cross-KV, the full opt-in "
-                        "serving stack."
+                        "serving stack. lv3_* = large-v3 target B=1; "
+                        "lv3_spec = speculative draft/verify with a "
+                        "distil-dims draft at spec_k=4 (random weights, "
+                        "so tokens_per_round understates real distil "
+                        "pairs' acceptance — see PERF.md)."
                     ),
                     "device": str(jax.devices()[0]),
                     "dtype": "bfloat16",

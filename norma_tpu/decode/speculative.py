@@ -105,6 +105,11 @@ class SpeculativeEngine(DecodeEngine):
         if spec_k < 1:
             raise ValueError("spec_k must be >= 1")
         self.spec_k = int(spec_k)
+        # Telemetry from the last transcribe_window call (host-visible at
+        # no extra fetch): rounds of draft/verify, and committed tokens
+        # per round (1.0 = nothing accepted .. spec_k+1 = all accepted).
+        self.last_spec_rounds: Optional[int] = None
+        self.last_tokens_per_round: Optional[float] = None
         # Fused speculative window programs (t=0 rung only); the t>0
         # fallback reuses the inherited ladder over feats.
         self._spec_window = jax.jit(partial(self._spec_window_impl, detect=False))
@@ -311,10 +316,10 @@ class SpeculativeEngine(DecodeEngine):
             dcache_k,
             dcache_v,
         )
-        (_, tokens, n, _, _, _, slp, _, _, _, _, _) = jax.lax.while_loop(
+        (it, tokens, n, _, _, _, slp, _, _, _, _, _) = jax.lax.while_loop(
             cond, body, init
         )
-        return tokens, n, slp
+        return tokens, n, slp, it
 
     # ------------------------------------------------------------------
     # Fused window programs
@@ -387,7 +392,7 @@ class SpeculativeEngine(DecodeEngine):
         tokens_init = jnp.zeros((B, Tmax), jnp.int32).at[:, :3].set(prefix)
         gated0 = (nsp > NO_SPEECH_THRESHOLD) | ~active
 
-        toks, n, slp = self._spec_loop(
+        toks, n, slp, rounds = self._spec_loop(
             params, draft_params, xk, xv, dxk, dxv,
             cache_k, cache_v, dcache_k, dcache_v,
             tokens_init, jnp.int32(3), prefix[:, -1], prefix[:, -2],
@@ -396,6 +401,11 @@ class SpeculativeEngine(DecodeEngine):
         avg = slp / jnp.maximum(n, 1).astype(jnp.float32)
         rung0 = jnp.zeros((B,), jnp.int32)
         packed = self._pack_ladder(toks, n, avg, rung0, nsp, langs, lang_probs)
+        # Speculation telemetry rides the same single fetch: the round
+        # count as one extra trailing column (scalar, broadcast).
+        packed = jnp.concatenate(
+            [packed, jnp.full((B, 1), rounds, jnp.float32)], axis=1
+        )
         return packed, feats
 
     def _fallback_rungs_impl(self, params, feats, langs, seed, settled):
@@ -513,6 +523,20 @@ class SpeculativeEngine(DecodeEngine):
         nsp = packed[:, Tmax + 3]
         langs_out = packed[:, Tmax + 4].astype(np.int32)
 
+        # Speculation telemetry (rides the single fetch as the trailing
+        # column): rounds of draft/verify this window, and the average
+        # committed tokens per round across live streams — 1.0 means no
+        # proposal ever accepted, spec_k+1 means every round fully
+        # accepted.  The production knob-tuning signal for spec_k.
+        rounds = int(packed[0, -1])
+        live = active & ~(nsp > NO_SPEECH_THRESHOLD)
+        self.last_spec_rounds = rounds
+        self.last_tokens_per_round = (
+            float((bn[live] - 3).mean()) / rounds
+            if rounds > 0 and live.any()
+            else None
+        )
+
         # Reference gate (model.rs:175-186): the greedy rung is accepted
         # unless avg_logprob < threshold (NaN avg accepted; nsp-gated rows
         # exit early regardless).
@@ -547,7 +571,7 @@ class SpeculativeEngine(DecodeEngine):
         brung = packed[:, Tmax + 2].astype(np.int32)
         nsp = packed[:, Tmax + 3]
         langs_out = packed[:, Tmax + 4].astype(np.int32)
-        lang_probs = packed[:, Tmax + 5 :]
+        lang_probs = packed[:, Tmax + 5 : -1]  # trailing col = rounds
         st = self.st
         out: List[Optional[DecodingResult]] = []
         for b in range(btoks.shape[0]):
