@@ -306,3 +306,47 @@ def test_spec_quantize_cross_kv_runs():
     audio = _window(95, cfg)
     out, _ = spec.transcribe_window(audio, [TEST_LANG_IDS[0]], seed=0)
     assert out[0] is None or out[0].tokens[0] == TEST_ST.sot
+
+
+def test_spec_engine_in_batched_transcriber():
+    """A speculative-engine model drops into the multi-stream scheduler
+    unchanged (same transcribe_window contract incl. n_active pads and
+    in-graph detection)."""
+    import time
+
+    from helpers import ToyTokenizer
+    from norma_tpu.audio.sources import SyntheticSource
+    from norma_tpu.decode import LanguageState
+    from norma_tpu.input import Settings
+    from norma_tpu.models.whisper.model import WhisperModel
+    from norma_tpu.runtime.batching import BatchedTranscriber
+
+    cfg = tiny_config()
+    params = init_params(cfg, seed=3)
+    dcfg = _draft_cfg()
+    engine = SpeculativeEngine(
+        params, cfg, init_params(dcfg, seed=103), dcfg, TEST_ST,
+        language_token_ids=TEST_LANG_IDS,
+    )
+    model = WhisperModel(
+        engine, ToyTokenizer(), LanguageState(const=TEST_LANG_IDS[0]),
+        language_tokens=TEST_LANG_IDS,
+    )
+    bt = BatchedTranscriber(model, max_streams=4)
+    handles = [
+        bt.blocking_start(Settings(source=SyntheticSource(
+            sample_rate=16_000, channels=1, dtype=np.float32,
+            freq=220.0 + 110 * i, noise=0.02, duration=1.2,
+            realtime=False, seed=i,
+        )))
+        for i in range(3)
+    ]
+    time.sleep(0.5)
+    for h in handles:
+        h.stop()
+    texts = []
+    for h in handles:
+        texts.append(list(h.receiver))
+    bt.close()
+    assert all(isinstance(t, str) for ts in texts for t in ts)
+    assert engine.last_spec_rounds is not None
