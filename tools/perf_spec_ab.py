@@ -1,0 +1,200 @@
+"""Device-time A/B of speculative decoding (draft/verify) on large-v3.
+
+The reference decodes one token per full target forward
+(/root/reference/src/models/whisper/model.rs:317-371); the speculative
+engine (norma_tpu/decode/speculative.py) drafts K tokens with a shallow
+distil-dims decoder and verifies them in ONE chunked target forward.
+The speedup depends on the draft's acceptance rate, so this tool
+brackets it with constructed weight sets:
+
+  bracket   plain baseline, an acceptance FLOOR (independent random
+            draft: proposals ~never match except where the timestamp
+            grammar forces agreement), an identity-tail control (target
+            decoder layers 2..31 zeroed into residual passthrough — they
+            still stream weights from HBM like real layers; measures the
+            same as the real target, pinning that the control is fair),
+            and the 100%-acceptance CEILING (identity-tail target + a
+            draft copying its layers 0..1: draft greedy == target
+            greedy, every round commits spec_k+1 tokens).
+  knobs     adversarial draft (negated final LN => proposals are the
+            draft's own argmin — the true worst-case draft), the
+            quantize_decoder (int8) target stack, and a spec_k sweep.
+  batch     B=8 windows: plain vs speculative vs speculative+w8 —
+            the batched serving question (per-row cross-K/V traffic
+            grows with B while the weight amortization does not).
+
+Real distil pairs sit between floor and ceiling (~70-90% token
+acceptance on speech per the distil-whisper literature).  Measured
+results: PERF.md "speculative decoding" section (640.1 -> 245.5 ms B=1
+floor, 172.8 ceiling, 190.7 floor+w8; B=8 in the batch scenario).
+
+Run ON TPU:  python tools/perf_spec_ab.py [bracket|knobs|batch] [spec_k]
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from norma_tpu.constants import N_SAMPLES
+    from norma_tpu.decode import DecodeEngine, SpeculativeEngine
+    from norma_tpu.decode.masks import SpecialTokens
+    from norma_tpu.frontend.mel import prepare_audio
+    from norma_tpu.model import PRESETS, fuse_qkv, init_params
+    from norma_tpu.model.quant import quantize_decoder
+    from norma_tpu.tracing import profiled_device_ms
+
+    scenario = sys.argv[1] if len(sys.argv) > 1 else "bracket"
+    K = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+
+    st = SpecialTokens(
+        sot=50258, eot=-1, task=50360, no_speech=50363,
+        no_timestamps=50364, zero_sec=50365, one_sec=50415,
+    )
+    tcfg = PRESETS["large-v3"].with_(max_target_positions=136)
+    dcfg = PRESETS["distil-large-v3"].with_(max_target_positions=136)
+    dev = jax.devices()[0]
+
+    tgt = init_params(tcfg, seed=0, dtype=jnp.bfloat16)
+    draft_rand = jax.device_put(
+        init_params(dcfg, seed=7, dtype=jnp.bfloat16), dev
+    )
+
+    def identity_tail_pair():
+        """Target with layers 2+ as residual passthrough (weights still
+        stream) and a draft copying layers 0..1 => 100% acceptance."""
+        L = tcfg.decoder_layers
+        keep = np.arange(L) < 2
+
+        def zero_tail(a, name):
+            if name in ("o_w", "xo_w", "fc2_w"):
+                m = jnp.asarray(
+                    keep.reshape((L,) + (1,) * (a.ndim - 1)), a.dtype
+                )
+                return a * m
+            return a
+
+        tgt_id = dict(tgt)
+        tgt_id["decoder"] = dict(tgt["decoder"])
+        tgt_id["decoder"]["layers"] = {
+            k: zero_tail(v, k) for k, v in tgt["decoder"]["layers"].items()
+        }
+        draft_copy = dict(draft_rand)
+        draft_copy["decoder"] = dict(tgt_id["decoder"])
+        draft_copy["decoder"]["layers"] = {
+            k: v[:2] for k, v in tgt_id["decoder"]["layers"].items()
+        }
+        return jax.device_put(tgt_id, dev), jax.device_put(draft_copy, dev)
+
+    def adversarial_draft():
+        """Negated final LN => logits exactly negated => greedy proposes
+        the draft's LEAST likely (grammar-legal) token."""
+        adv = dict(draft_rand)
+        adv["decoder"] = dict(draft_rand["decoder"])
+        adv["decoder"]["ln_g"] = -draft_rand["decoder"]["ln_g"]
+        adv["decoder"]["ln_b"] = -draft_rand["decoder"]["ln_b"]
+        return jax.device_put(adv, dev)
+
+    rng = np.random.default_rng(0)
+
+    def windows(B):
+        return jnp.asarray(
+            np.stack(
+                [
+                    prepare_audio(
+                        (0.1 * rng.standard_normal(N_SAMPLES)).astype(
+                            np.float32
+                        )
+                    )
+                    for _ in range(B)
+                ]
+            )
+        )
+
+    if scenario == "bracket":
+        tgt_id, draft_copy = identity_tail_pair()
+        tgt_d = jax.device_put(tgt, dev)
+        runs = [
+            ("lv3_plain", DecodeEngine(tgt_d, tcfg, st), 1),
+            (f"lv3_spec_floor_k{K}",
+             SpeculativeEngine(tgt_d, tcfg, draft_rand, dcfg, st, spec_k=K),
+             1),
+            ("lv3_plain_idtail", DecodeEngine(tgt_id, tcfg, st), 1),
+            (f"lv3_spec_ceiling_k{K}",
+             SpeculativeEngine(tgt_id, tcfg, draft_copy, dcfg, st, spec_k=K),
+             1),
+        ]
+    elif scenario == "knobs":
+        tgt_w8 = jax.device_put(quantize_decoder(fuse_qkv(tgt)), dev)
+        tgt_d = jax.device_put(tgt, dev)
+        runs = [
+            (f"lv3_spec_rand_k{K}",
+             SpeculativeEngine(tgt_d, tcfg, draft_rand, dcfg, st, spec_k=K),
+             1),
+            (f"lv3_spec_adversarial_k{K}",
+             SpeculativeEngine(
+                 tgt_d, tcfg, adversarial_draft(), dcfg, st, spec_k=K
+             ),
+             1),
+            (f"lv3_spec_rand_k{K}_w8",
+             SpeculativeEngine(tgt_w8, tcfg, draft_rand, dcfg, st, spec_k=K),
+             1),
+            (f"lv3_spec_rand_k{2 * K}",
+             SpeculativeEngine(
+                 tgt_d, tcfg, draft_rand, dcfg, st, spec_k=2 * K
+             ),
+             1),
+        ]
+    elif scenario == "batch":
+        tgt_w8 = jax.device_put(quantize_decoder(fuse_qkv(tgt)), dev)
+        tgt_d = jax.device_put(tgt, dev)
+        B = 8
+        runs = [
+            ("lv3_b8_plain", DecodeEngine(tgt_d, tcfg, st), B),
+            (f"lv3_b8_spec_k{K}",
+             SpeculativeEngine(tgt_d, tcfg, draft_rand, dcfg, st, spec_k=K),
+             B),
+            (f"lv3_b8_spec_k{K}_w8",
+             SpeculativeEngine(tgt_w8, tcfg, draft_rand, dcfg, st, spec_k=K),
+             B),
+        ]
+    else:
+        raise SystemExit(f"unknown scenario {scenario!r}")
+
+    for name, engine, B in runs:
+        wj = windows(B)
+        langs = [50259] * B
+        engine.transcribe_window(wj, langs, seed=0)  # compile
+        avg, _ = profiled_device_ms(
+            lambda: engine.transcribe_window(wj, langs, seed=0),
+            2, f"/tmp/norma_spec_ab/{name}",
+        )
+        rec = {
+            "device_ms": round(avg, 1),
+            "rtf_per_stream_device": round(avg / 1e3 / 30.0 / B, 5),
+            "streams_per_chip_device": int(30.0 * B / (avg / 1e3)),
+        }
+        if isinstance(engine, SpeculativeEngine):
+            rec["rounds"] = engine.last_spec_rounds
+            rec["tokens_per_round"] = round(
+                engine.last_tokens_per_round or 0, 2
+            )
+        print(json.dumps({name: rec}), flush=True)
+        del engine
+
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
