@@ -308,6 +308,33 @@ def test_spec_quantize_cross_kv_runs():
     assert out[0] is None or out[0].tokens[0] == TEST_ST.sot
 
 
+def test_spec_quantized_draft():
+    """An int8-quantized draft works (the draft streams the same-size
+    logits head as the target on every sequential step — quantizing it
+    is a measured serving knob, tools/perf_spec_ab.py knobs), and the
+    committed output is STILL the exact bf16/f32 target's greedy decode:
+    the draft only proposes; acceptance is judged by the target alone.
+    """
+    from norma_tpu.model import fuse_qkv
+    from norma_tpu.model.quant import quantize_decoder
+
+    cfg = tiny_config()
+    params = init_params(cfg, seed=0)
+    dcfg = _draft_cfg()
+    dparams = quantize_decoder(fuse_qkv(init_params(dcfg, seed=100)))
+    plain = DecodeEngine(
+        params, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS
+    )
+    spec = SpeculativeEngine(
+        params, cfg, dparams, dcfg, TEST_ST,
+        language_token_ids=TEST_LANG_IDS,
+    )
+    audio = _window(7, cfg)
+    out_p, _ = plain.transcribe_window(audio, [TEST_LANG_IDS[0]], seed=0)
+    out_s, _ = spec.transcribe_window(audio, [TEST_LANG_IDS[0]], seed=0)
+    _cmp_results(out_p[0], out_s[0])
+
+
 def test_spec_engine_in_batched_transcriber():
     """A speculative-engine model drops into the multi-stream scheduler
     unchanged (same transcribe_window contract incl. n_active pads and

@@ -137,6 +137,14 @@ def main() -> None:
         ]
     elif scenario == "knobs":
         tgt_w8 = jax.device_put(quantize_decoder(fuse_qkv(tgt)), dev)
+        # The draft pays the SAME-size logits head as the target (d_model
+        # and vocab match) on every one of its K+1 sequential steps per
+        # round — int8-quantizing the draft halves that stream too.
+        draft_w8 = jax.device_put(
+            quantize_decoder(fuse_qkv(init_params(dcfg, seed=7,
+                                                  dtype=jnp.bfloat16))),
+            dev,
+        )
         tgt_d = jax.device_put(tgt, dev)
         runs = [
             (f"lv3_spec_rand_k{K}",
@@ -149,6 +157,12 @@ def main() -> None:
              1),
             (f"lv3_spec_rand_k{K}_w8",
              SpeculativeEngine(tgt_w8, tcfg, draft_rand, dcfg, st, spec_k=K),
+             1),
+            (f"lv3_spec_rand_k{K}_draftw8",
+             SpeculativeEngine(tgt_d, tcfg, draft_w8, dcfg, st, spec_k=K),
+             1),
+            (f"lv3_spec_rand_k{K}_bothw8",
+             SpeculativeEngine(tgt_w8, tcfg, draft_w8, dcfg, st, spec_k=K),
              1),
             (f"lv3_spec_rand_k{2 * K}",
              SpeculativeEngine(
