@@ -8,7 +8,9 @@ large-v3 greedy decoding (measured −62% device window on TPU v5e; PERF.md).
 
 The engine's ``last_tokens_per_round`` telemetry is the live acceptance
 signal: near 1.0 means the draft rarely agrees with the target (lower
-``spec_k``); near ``spec_k + 1`` means you can raise it.
+``spec_k``); near ``spec_k + 1`` means you can raise it.  Passing
+``spec_k="auto"`` instead closes that loop in-engine: K walks a 2/4/8/12
+ladder from the EMA-smoothed acceptance ratio, one cached compile per K.
 """
 
 import threading
@@ -28,7 +30,7 @@ def main() -> None:
         SelectedDevice.auto(),
         dtype=jnp.bfloat16,
         draft="auto",  # distil-whisper/distil-large-v3 proposes
-        spec_k=4,
+        spec_k="auto",  # self-tunes K from the acceptance telemetry
     )
 
     jh, th = Transcriber.blocking_spawn(definition)

@@ -66,7 +66,26 @@ class SpeculativeEngine(DecodeEngine):
     above 0 (rare: only after the t=0 rung fails the reference's
     avg_logprob gate) fall back to the inherited non-speculative ladder
     over the remaining rungs.
+
+    ``spec_k="auto"`` self-tunes K between windows from the engine's own
+    acceptance telemetry (``last_tokens_per_round``): high acceptance
+    steps K up the ``_K_CHOICES`` ladder (more tokens per target weight
+    stream), low acceptance steps it down (less wasted drafting).  Each
+    distinct K compiles its window program once (cached thereafter);
+    committed tokens are identical at every K, so adaptation is purely a
+    performance knob.
     """
+
+    #: The K ladder ``spec_k="auto"`` walks.  Bounded above because the
+    #: verify chunk width (K+1) and per-round draft cost grow linearly
+    #: while acceptance saturates; bounded below because K=1 degenerates
+    #: to one committed token per round even at full acceptance.
+    _K_CHOICES = (2, 4, 8, 12)
+    #: EMA-smoothed acceptance ratio (tokens/round over K+1) thresholds:
+    #: above _K_UP, escalate; below _K_DOWN, de-escalate.
+    _K_UP = 0.75
+    _K_DOWN = 0.35
+    _K_EMA = 0.5
 
     def __init__(
         self,
@@ -79,7 +98,7 @@ class SpeculativeEngine(DecodeEngine):
         mel_center: bool = False,
         fused_sampler: bool = True,
         quantize_cross_kv: bool = False,
-        spec_k: int = 4,
+        spec_k=4,
     ):
         if draft_cfg.d_model != cfg.d_model:
             raise ValueError(
@@ -102,21 +121,61 @@ class SpeculativeEngine(DecodeEngine):
         )
         self.draft_params = draft_params
         self.draft_cfg = draft_cfg
-        if spec_k < 1:
-            raise ValueError("spec_k must be >= 1")
-        self.spec_k = int(spec_k)
+        if spec_k == "auto":
+            self.auto_k = True
+            self.spec_k = 4  # starting rung of _K_CHOICES
+        else:
+            self.auto_k = False
+            if spec_k < 1:
+                raise ValueError("spec_k must be >= 1")
+            self.spec_k = int(spec_k)
+        self._accept_ema: Optional[float] = None
+        self.last_spec_k: Optional[int] = None
         # Telemetry from the last transcribe_window call (host-visible at
         # no extra fetch): rounds of draft/verify, and committed tokens
         # per round (1.0 = nothing accepted .. spec_k+1 = all accepted).
         self.last_spec_rounds: Optional[int] = None
         self.last_tokens_per_round: Optional[float] = None
-        # Fused speculative window programs (t=0 rung only); the t>0
-        # fallback reuses the inherited ladder over feats.
-        self._spec_window = jax.jit(partial(self._spec_window_impl, detect=False))
-        self._spec_window_detect = jax.jit(
-            partial(self._spec_window_impl, detect=True)
-        )
+        # Fused speculative window programs (t=0 rung only), one per
+        # (K, detect) actually used — spec_k="auto" walks several.  The
+        # t>0 fallback reuses the inherited ladder over feats.
+        self._spec_programs = {}
         self._fallback_rungs = jax.jit(self._fallback_rungs_impl)
+
+    def _spec_program(self, detect: bool):
+        key = (self.spec_k, detect)
+        fn = self._spec_programs.get(key)
+        if fn is None:
+            fn = jax.jit(
+                partial(self._spec_window_impl, detect=detect, k=self.spec_k)
+            )
+            self._spec_programs[key] = fn
+        return fn
+
+    def _adapt_spec_k(self) -> None:
+        """Walk ``spec_k`` along ``_K_CHOICES`` from the acceptance ratio.
+
+        Called after each window when ``spec_k="auto"``.  The ratio
+        tokens_per_round / (K+1) is 1.0 when every round commits the full
+        chunk and 1/(K+1) when no proposal is ever accepted; an EMA
+        smooths single-window noise (silence, short windows).
+        """
+        tpr = self.last_tokens_per_round
+        if tpr is None:
+            return
+        ratio = tpr / (self.spec_k + 1)
+        ema = self._accept_ema
+        ema = ratio if ema is None else self._K_EMA * ema + (1 - self._K_EMA) * ratio
+        self._accept_ema = ema
+        idx = self._K_CHOICES.index(self.spec_k) if self.spec_k in self._K_CHOICES else None
+        if idx is None:
+            return
+        if ema >= self._K_UP and idx + 1 < len(self._K_CHOICES):
+            self.spec_k = self._K_CHOICES[idx + 1]
+            self._accept_ema = None  # ratio scale changed with K
+        elif ema <= self._K_DOWN and idx > 0:
+            self.spec_k = self._K_CHOICES[idx - 1]
+            self._accept_ema = None
 
     # ------------------------------------------------------------------
     # The speculative greedy loop
@@ -139,6 +198,7 @@ class SpeculativeEngine(DecodeEngine):
         prev1,  # [B] int32 == tokens_init[:, P-1] (the pending token)
         prev2,  # [B] int32 == tokens_init[:, P-2]
         fin_init,  # [B] bool
+        k: int,
     ):
         """Greedy draft/verify loop.  Token-for-token equal to
         ``_token_loop(..., temp=0)`` over the target alone (pinned by
@@ -152,7 +212,7 @@ class SpeculativeEngine(DecodeEngine):
         step = n - n0.
         """
         cfg, st = self.cfg, self.st
-        K = self.spec_k
+        K = k
         B, Tmax = tokens_init.shape
         mtp = cfg.max_target_positions
         ids_row = jnp.arange(Tmax)[None]  # [1, Tmax]
@@ -326,7 +386,7 @@ class SpeculativeEngine(DecodeEngine):
     # ------------------------------------------------------------------
 
     def _spec_window_impl(self, params, draft_params, audio, langs, active,
-                          *, detect: bool):
+                          *, detect: bool, k: int):
         """ONE device program: mel -> encoder -> (detect) -> both prefills
         -> no-speech gate -> speculative greedy loop.  Returns the packed
         ladder layout (at_rung 0 everywhere; the host applies the logprob
@@ -379,7 +439,7 @@ class SpeculativeEngine(DecodeEngine):
         # their final pending token) issue chunk writes whose start+width
         # would otherwise exceed Tmax and CLAMP — silently shifting the
         # whole chunk's K/V onto earlier live rows (see decoder_chunk).
-        slack = self.spec_k + 1
+        slack = k + 1
         pad_t = lambda c: jnp.pad(c, ((0, 0), (0, 0), (0, slack), (0, 0)))
         cache_k, cache_v = pad_t(cache_k), pad_t(cache_v)
         dcache_k, dcache_v = pad_t(dcache_k), pad_t(dcache_v)
@@ -396,7 +456,7 @@ class SpeculativeEngine(DecodeEngine):
             params, draft_params, xk, xv, dxk, dxv,
             cache_k, cache_v, dcache_k, dcache_v,
             tokens_init, jnp.int32(3), prefix[:, -1], prefix[:, -2],
-            fin_init=gated0,
+            fin_init=gated0, k=k,
         )
         avg = slp / jnp.maximum(n, 1).astype(jnp.float32)
         rung0 = jnp.zeros((B,), jnp.int32)
@@ -508,7 +568,8 @@ class SpeculativeEngine(DecodeEngine):
         active = np.ones(B, bool)
         if n_active is not None:
             active[n_active:] = False
-        fn = self._spec_window_detect if detect else self._spec_window
+        fn = self._spec_program(detect)
+        self.last_spec_k = self.spec_k  # the K this window actually used
         packed_dev, feats = fn(
             self.params, self.draft_params, audio,
             jnp.asarray(langs_arr), jnp.asarray(active),
@@ -536,6 +597,8 @@ class SpeculativeEngine(DecodeEngine):
             if rounds > 0 and live.any()
             else None
         )
+        if self.auto_k:
+            self._adapt_spec_k()
 
         # Reference gate (model.rs:175-186): the greedy rung is accepted
         # unless avg_logprob < threshold (NaN avg accepted; nsp-gated rows

@@ -134,7 +134,7 @@ def build_model(
     draft_revision: str = "main",
     draft_local_dir: Optional[str] = None,
     draft_files: Optional[CheckpointFiles] = None,
-    spec_k: int = 4,
+    spec_k: "int | str" = 4,
 ) -> WhisperModel:
     """Build a WhisperModel from a checkpoint.
 

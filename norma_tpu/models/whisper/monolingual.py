@@ -119,7 +119,7 @@ class Definition(ModelDefinition):
         timestamps: bool = False,
         draft: Optional[str] = None,
         draft_local_dir: Optional[str] = None,
-        spec_k: int = 4,
+        spec_k: "int | str" = 4,
     ) -> None:
         self.model = model
         self.device = device

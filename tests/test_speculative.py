@@ -377,3 +377,102 @@ def test_spec_engine_in_batched_transcriber():
     bt.close()
     assert all(isinstance(t, str) for ts in texts for t in ts)
     assert engine.last_spec_rounds is not None
+
+
+# ---- spec_k="auto" adaptation ----------------------------------------------
+
+
+def test_spec_auto_k_controller_rules():
+    """The controller walks _K_CHOICES from the acceptance ratio: high
+    acceptance escalates (more tokens per target weight stream), low
+    acceptance de-escalates (less wasted drafting), silence (no
+    telemetry) holds."""
+    cfg, _, spec = _engines(0, spec_k="auto")
+    assert spec.auto_k and spec.spec_k == 4
+
+    # Full acceptance at K=4: tokens/round == K+1 => ratio 1.0 >= _K_UP.
+    spec.last_tokens_per_round = 5.0
+    spec._adapt_spec_k()
+    assert spec.spec_k == 8
+    assert spec._accept_ema is None  # ratio scale reset on switch
+
+    # No proposals accepted at K=8: ratio 1/9 <= _K_DOWN.
+    spec.last_tokens_per_round = 1.0
+    spec._adapt_spec_k()
+    assert spec.spec_k == 4
+
+    # Mid acceptance holds (ratio 0.6 between the thresholds).
+    spec.last_tokens_per_round = 3.0
+    spec._adapt_spec_k()
+    assert spec.spec_k == 4
+
+    # Silence / inactive windows (no telemetry) hold.
+    spec.last_tokens_per_round = None
+    spec._adapt_spec_k()
+    assert spec.spec_k == 4
+
+    # Clamped at the ladder ends.
+    spec.spec_k = spec._K_CHOICES[-1]
+    spec._accept_ema = None
+    spec.last_tokens_per_round = float(spec._K_CHOICES[-1] + 1)
+    spec._adapt_spec_k()
+    assert spec.spec_k == spec._K_CHOICES[-1]
+    spec.spec_k = spec._K_CHOICES[0]
+    spec._accept_ema = None
+    spec.last_tokens_per_round = 1.0
+    spec._adapt_spec_k()
+    assert spec.spec_k == spec._K_CHOICES[0]
+
+
+def test_spec_auto_k_ema_smoothing():
+    """One noisy low-acceptance window must NOT flip K down when the
+    running EMA is healthy (the EMA halves the step toward the new
+    ratio, so 0.5*0.96 + 0.5*0.2 = 0.58 > _K_DOWN)."""
+    cfg, _, spec = _engines(0, spec_k="auto")
+    spec.spec_k = 8
+    spec._accept_ema = 0.96
+    spec.last_tokens_per_round = 1.8  # ratio 0.2, transiently bad
+    spec._adapt_spec_k()
+    assert spec.spec_k == 8  # held
+    spec._adapt_spec_k()  # persistently bad: EMA decays below _K_DOWN
+    spec._adapt_spec_k()
+    assert spec.spec_k == 4
+
+
+def test_spec_auto_k_fixed_engine_never_adapts():
+    cfg, _, spec = _engines(0)  # default fixed spec_k=4
+    assert not spec.auto_k
+    audio = _window(60, cfg)
+    spec.transcribe_window(audio, [TEST_LANG_IDS[0]], seed=0)
+    assert spec.spec_k == 4
+
+
+def test_spec_auto_k_escalates_and_stays_exact():
+    """End to end: a self-draft (100% acceptance) escalates K across
+    windows, and every window's committed output — across the K switch
+    and its program recompile — still equals the plain engine's greedy
+    decode (K is a pure performance knob)."""
+    cfg = tiny_config()
+    params = init_params(cfg, seed=5)
+    plain = DecodeEngine(
+        params, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS
+    )
+    spec = SpeculativeEngine(
+        params, cfg, params, cfg, TEST_ST,
+        language_token_ids=TEST_LANG_IDS, spec_k="auto",
+    )
+    k_seen = set()
+    for i in range(3):
+        audio = _window(60 + i, cfg)
+        out_p, _ = plain.transcribe_window(audio, [TEST_LANG_IDS[0]], seed=0)
+        out_s, _ = spec.transcribe_window(audio, [TEST_LANG_IDS[0]], seed=0)
+        k_seen.add(spec.last_spec_k)
+        r = out_p[0]
+        if r is None or (
+            not np.isnan(r.avg_logprob) and r.avg_logprob < LOGPROB_THRESHOLD
+        ):
+            continue
+        _cmp_results(r, out_s[0])
+    # Self-draft acceptance is ~full, so at least one escalation fired.
+    assert len(k_seen) >= 2, k_seen
+    assert spec.spec_k > 4
