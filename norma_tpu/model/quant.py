@@ -8,8 +8,16 @@ quantized_model, monolingual.rs:230-235):
   - :func:`quantize_decoder` — every decoder-layer matmul weight stays
     per-output-channel int8 on device (self/cross attention projections and
     both MLP matrices), halving the decode hot path's HBM bytes and
-    resident size.  The encoder stays bf16/f32 (compute-bound, runs once
-    per window).
+    resident size.  The decoder compute stays bf16 (w8a16): the decode
+    loop is weight-BANDWIDTH-bound, so only the stored bytes matter.
+  - :func:`quantize_encoder` — w8a8: encoder-layer weights stored int8 AND
+    the matmuls run on the MXU's native int8 path (dynamically per-row
+    quantized activations, int32 accumulation — 2x the bf16 multiplier
+    rate on TPU v5e+).  The encoder is the opposite regime from the
+    decoder: it runs once per window over 1500 rows, so its matmuls are
+    COMPUTE-bound and weight-only int8 buys nothing — only a faster
+    multiplier helps.  Changes numerics (the activation grid, ~0.4% of
+    each row's max); opt-in, like ``encoder_scores_bf16``.
 """
 
 from __future__ import annotations
@@ -65,21 +73,24 @@ DECODER_W8_KEYS = (
     "fc1_w", "fc2_w",
 )
 
+# Encoder layers have no cross-attention; everything else matches.
+ENCODER_W8_KEYS = (
+    "qkv_w", "q_w", "k_w", "v_w", "o_w", "fc1_w", "fc2_w",
+)
 
-def quantize_decoder(params: dict) -> dict:
-    """Return params with all decoder-layer matmul weights as int8.
 
-    Each stacked weight ``name`` [L, in, *out] is replaced by ``name_q``
-    (int8, per-(layer, out-channel) symmetric; axis 1 is the contraction)
-    + ``name_s`` (f32 [L, *out]); the logits head is quantized too.
-    Works on fused (``qkv_w`` [L, in, 3, out]) and unfused layer stacks.
+def _quantize_layer_stack(layers: dict, keys) -> dict:
+    """Per-(layer, out-channel) symmetric int8 over a stacked layer pytree.
+
+    Each weight ``name`` [L, in, *out] present in ``keys`` is replaced by
+    ``name_q`` (int8; axis 1 is the contraction) + ``name_s`` (f32
+    [L, *out]).  Works on fused (``qkv_w`` [L, in, 3, out]) and unfused
+    stacks.
     """
     import jax.numpy as jnp
 
-    out = quantize_logits_head(params)
-    dec = dict(out["decoder"])
-    layers = dict(dec["layers"])
-    for name in DECODER_W8_KEYS:
+    layers = dict(layers)
+    for name in keys:
         if name not in layers:
             continue
         w = np.asarray(layers[name], np.float32)  # [L, in, *out]
@@ -91,6 +102,45 @@ def quantize_decoder(params: dict) -> dict:
         del layers[name]
         layers[name + "_q"] = jnp.asarray(q)
         layers[name + "_s"] = jnp.asarray(scale)
-    dec["layers"] = layers
+    return layers
+
+
+def quantize_decoder(params: dict) -> dict:
+    """Return params with all decoder-layer matmul weights as int8.
+
+    Each stacked weight ``name`` [L, in, *out] is replaced by ``name_q``
+    (int8, per-(layer, out-channel) symmetric; axis 1 is the contraction)
+    + ``name_s`` (f32 [L, *out]); the logits head is quantized too.
+    Works on fused (``qkv_w`` [L, in, 3, out]) and unfused layer stacks.
+    """
+    out = quantize_logits_head(params)
+    dec = dict(out["decoder"])
+    dec["layers"] = _quantize_layer_stack(dec["layers"], DECODER_W8_KEYS)
     out["decoder"] = dec
+    return out
+
+
+def quantize_encoder(params: dict) -> dict:
+    """Return params with encoder-layer matmul weights as int8 (w8a8).
+
+    Same storage layout as :func:`quantize_decoder` (``name_q`` int8 +
+    ``name_s`` f32 per-(layer, out-channel)), but the encoder forward
+    DISPATCHES DIFFERENTLY on these keys: activations are dynamically
+    per-row int8-quantized and the matmul accumulates int8 x int8 -> int32
+    on the MXU (:func:`~norma_tpu.ops.quant_matmul.q8a8_dense`), which
+    doubles the multiplier rate on v5e+ — the right lever for the
+    compute-bound encoder, where the reference has no quantized-compute
+    equivalent at all (candle's quantized encoder dequantizes to float
+    before every matmul).  Conv stem, LayerNorms and the positional table
+    stay full precision (negligible FLOPs, accuracy-critical).
+
+    NUMERICS: unlike weight-only int8, the activation grid changes results
+    (<= ~0.4% of each row's absmax per matmul input).  Opt-in via
+    ``quantize_encoder=True`` in the loaders; gate on real-audio WER
+    before production use, as with ``encoder_scores_bf16``.
+    """
+    out = dict(params)
+    enc = dict(out["encoder"])
+    enc["layers"] = _quantize_layer_stack(enc["layers"], ENCODER_W8_KEYS)
+    out["encoder"] = enc
     return out

@@ -221,15 +221,6 @@ def attention_grouped(
     return out.astype(q.dtype).reshape(gb, tq, n_heads * dh)
 
 
-def _self_attn(
-    p: Params, prefix: str, x: jax.Array, n_heads: int, mask=None,
-    scores_bf16: bool = False,
-):
-    q, k, v = qkv_proj(p, x, prefix)
-    o = attention(q, k, v, n_heads, mask, scores_bf16=scores_bf16)
-    return ldense(p, f"{prefix}o_w", o, p[f"{prefix}o_b"])
-
-
 def _mlp(p: Params, x: jax.Array) -> jax.Array:
     h = ldense(p, "fc1_w", x, p["fc1_b"])
     h = jax.nn.gelu(h, approximate=False)
@@ -254,6 +245,50 @@ def _conv1d(x: jax.Array, w: jax.Array, b: jax.Array, stride: int) -> jax.Array:
     return (y + b.astype(jnp.float32)).astype(x.dtype)
 
 
+def _q8_dense(lp: Params, name: str, x: jax.Array, bias=None) -> jax.Array:
+    """w8a8 dense (quantize_encoder): dynamic per-row int8 activations x
+    stored int8 weights, int32 MXU accumulation."""
+    from ..ops.quant_matmul import q8a8_dense, quantize_activations
+
+    xq, xs = quantize_activations(x)
+    return q8a8_dense(
+        xq, xs, lp[name + "_q"], lp[name + "_s"], bias
+    ).astype(x.dtype)
+
+
+def _qkv_proj_q8(lp: Params, x: jax.Array):
+    """Self-attention Q/K/V projection on the int8 MXU path (w8a8).
+
+    Mirrors :func:`qkv_proj`'s fused/unfused dispatch over the
+    ``quantize_encoder`` key layout; the activation row is quantized ONCE
+    and shared by all three projections.
+    """
+    from ..ops.quant_matmul import q8a8_dense, q8a8_qkv, quantize_activations
+
+    xq, xs = quantize_activations(x)
+    if "qkv_w_q" in lp:
+        q, k, v = q8a8_qkv(xq, xs, lp["qkv_w_q"], lp["qkv_w_s"], lp["qkv_b"])
+    else:
+        q = q8a8_dense(xq, xs, lp["q_w_q"], lp["q_w_s"], lp["q_b"])
+        k = q8a8_dense(xq, xs, lp["k_w_q"], lp["k_w_s"])  # k_proj: no bias
+        v = q8a8_dense(xq, xs, lp["v_w_q"], lp["v_w_s"], lp["v_b"])
+    return q.astype(x.dtype), k.astype(x.dtype), v.astype(x.dtype)
+
+
+def _mlp_q8(lp: Params, x: jax.Array) -> jax.Array:
+    from ..ops.quant_matmul import q8a8_dense, quantize_activations
+
+    xq, xs = quantize_activations(x)
+    h = jax.nn.gelu(
+        q8a8_dense(xq, xs, lp["fc1_w_q"], lp["fc1_w_s"], lp["fc1_b"]),
+        approximate=False,
+    ).astype(x.dtype)
+    hq, hs = quantize_activations(h)
+    return q8a8_dense(
+        hq, hs, lp["fc2_w_q"], lp["fc2_w_s"], lp["fc2_b"]
+    ).astype(x.dtype)
+
+
 def encoder_layer(
     p: Params,
     x: jax.Array,
@@ -264,30 +299,35 @@ def encoder_layer(
     flash_bq: int = 512,
     flash_bk: int = 512,
 ) -> jax.Array:
+    # quantize_encoder stacks carry fc1_w_q etc.; presence selects the
+    # int8-MXU (w8a8) compute path.  The attention core (scores/softmax/PV)
+    # stays bf16/f32 under every impl — only the six projection matmuls,
+    # where the encoder's FLOPs are, run int8.
+    w8a8 = "fc1_w_q" in p
     h = layer_norm(x, p["attn_ln_g"], p["attn_ln_b"])
+    q, k, v = _qkv_proj_q8(p, h) if w8a8 else qkv_proj(p, h)
     if attn_impl == "xla":
-        x = x + _self_attn(p, "", h, n_heads, scores_bf16=scores_bf16)
+        a = attention(q, k, v, n_heads, None, scores_bf16=scores_bf16)
+    elif attn_impl == "chunked":
+        a = attention_chunked(q, k, v, n_heads, chunk, scores_bf16=scores_bf16)
+    elif attn_impl == "flash":
+        from ..ops.flash_encoder import flash_self_attention
+
+        a = flash_self_attention(q, k, v, n_heads)
+    elif attn_impl == "jax_flash":
+        from ..ops.flash_encoder import jax_flash_self_attention
+
+        a = jax_flash_self_attention(
+            q, k, v, n_heads, block_q=flash_bq, block_k=flash_bk
+        )
     else:
-        q, k, v = qkv_proj(p, h)
-        if attn_impl == "chunked":
-            a = attention_chunked(
-                q, k, v, n_heads, chunk, scores_bf16=scores_bf16
-            )
-        elif attn_impl == "flash":
-            from ..ops.flash_encoder import flash_self_attention
-
-            a = flash_self_attention(q, k, v, n_heads)
-        elif attn_impl == "jax_flash":
-            from ..ops.flash_encoder import jax_flash_self_attention
-
-            a = jax_flash_self_attention(
-                q, k, v, n_heads, block_q=flash_bq, block_k=flash_bk
-            )
-        else:
-            raise ValueError(f"unknown encoder_attn_impl {attn_impl!r}")
+        raise ValueError(f"unknown encoder_attn_impl {attn_impl!r}")
+    if w8a8:
+        x = x + _q8_dense(p, "o_w", a, p["o_b"])
+    else:
         x = x + ldense(p, "o_w", a, p["o_b"])
     h = layer_norm(x, p["mlp_ln_g"], p["mlp_ln_b"])
-    return x + _mlp(p, h)
+    return x + (_mlp_q8(p, h) if w8a8 else _mlp(p, h))
 
 
 def encode(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Array:

@@ -126,6 +126,7 @@ def build_model(
     seed: int = 0,
     quantize_logits: "bool | str" = False,
     quantize_decoder: bool = False,
+    quantize_encoder: bool = False,
     quantize_cross_kv: bool = False,
     mel_center: bool = False,
     timestamps: bool = False,
@@ -191,6 +192,12 @@ def build_model(
             from ...model.quant import quantize_logits_head
 
             params = quantize_logits_head(params)
+    if quantize_encoder:
+        # w8a8 encoder: int8-MXU compute for the window-dominant cost.
+        # Orthogonal to the decoder knobs (combine freely).
+        from ...model.quant import quantize_encoder as _qe
+
+        params = _qe(params)
     params = jax.device_put(params, jdev)
 
     st = SpecialTokens.from_tokenizer(tokenizer, task_token_str)

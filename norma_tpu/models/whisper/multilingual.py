@@ -87,6 +87,7 @@ class Definition(ModelDefinition):
         dtype=jnp.float32,
         quantize_logits: "bool | str" = False,
         quantize_decoder: bool = False,
+        quantize_encoder: bool = False,
         quantize_cross_kv: bool = False,
         mel_center: bool = False,
         timestamps: bool = False,
@@ -102,6 +103,9 @@ class Definition(ModelDefinition):
         self.quantize_logits = quantize_logits
         # Full int8 decoder weights (implies quantize_logits).
         self.quantize_decoder = quantize_decoder
+        # w8a8 encoder: int8-MXU compute for the window-dominant encoder
+        # (changes numerics slightly; see model/quant.py quantize_encoder).
+        self.quantize_encoder = quantize_encoder
         # int8 cross-attention K/V per window (decode-loop HBM lever at
         # batch; see model/whisper.py quantize_cross_kv).
         self.quantize_cross_kv = quantize_cross_kv
@@ -158,6 +162,7 @@ class Definition(ModelDefinition):
             dtype=self.dtype,
             quantize_logits=self.quantize_logits,
             quantize_decoder=self.quantize_decoder,
+            quantize_encoder=self.quantize_encoder,
             quantize_cross_kv=self.quantize_cross_kv,
             mel_center=self.mel_center,
             timestamps=self.timestamps,

@@ -96,6 +96,70 @@ def w8_logits(x, q, scale, use_pallas: bool = True):
 
 
 # ---------------------------------------------------------------------------
+# w8a8: int8 activations x int8 weights with int32 accumulation (the MXU's
+# native int8 path — 2x the bf16 matmul rate on TPU v5e+).  Used by the
+# COMPUTE-bound encoder (quantize_encoder), where weight-only int8 buys
+# nothing: the encoder runs once per window over 1500 rows, so its matmuls
+# are MXU-bound, not HBM-bound, and only a faster multiplier helps.
+# ---------------------------------------------------------------------------
+
+
+def quantize_activations(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-row (last-axis) symmetric dynamic int8 quantization.
+
+    x [..., in] -> (int8 codes [..., in], f32 scale [..., 1]).  No clip
+    needed: |x| <= amax implies |round(x/scale)| <= 127 exactly.
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.round(xf / scale).astype(jnp.int8)
+    return q, scale
+
+
+def q8a8_dense(
+    xq: jax.Array,
+    xs: jax.Array,
+    wq: jax.Array,
+    ws: jax.Array,
+    b: jax.Array | None = None,
+) -> jax.Array:
+    """int8 x int8 -> int32 matmul, rescaled to f32.
+
+    xq [..., in] int8 codes with per-row scales xs [..., 1];
+    wq [in, out] int8 with per-out-channel scales ws [out].
+    The integer product is EXACT (max |acc| = in * 127^2 < 2^31 for any
+    realistic in-dim), so accuracy is bounded by the two quantization
+    grids alone.
+    """
+    acc = jax.lax.dot_general(
+        xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * xs * ws.astype(jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y
+
+
+def q8a8_qkv(
+    xq: jax.Array, xs: jax.Array, wq: jax.Array, ws: jax.Array, b: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused-QKV w8a8: xq [B, T, in] @ wq [in, 3, out] -> three [B, T, out].
+
+    ws [3, out] per-(projection, out-channel) scales, b [3, out] (zeros in
+    the K slot — whisper's k_proj has no bias).  One int8 MXU dispatch for
+    all three projections, mirroring the bf16 fused path (qkv_proj).
+    """
+    acc = jnp.einsum(
+        "btk,kco->btco", xq, wq, preferred_element_type=jnp.int32
+    )
+    y = acc.astype(jnp.float32) * xs[..., None] * ws.astype(jnp.float32)
+    y = y + b.astype(jnp.float32)
+    return y[..., 0, :], y[..., 1, :], y[..., 2, :]
+
+
+# ---------------------------------------------------------------------------
 # int4 blockwise (the logits head's second halving: w8 streams ~66 MB for
 # distil-large-v3's [1280, 51866] head and measures AT its streaming
 # roofline, so the only way down is fewer bytes — int4 weights with

@@ -249,6 +249,184 @@ def test_int4_head_tp_shardable():
     np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
 
 
+# ---- w8a8 encoder (quantize_encoder) --------------------------------------
+
+
+def test_q8a8_dense_exact_integer_accumulation():
+    """The int8 x int8 product accumulates in int32, so the result must
+    EQUAL the dequantize-then-matmul computed in float64 (the quantization
+    grids are the only approximation, and both sides share them)."""
+    from norma_tpu.ops.quant_matmul import (
+        q8a8_dense,
+        quantize_activations,
+        quantize_per_channel,
+    )
+
+    rng = np.random.default_rng(20)
+    x = jnp.asarray(rng.standard_normal((3, 7, 64)), jnp.float32)
+    w = rng.standard_normal((64, 96)).astype(np.float32)
+    b = rng.standard_normal(96).astype(np.float32)
+    wq, ws = quantize_per_channel(w)
+    xq, xs = quantize_activations(x)
+    got = np.asarray(q8a8_dense(xq, xs, wq, ws, jnp.asarray(b)))
+    want = (
+        (np.asarray(xq, np.float64) @ np.asarray(wq, np.float64))
+        * np.asarray(xs, np.float64)
+        * np.asarray(ws, np.float64)[None, :]
+        + b
+    )
+    np.testing.assert_allclose(got, want.astype(np.float32), rtol=1e-6, atol=1e-5)
+    # And the combined grid error vs the true product stays int8-bounded.
+    true = np.asarray(x, np.float64) @ w + b
+    rel = np.abs(got - true).max() / np.abs(true).max()
+    assert rel < 0.03
+
+
+def test_quantize_activations_no_clip_needed():
+    """|x| <= amax implies |round(x/scale)| <= 127 exactly — including the
+    amax element itself and all-zero rows (scale falls back to 1)."""
+    from norma_tpu.ops.quant_matmul import quantize_activations
+
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(
+        np.concatenate(
+            [rng.standard_normal((3, 32)), np.zeros((1, 32))]
+        ).astype(np.float32)
+    )
+    q, s = quantize_activations(x)
+    assert q.dtype == jnp.int8
+    assert int(jnp.abs(q).max()) <= 127
+    assert np.all(np.asarray(q)[-1] == 0) and float(s[-1, 0]) == 1.0
+    deq = np.asarray(q, np.float32) * np.asarray(s)
+    assert np.abs(deq - np.asarray(x)).max() <= np.abs(np.asarray(x)).max() / 254 + 1e-7
+
+
+def test_quantize_encoder_features_close_and_fuse_consistent():
+    """w8a8 encoder features track the f32 encoder within the int8 grids,
+    identically for fuse-then-quantize and quantize-then-fuse, at ~1/4 the
+    resident bytes."""
+    import jax
+
+    from norma_tpu.model.load import fuse_qkv
+    from norma_tpu.model.quant import ENCODER_W8_KEYS, quantize_encoder
+    from norma_tpu.model.whisper import encode
+
+    cfg = tiny_config()
+    params = init_params(cfg, seed=0)
+    mel = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (2, cfg.num_mel_bins, 2 * cfg.max_source_positions)
+        ),
+        jnp.float32,
+    )
+    ref = np.asarray(encode(params, cfg, mel))
+
+    qp = quantize_encoder(params)
+    for name in ENCODER_W8_KEYS:
+        if name not in params["encoder"]["layers"]:
+            continue
+        assert name not in qp["encoder"]["layers"]
+        assert qp["encoder"]["layers"][name + "_q"].dtype == jnp.int8
+    got = np.asarray(encode(qp, cfg, mel))
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 0.05
+
+    # Decoder untouched: quantize_encoder is orthogonal to the decoder knobs.
+    assert "fc1_w" in qp["decoder"]["layers"]
+
+    # Per-projection amax is independent of fusion, so both orders must
+    # produce bit-identical forwards.
+    a = np.asarray(encode(quantize_encoder(fuse_qkv(params)), cfg, mel))
+    b = np.asarray(encode(fuse_qkv(qp), cfg, mel))
+    np.testing.assert_array_equal(a, b)
+
+    def nbytes(tree):
+        return sum(
+            x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(tree)
+        )
+
+    assert nbytes(qp["encoder"]["layers"]) < 0.35 * nbytes(
+        params["encoder"]["layers"]
+    )
+
+
+def test_quantize_encoder_engine_decodes():
+    """The full fused-window program runs over a w8a8 encoder and yields a
+    well-formed transcript result (exact parity intentionally not asserted:
+    the activation grid shifts encoder features by design)."""
+    from norma_tpu.decode.engine import DecodeEngine
+    from norma_tpu.frontend.mel import prepare_audio
+    from norma_tpu.model.quant import quantize_encoder
+
+    cfg = tiny_config()
+    params = quantize_encoder(init_params(cfg, seed=0))
+    engine = DecodeEngine(params, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS)
+    n_frames = 2 * cfg.max_source_positions
+    rng = np.random.default_rng(22)
+    audio = jnp.asarray(
+        prepare_audio(
+            (0.1 * rng.standard_normal(9000)).astype(np.float32),
+            n_frames=n_frames,
+        )
+    )[None]
+    got = engine.transcribe_window(audio, [TEST_LANG_IDS[0]], seed=0)[0][0]
+    assert got is None or got.tokens[0] == TEST_ST.sot
+
+
+def test_quantize_encoder_tp_shardable():
+    """Megatron tp-sharding applies to the w8a8 encoder stack (q on the
+    weight axes, s on the out-channel axes) and the sharded forward
+    matches the unsharded one exactly."""
+    import jax
+
+    from norma_tpu.model.load import fuse_qkv
+    from norma_tpu.model.quant import quantize_encoder
+    from norma_tpu.model.whisper import encode
+    from norma_tpu.parallel.sharding import make_mesh, param_shardings, shard_params
+
+    cfg = tiny_config()
+    params = quantize_encoder(fuse_qkv(init_params(cfg, seed=1)))
+    mesh = make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    sh = param_shardings(params, mesh)
+    lay = sh["encoder"]["layers"]
+    assert lay["qkv_w_q"].spec[-1] == "tp"
+    assert lay["qkv_w_s"].spec[-1] == "tp"
+    assert lay["fc1_w_q"].spec[-1] == "tp"
+    assert lay["fc2_w_q"].spec[1] == "tp"
+
+    mel = jnp.asarray(
+        np.random.default_rng(2).standard_normal(
+            (1, cfg.num_mel_bins, 2 * cfg.max_source_positions)
+        ),
+        jnp.float32,
+    )
+    want = np.asarray(encode(params, cfg, mel))
+    sp = shard_params(params, mesh)
+    got = np.asarray(encode(sp, cfg, mel))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_quantize_encoder_loader_path(tmp_path):
+    """Loader opt-in: quantize_encoder=True transcribes through the full
+    pipeline on a seeded checkpoint and composes with quantize_decoder."""
+    pytest.importorskip("tokenizers")
+    from checkpoint_fixture import make_checkpoint_dir
+    from norma_tpu.models import SelectedDevice
+    from norma_tpu.models.whisper import monolingual
+
+    make_checkpoint_dir(tmp_path)
+    rng = np.random.default_rng(23)
+    audio = (0.1 * rng.standard_normal(24_000)).astype(np.float32)
+    d = monolingual.Definition(
+        monolingual.ModelType.TINY_EN, SelectedDevice.cpu(),
+        local_dir=str(tmp_path), quantize_encoder=True, quantize_decoder=True,
+    )
+    model = d.blocking_try_to_model()
+    lay = model.engine.params["encoder"]["layers"]
+    assert "qkv_w_q" in lay and "qkv_w" not in lay
+    text = model.transcribe(audio.copy(), final_chunk=True)
+    assert isinstance(text, str)
+
+
 # ---- int8 cross-attention K/V (quantize_cross_kv) -------------------------
 
 

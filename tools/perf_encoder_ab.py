@@ -8,6 +8,8 @@ variant, reporting per-program DEVICE time from xplane traces (the only
 trustworthy comparison on the tunneled TPU; PERF.md methodology).
 
 Run ON TPU:  python tools/perf_encoder_ab.py [variant ...]
+(w8a8* variants — the int8-MXU encoder — are opt-in by name:
+ python tools/perf_encoder_ab.py xla w8a8 w8a8_jf)
 """
 
 import json
@@ -97,6 +99,21 @@ def main() -> None:
         ),
     }
     pick = sys.argv[1:] or list(VARIANTS)
+
+    # w8a8 encoder (quantize_encoder): int8-MXU projections.  Lazily built
+    # (the int8 re-pack of 32 layers takes a few seconds) only when picked.
+    W8A8 = {
+        "w8a8": {},
+        "w8a8_bf16s": {"encoder_scores_bf16": True},
+        "w8a8_jf": {"encoder_attn_impl": "jax_flash"},
+        "w8a8_chunked": {"encoder_attn_impl": "chunked"},
+    }
+    if any(n in W8A8 for n in pick):
+        from norma_tpu.model.quant import quantize_encoder
+
+        enc8 = jax.device_put(quantize_encoder(fused), jax.devices()[0])
+        for n, over in W8A8.items():
+            VARIANTS[n] = (enc8, over)
 
     results = {}
     for name in pick:
