@@ -185,6 +185,62 @@ def main() -> None:
     t_bs = min(run_batched_serving() for _ in range(4))
     d_bs = device_ms_per_window(run_batched_serving, 2, "batched8_serving")
 
+    # w8a8 encoder (quantize_encoder): int8-MXU projection matmuls — the
+    # compute lever for the window-dominant encoder (PERF.md).  Measured
+    # alone at B=8 (isolates the encoder effect) and stacked on the full
+    # serving config.  Guarded: the axon TPU plugin has broken exotic
+    # dtypes before (jnp int4), so a failure reports null rather than
+    # sinking the bench.
+    e8_fields = {}
+    try:
+        from norma_tpu.model.quant import quantize_encoder
+
+        params_e8 = jax.device_put(quantize_encoder(params), jax.devices()[0])
+        e_e8 = DecodeEngine(params_e8, cfg, st)
+
+        def run_batched_e8():
+            t0 = time.perf_counter()
+            e_e8.transcribe_window(wj, [50259] * B, seed=0)
+            return time.perf_counter() - t0
+
+        run_batched_e8()  # warmup/compile
+        t_e8 = min(run_batched_e8() for _ in range(4))
+        d_e8 = device_ms_per_window(run_batched_e8, 2, "batched8_e8")
+
+        e_serving8 = DecodeEngine(
+            jax.device_put(
+                quantize_encoder(quantize_decoder(params)), jax.devices()[0]
+            ),
+            cfg.with_(encoder_attn_impl="jax_flash"), st,
+            quantize_cross_kv=True,
+        )
+
+        def run_batched_serving8():
+            t0 = time.perf_counter()
+            e_serving8.transcribe_window(wj, [50259] * B, seed=0)
+            return time.perf_counter() - t0
+
+        run_batched_serving8()  # warmup/compile
+        t_s8 = min(run_batched_serving8() for _ in range(4))
+        d_s8 = device_ms_per_window(run_batched_serving8, 2, "batched8_serving_e8")
+        e8_fields = {
+            "t_window_batched8_e8_ms": round(t_e8 * 1e3, 1),
+            "t_window_batched8_e8_device_ms": (
+                None if d_e8 is None else round(d_e8, 1)
+            ),
+            "t_window_batched8_serving_e8_ms": round(t_s8 * 1e3, 1),
+            "t_window_batched8_serving_e8_device_ms": (
+                None if d_s8 is None else round(d_s8, 1)
+            ),
+            "rtf_per_stream_batched8_serving_e8_device": (
+                None if d_s8 is None
+                else round(d_s8 / 1e3 / 30.0 / B, 6)
+            ),
+        }
+        del e_e8, e_serving8, params_e8
+    except Exception as e:  # pragma: no cover - environment-dependent
+        print(f"# w8a8 encoder bench unavailable: {e!r}")
+
     # Speculative decoding on the DEEP target (large-v3): the distil-dims
     # draft proposes 4 tokens/round, the 32-layer target verifies them in
     # one chunked forward (decode/speculative.py).  The r3 serving lever
@@ -292,6 +348,7 @@ def main() -> None:
                     ),
                     "realtime_streams_per_chip_batched": int(1.0 / rtf8),
                     "tokens_per_window": TOKENS_PER_WINDOW,
+                    **e8_fields,
                     **lv3_spec,
                     "methodology": (
                         "production LongFormDecoder.transcribe, forced "
@@ -309,7 +366,10 @@ def main() -> None:
                         "wall-vs-device contradiction in one table. "
                         "batched8_serving = jax_flash encoder + int8 "
                         "decoder weights + int8 cross-KV, the full opt-in "
-                        "serving stack. lv3_* = large-v3 target B=1; "
+                        "serving stack. batched8_e8 = w8a8 encoder alone "
+                        "(int8-MXU projections, quantize_encoder); "
+                        "batched8_serving_e8 = the serving stack plus it. "
+                        "lv3_* = large-v3 target B=1; "
                         "lv3_spec = speculative draft/verify with a "
                         "distil-dims draft at spec_k=4 (random weights, "
                         "so tokens_per_round understates real distil "
