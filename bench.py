@@ -238,6 +238,8 @@ def main() -> None:
             ),
         }
         del e_e8, e_serving8, params_e8
+    except (TypeError, AttributeError, NameError, KeyError):
+        raise  # programming error, not an environment failure
     except Exception as e:  # pragma: no cover - environment-dependent
         print(f"# w8a8 encoder bench unavailable: {e!r}")
 

@@ -76,6 +76,13 @@ def main() -> int:
                 drs_q, _ = e_q8.transcribe_window(audio[None], [50259], seed=w)
                 t_r = drs_r[0].tokens if drs_r[0] else None
                 t_q = drs_q[0].tokens if drs_q[0] else None
+                if t_r is None and t_q is None:
+                    # Nothing was compared; do not inflate the parity score.
+                    print(
+                        f"{preset} seed={seed} window={w}: both no-result "
+                        "(not counted)"
+                    )
+                    continue
                 ok = t_r == t_q
                 total += 1
                 flips += 0 if ok else 1
