@@ -335,6 +335,36 @@ def test_spec_quantized_draft():
     _cmp_results(out_p[0], out_s[0])
 
 
+def test_spec_w8a8_encoder_target_stays_exact():
+    """quantize_encoder on the TARGET: both engines share the (now w8a8)
+    encoder features, so speculative output must STILL equal the plain
+    target's decode result-for-result — the encoder numerics change, the
+    draft/verify invariant does not.  B=3 covers the sequential-ladder
+    arm's full parity (per-rung seeds match)."""
+    from norma_tpu.model import fuse_qkv
+    from norma_tpu.model.quant import quantize_encoder
+
+    cfg = tiny_config()
+    params = quantize_encoder(fuse_qkv(init_params(cfg, seed=0)))
+    dcfg = _draft_cfg()
+    dparams = fuse_qkv(init_params(dcfg, seed=100))
+    plain = DecodeEngine(
+        params, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS
+    )
+    spec = SpeculativeEngine(
+        params, cfg, dparams, dcfg, TEST_ST,
+        language_token_ids=TEST_LANG_IDS,
+    )
+    B = 3
+    audio = _window(31, cfg, b=B)
+    langs = [TEST_LANG_IDS[0]] * B
+    out_p, info_p = plain.transcribe_window(audio, langs, seed=7)
+    out_s, info_s = spec.transcribe_window(audio, langs, seed=7)
+    for a, b in zip(out_p, out_s):
+        _cmp_results(a, b)
+    np.testing.assert_array_equal(info_p["langs"], info_s["langs"])
+
+
 def test_spec_engine_in_batched_transcriber():
     """A speculative-engine model drops into the multi-stream scheduler
     unchanged (same transcribe_window contract incl. n_active pads and
