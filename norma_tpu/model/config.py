@@ -87,6 +87,18 @@ class WhisperConfig:
     # (candle whisper DTYPE, model.rs:12) — opt in only where a WER check
     # against real audio has cleared it.
     encoder_scores_bf16: bool = False
+    # Compute mode for quantize_encoder params (ignored unless the encoder
+    # layer stack carries int8 ``_q`` weights):
+    #   "w8a8"  — dynamic per-row int8 activations, int8×int8→int32 on the
+    #             MXU (2× the bf16 multiplier rate on v5e+; the intended
+    #             mode — model/quant.py quantize_encoder)
+    #   "w8a16" — weights dequantize to the activation dtype in-graph and
+    #             the matmuls run bf16 (same math as quantize_decoder's
+    #             layers; no activation-grid noise).  The fallback if a
+    #             backend's int8 dot lowering disappoints, and the
+    #             accuracy-isolation arm for A/Bs: w8a16 vs w8a8 differ
+    #             ONLY by activation quantization.
+    encoder_q8_mode: str = "w8a8"
 
     @property
     def head_dim(self) -> int:

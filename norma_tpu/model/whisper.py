@@ -298,12 +298,15 @@ def encoder_layer(
     chunk: int = 250,
     flash_bq: int = 512,
     flash_bk: int = 512,
+    q8_mode: str = "w8a8",
 ) -> jax.Array:
     # quantize_encoder stacks carry fc1_w_q etc.; presence selects the
     # int8-MXU (w8a8) compute path.  The attention core (scores/softmax/PV)
     # stays bf16/f32 under every impl — only the six projection matmuls,
-    # where the encoder's FLOPs are, run int8.
-    w8a8 = "fc1_w_q" in p
+    # where the encoder's FLOPs are, run int8.  q8_mode="w8a16" keeps the
+    # int8 storage but computes bf16 (ldense/qkv_proj dequant dispatch —
+    # the fallback/ablation arm; see config.encoder_q8_mode).
+    w8a8 = "fc1_w_q" in p and q8_mode == "w8a8"
     h = layer_norm(x, p["attn_ln_g"], p["attn_ln_b"])
     q, k, v = _qkv_proj_q8(p, h) if w8a8 else qkv_proj(p, h)
     if attn_impl == "xla":
@@ -367,11 +370,18 @@ def encode(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Array:
     # removes (~9 ms/B=8 window in op-attribution) were already hidden
     # under other work, and the MLP fusion grew by the same amount at
     # 1536 rows.  Reverted; see PERF.md negative results.
+    if cfg.encoder_q8_mode not in ("w8a8", "w8a16"):
+        raise ValueError(
+            f"encoder_q8_mode={cfg.encoder_q8_mode!r}: expected 'w8a8' or"
+            " 'w8a16'"
+        )
+
     def body(carry, layer_p):
         return (
             encoder_layer(
                 layer_p, carry, n_heads, attn_impl, scores_bf16,
                 cfg.encoder_attn_chunk, cfg.flash_block_q, cfg.flash_block_k,
+                cfg.encoder_q8_mode,
             ),
             None,
         )

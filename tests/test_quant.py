@@ -349,6 +349,46 @@ def test_quantize_encoder_features_close_and_fuse_consistent():
     )
 
 
+def test_encoder_q8_mode_w8a16_matches_dequantized_weights():
+    """encoder_q8_mode="w8a16" computes bf16 over dequantized int8 weights:
+    it must match an encode over explicitly dequantized params (per-channel
+    scales commute out of the contraction; only float rounding differs),
+    and differ from w8a8 only by the activation grid."""
+    from norma_tpu.model.load import fuse_qkv
+    from norma_tpu.model.quant import quantize_encoder
+    from norma_tpu.model.whisper import encode
+
+    cfg = tiny_config()
+    params = fuse_qkv(init_params(cfg, seed=3))
+    qp = quantize_encoder(params)
+    mel = jnp.asarray(
+        np.random.default_rng(4).standard_normal(
+            (2, cfg.num_mel_bins, 2 * cfg.max_source_positions)
+        ),
+        jnp.float32,
+    )
+
+    # Manual dequant: rebuild full-precision layers as q * s.
+    lay = dict(qp["encoder"]["layers"])
+    for name in ("qkv_w", "o_w", "fc1_w", "fc2_w"):
+        q = np.asarray(lay.pop(name + "_q"), np.float32)
+        s = np.asarray(lay.pop(name + "_s"), np.float32)
+        lay[name] = jnp.asarray(q * np.expand_dims(s, 1))
+    deq = dict(qp)
+    deq["encoder"] = dict(qp["encoder"])
+    deq["encoder"]["layers"] = lay
+
+    want = np.asarray(encode(deq, cfg, mel))
+    got16 = np.asarray(encode(qp, cfg.with_(encoder_q8_mode="w8a16"), mel))
+    np.testing.assert_allclose(got16, want, rtol=1e-5, atol=1e-5)
+
+    got8 = np.asarray(encode(qp, cfg, mel))  # default w8a8
+    assert np.abs(got8 - got16).max() > 0  # activation grid is a real change
+
+    with pytest.raises(ValueError, match="encoder_q8_mode"):
+        encode(qp, cfg.with_(encoder_q8_mode="int8"), mel)
+
+
 def test_quantize_encoder_engine_decodes():
     """The full fused-window program runs over a w8a8 encoder and yields a
     well-formed transcript result (exact parity intentionally not asserted:

@@ -107,6 +107,10 @@ def main() -> None:
         "w8a8_bf16s": {"encoder_scores_bf16": True},
         "w8a8_jf": {"encoder_attn_impl": "jax_flash"},
         "w8a8_chunked": {"encoder_attn_impl": "chunked"},
+        # Same int8 storage, bf16 compute: isolates the int8-MXU effect
+        # (w8a8 vs w8a16 differ ONLY by the matmul mode) and is the
+        # fallback if the backend's int8 dot lowering disappoints.
+        "w8a16_enc": {"encoder_q8_mode": "w8a16"},
     }
     if any(n in W8A8 for n in pick):
         from norma_tpu.model.quant import quantize_encoder
