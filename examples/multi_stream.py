@@ -29,6 +29,13 @@ def main() -> None:
         SelectedDevice.auto(),
         local_dir=local_dir,
         timestamps=True,
+        # Throughput-first serving knobs (all opt-in; each trades a small,
+        # measured accuracy delta — PERF.md "Levers"):
+        #   quantize_decoder=True   (int8 decoder weights, -15% window)
+        #   quantize_encoder=True   (int8-MXU encoder projections)
+        #   quantize_cross_kv=True  (int8 cross-K/V; small-batch knob)
+        # and encoder_attn_impl="jax_flash" via the model config for the
+        # batched encoder win.
     )
     model = definition.blocking_try_to_model()
     model.warmup()
