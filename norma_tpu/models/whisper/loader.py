@@ -163,41 +163,56 @@ def build_model(
     tokenizer = WhisperTokenizer.from_file(files.tokenizer)
 
     jdev = device.to_jax_device()
+    prequantized = False
     if quantized_ext is not None:
         from ...model.gguf import load_gguf_q8
 
         params = load_gguf_q8(files.weights, cfg, dtype)
     else:
-        params = load_safetensors(files.weights, cfg, dtype)
-    from ...model.load import fuse_qkv
+        from ...model.serialize import peek_format
 
-    params = fuse_qkv(params)  # one fused QKV matmul in the decode hot path
-    if quantize_decoder:
-        from ...model.quant import quantize_decoder as _qd
+        if peek_format(files.weights):
+            # Pre-quantized/pre-fused params file written by
+            # tools/quantize_checkpoint.py (the GGUF-q8_0-workflow
+            # equivalent for our layout): load structurally, skip
+            # HF-name mapping, QKV fusion and re-quantization — the
+            # quantize_* flags below are already baked in.
+            from ...model.serialize import load_params_file
 
-        params = _qd(params)
-    elif quantize_logits:
-        # True/"int8" -> per-channel int8 head; "int4" -> blockwise int4
-        # (half the int8 head's weight stream again).
-        if quantize_logits not in (True, "int8", "int4"):
-            raise ValueError(
-                f"quantize_logits={quantize_logits!r}: expected True, False,"
-                " 'int8' or 'int4'"
-            )
-        if quantize_logits == "int4":
-            from ...model.quant import quantize_logits_head_int4
-
-            params = quantize_logits_head_int4(params)
+            params, _qmeta = load_params_file(files.weights)
+            prequantized = True
         else:
-            from ...model.quant import quantize_logits_head
+            params = load_safetensors(files.weights, cfg, dtype)
+    if not prequantized:
+        from ...model.load import fuse_qkv
 
-            params = quantize_logits_head(params)
-    if quantize_encoder:
-        # w8a8 encoder: int8-MXU compute for the window-dominant cost.
-        # Orthogonal to the decoder knobs (combine freely).
-        from ...model.quant import quantize_encoder as _qe
+        params = fuse_qkv(params)  # one fused QKV matmul in the hot path
+        if quantize_decoder:
+            from ...model.quant import quantize_decoder as _qd
 
-        params = _qe(params)
+            params = _qd(params)
+        elif quantize_logits:
+            # True/"int8" -> per-channel int8 head; "int4" -> blockwise
+            # int4 (half the int8 head's weight stream again).
+            if quantize_logits not in (True, "int8", "int4"):
+                raise ValueError(
+                    f"quantize_logits={quantize_logits!r}: expected True,"
+                    " False, 'int8' or 'int4'"
+                )
+            if quantize_logits == "int4":
+                from ...model.quant import quantize_logits_head_int4
+
+                params = quantize_logits_head_int4(params)
+            else:
+                from ...model.quant import quantize_logits_head
+
+                params = quantize_logits_head(params)
+        if quantize_encoder:
+            # w8a8 encoder: int8-MXU compute for the window-dominant
+            # cost.  Orthogonal to the decoder knobs (combine freely).
+            from ...model.quant import quantize_encoder as _qe
+
+            params = _qe(params)
     params = jax.device_put(params, jdev)
 
     st = SpecialTokens.from_tokenizer(tokenizer, task_token_str)

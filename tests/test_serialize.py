@@ -1,0 +1,147 @@
+"""Pre-quantized checkpoint save/load (model/serialize.py +
+tools/quantize_checkpoint.py) — the GGUF-q8_0-workflow equivalent for the
+in-house int8 layout."""
+
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from helpers import tiny_config
+from norma_tpu.model import fuse_qkv, init_params
+from norma_tpu.model.serialize import (
+    FORMAT_KEY,
+    flatten_params,
+    load_params_file,
+    peek_format,
+    save_params,
+    unflatten_params,
+    write_safetensors,
+)
+
+
+def test_flatten_unflatten_roundtrip():
+    cfg = tiny_config()
+    params = fuse_qkv(init_params(cfg, seed=0, dtype=jnp.bfloat16))
+    flat = flatten_params(params)
+    assert "decoder/layers/qkv_w" in flat and "encoder/pos" in flat
+    back = unflatten_params(flat)
+    import jax
+
+    a = jax.tree_util.tree_leaves_with_path(params)
+    b = jax.tree_util.tree_leaves_with_path(back)
+    assert len(a) == len(b)
+    for (pa, la), (pb, lb) in zip(a, b):
+        assert pa == pb
+        assert la.dtype == lb.dtype, pa
+        np.testing.assert_array_equal(np.asarray(la, np.float32),
+                                      np.asarray(lb, np.float32))
+
+
+def test_save_load_params_file_mixed_dtypes(tmp_path):
+    """bf16/f32/int8 leaves round-trip bit-exactly, incl. nested quant
+    dicts; metadata marks the format."""
+    from norma_tpu.model.quant import quantize_decoder, quantize_encoder
+
+    cfg = tiny_config()
+    params = quantize_encoder(
+        quantize_decoder(fuse_qkv(init_params(cfg, seed=1, dtype=jnp.bfloat16)))
+    )
+    path = str(tmp_path / "m.safetensors")
+    save_params(path, params, metadata={"quant": "test"})
+
+    meta = peek_format(path)
+    assert meta and meta[FORMAT_KEY] == "params-v1" and meta["quant"] == "test"
+
+    loaded, meta2 = load_params_file(path)
+    assert meta2["quant"] == "test"
+    lay = loaded["decoder"]["layers"]
+    assert lay["qkv_w_q"].dtype == jnp.int8
+    assert lay["qkv_w_s"].dtype == jnp.float32
+    assert loaded["decoder"]["tok_emb"].dtype == jnp.bfloat16
+    assert loaded["decoder"]["tok_emb_q8"]["q"].dtype == jnp.int8
+    assert loaded["encoder"]["layers"]["fc1_w_q"].dtype == jnp.int8
+
+    import jax
+
+    for (pa, la), (pb, lb) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(loaded),
+    ):
+        assert pa == pb and la.dtype == lb.dtype, pa
+        np.testing.assert_array_equal(
+            np.asarray(la, np.float32), np.asarray(lb, np.float32)
+        )
+
+
+def test_peek_format_rejects_hf_checkpoint(tmp_path):
+    """A plain HF safetensors file (no metadata marker) is NOT detected as
+    a params file, and load_params_file refuses it."""
+    from checkpoint_fixture import make_checkpoint_dir
+
+    make_checkpoint_dir(tmp_path)
+    hf = str(tmp_path / "model.safetensors")
+    assert peek_format(hf) is None
+    with pytest.raises(ValueError, match=FORMAT_KEY):
+        load_params_file(hf)
+
+
+def test_write_safetensors_rejects_unsupported_dtype(tmp_path):
+    with pytest.raises(ValueError, match="unsupported dtype"):
+        write_safetensors(
+            str(tmp_path / "x.safetensors"),
+            {"a": np.zeros(3, np.complex64)},
+        )
+
+
+def test_quantize_checkpoint_tool_end_to_end(tmp_path, monkeypatch):
+    """The CLI converts a checkpoint dir offline; loading the output via a
+    Definition produces the IDENTICAL transcript to on-the-fly
+    quantization of the original (same grids, f32 roundtrip is exact)."""
+    pytest.importorskip("tokenizers")
+    from checkpoint_fixture import make_checkpoint_dir
+    from norma_tpu.models import SelectedDevice
+    from norma_tpu.models.whisper import monolingual
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    make_checkpoint_dir(src)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import quantize_checkpoint
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["quantize_checkpoint.py", str(src), str(out),
+         "--dtype", "f32", "--decoder", "--encoder"],
+    )
+    quantize_checkpoint.main()
+    assert (out / "model.safetensors").exists()
+    assert (out / "config.json").exists() and (out / "tokenizer.json").exists()
+    meta = peek_format(str(out / "model.safetensors"))
+    assert meta["quant"] == "decoder-w8+encoder-w8a8"
+
+    rng = np.random.default_rng(31)
+    audio = (0.1 * rng.standard_normal(24_000)).astype(np.float32)
+
+    d_fly = monolingual.Definition(
+        monolingual.ModelType.TINY_EN, SelectedDevice.cpu(),
+        local_dir=str(src), quantize_decoder=True, quantize_encoder=True,
+    )
+    d_pre = monolingual.Definition(
+        monolingual.ModelType.TINY_EN, SelectedDevice.cpu(),
+        local_dir=str(out),
+    )
+    m_fly = d_fly.blocking_try_to_model()
+    m_pre = d_pre.blocking_try_to_model()
+    # Identical param pytrees (structure + values) ...
+    lay = m_pre.engine.params["decoder"]["layers"]
+    assert "qkv_w_q" in lay and "qkv_w" not in lay
+    assert "fc1_w_q" in m_pre.engine.params["encoder"]["layers"]
+    # ... hence identical transcripts.
+    t_fly = m_fly.transcribe(audio.copy(), final_chunk=True)
+    t_pre = m_pre.transcribe(audio.copy(), final_chunk=True)
+    assert t_fly == t_pre

@@ -1,0 +1,96 @@
+"""Offline checkpoint quantizer: HF safetensors -> pre-quantized params file.
+
+The serving equivalent of the reference's GGUF q8_0 distribution
+(``monolingual.rs:230-235``): quantize ONCE here, then every model load
+reads int8 weights directly — no f32 pass, no per-start re-quantization,
+~¼ the host I/O.  The output directory is a drop-in ``local_dir`` for the
+Definitions (config.json + tokenizer.json are copied alongside); the
+loader auto-detects the format from the file's safetensors metadata
+(``norma_tpu_format: params-v1``) and skips HF-name mapping, QKV fusion
+and the quantize_* flags (they are baked in).
+
+Usage:
+  python tools/quantize_checkpoint.py IN_DIR OUT_DIR \
+      [--dtype bf16|f32] [--decoder] [--encoder] [--logits int8|int4]
+
+--decoder  int8 decoder-layer weights + int8 logits head (w8a16 compute)
+--encoder  int8 encoder-layer weights (w8a8 int8-MXU compute)
+--logits   quantize only the logits head (ignored with --decoder)
+No quant flag at all still helps: the output is fused-QKV bf16/f32 with
+structural (no-name-mapping) loading.
+"""
+
+import argparse
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("in_dir", help="dir with config.json/tokenizer.json/model.safetensors")
+    ap.add_argument("out_dir")
+    ap.add_argument("--dtype", choices=("bf16", "f32"), default="bf16")
+    ap.add_argument("--decoder", action="store_true", help="int8 decoder weights + head")
+    ap.add_argument("--encoder", action="store_true", help="w8a8 int8 encoder weights")
+    ap.add_argument("--logits", choices=("int8", "int4"), default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    # Host-side transform: never touch (or wait for) an accelerator.
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from norma_tpu.model import WhisperConfig, fuse_qkv
+    from norma_tpu.model.load import load_safetensors
+    from norma_tpu.model.serialize import save_params
+
+    cfg = WhisperConfig.from_json(os.path.join(args.in_dir, "config.json"))
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    params = fuse_qkv(
+        load_safetensors(os.path.join(args.in_dir, "model.safetensors"), cfg, dtype)
+    )
+
+    tiers = []
+    if args.decoder:
+        from norma_tpu.model.quant import quantize_decoder
+
+        params = quantize_decoder(params)
+        tiers.append("decoder-w8")
+    elif args.logits == "int4":
+        from norma_tpu.model.quant import quantize_logits_head_int4
+
+        params = quantize_logits_head_int4(params)
+        tiers.append("logits-int4")
+    elif args.logits == "int8":
+        from norma_tpu.model.quant import quantize_logits_head
+
+        params = quantize_logits_head(params)
+        tiers.append("logits-w8")
+    if args.encoder:
+        from norma_tpu.model.quant import quantize_encoder
+
+        params = quantize_encoder(params)
+        tiers.append("encoder-w8a8")
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    for name in ("config.json", "tokenizer.json"):
+        src = os.path.join(args.in_dir, name)
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(args.out_dir, name))
+    out_path = os.path.join(args.out_dir, "model.safetensors")
+    save_params(
+        out_path, params,
+        metadata={"quant": "+".join(tiers) or "none", "dtype": args.dtype},
+    )
+    print(
+        f"wrote {out_path} ({os.path.getsize(out_path) / 1e6:.1f} MB, "
+        f"quant={'+'.join(tiers) or 'none'}, {args.dtype})"
+    )
+
+
+if __name__ == "__main__":
+    main()
