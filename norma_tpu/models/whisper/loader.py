@@ -236,9 +236,18 @@ def build_model(
                 draft_repo_id, draft_revision, None, draft_local_dir
             )
         draft_cfg = WhisperConfig.from_json(draft_files.config)
-        draft_params = fuse_qkv(
-            load_safetensors(draft_files.weights, draft_cfg, dtype)
-        )
+        from ...model.serialize import peek_format as _peek
+
+        if _peek(draft_files.weights):
+            from ...model.serialize import load_params_file
+
+            draft_params, _ = load_params_file(draft_files.weights)
+        else:
+            from ...model.load import fuse_qkv as _fuse
+
+            draft_params = _fuse(
+                load_safetensors(draft_files.weights, draft_cfg, dtype)
+            )
         draft_params = jax.device_put(draft_params, jdev)
         engine = SpeculativeEngine(
             params, cfg, draft_params, draft_cfg, st,

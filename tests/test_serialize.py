@@ -145,3 +145,17 @@ def test_quantize_checkpoint_tool_end_to_end(tmp_path, monkeypatch):
     t_fly = m_fly.transcribe(audio.copy(), final_chunk=True)
     t_pre = m_pre.transcribe(audio.copy(), final_chunk=True)
     assert t_fly == t_pre
+
+    # Pre-quantized dirs also work as the TARGET AND the DRAFT of a
+    # speculative Definition (the draft branch has its own format
+    # detection; self-draft => transcript equals the plain decode).
+    from norma_tpu.decode.speculative import SpeculativeEngine
+
+    d_spec = monolingual.Definition(
+        monolingual.ModelType.TINY_EN, SelectedDevice.cpu(),
+        local_dir=str(out), draft=None, draft_local_dir=str(out), spec_k=3,
+    )
+    m_spec = d_spec.blocking_try_to_model()
+    assert isinstance(m_spec.engine, SpeculativeEngine)
+    t_spec = m_spec.transcribe(audio.copy(), final_chunk=True)
+    assert t_spec == t_pre
