@@ -96,6 +96,41 @@ def test_write_safetensors_rejects_unsupported_dtype(tmp_path):
         )
 
 
+def test_quantize_checkpoint_tool_gguf_input(tmp_path, monkeypatch):
+    """The converter also accepts a GGUF q8_0 checkpoint dir (the
+    reference's quantized distribution) and the output loads + decodes."""
+    pytest.importorskip("tokenizers")
+    from checkpoint_fixture import make_checkpoint_dir
+    from norma_tpu.models import SelectedDevice
+    from norma_tpu.models.whisper import monolingual
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    make_checkpoint_dir(src, quantized_ext="-q80.gguf")
+    assert not (src / "model.safetensors").exists()
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import quantize_checkpoint
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["quantize_checkpoint.py", str(src), str(out), "--dtype", "f32",
+         "--decoder"],
+    )
+    quantize_checkpoint.main()
+    d = monolingual.Definition(
+        monolingual.ModelType.TINY_EN, SelectedDevice.cpu(),
+        local_dir=str(out),
+    )
+    model = d.blocking_try_to_model()
+    audio = (0.1 * np.random.default_rng(8).standard_normal(16_000)).astype(
+        np.float32
+    )
+    text = model.transcribe(audio, final_chunk=True)
+    assert isinstance(text, str)
+
+
 def test_quantize_checkpoint_tool_end_to_end(tmp_path, monkeypatch):
     """The CLI converts a checkpoint dir offline; loading the output via a
     Definition produces the IDENTICAL transcript to on-the-fly

@@ -48,11 +48,38 @@ def main() -> None:
     from norma_tpu.model.load import load_safetensors
     from norma_tpu.model.serialize import save_params
 
-    cfg = WhisperConfig.from_json(os.path.join(args.in_dir, "config.json"))
+    import glob
+
+    def find(stem: str) -> str:
+        # Quantized HF repos suffix the sidecar files (config-<ext>.json,
+        # reference naming); prefer the plain name, fall back to the glob.
+        plain = os.path.join(args.in_dir, f"{stem}.json")
+        if os.path.exists(plain):
+            return plain
+        hits = sorted(glob.glob(os.path.join(args.in_dir, f"{stem}*.json")))
+        if not hits:
+            raise SystemExit(f"{args.in_dir}: no {stem}*.json found")
+        return hits[0]
+
+    cfg_path = find("config")
+    tok_path = find("tokenizer")
+    cfg = WhisperConfig.from_json(cfg_path)
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    params = fuse_qkv(
-        load_safetensors(os.path.join(args.in_dir, "model.safetensors"), cfg, dtype)
-    )
+    st_path = os.path.join(args.in_dir, "model.safetensors")
+    if os.path.exists(st_path):
+        params = load_safetensors(st_path, cfg, dtype)
+    else:
+        # Fall back to a GGUF q8_0 file (the reference's quantized
+        # distribution format) so those checkpoints convert too.
+        ggufs = sorted(glob.glob(os.path.join(args.in_dir, "*.gguf")))
+        if not ggufs:
+            raise SystemExit(
+                f"{args.in_dir}: no model.safetensors or *.gguf found"
+            )
+        from norma_tpu.model.gguf import load_gguf_q8
+
+        params = load_gguf_q8(ggufs[0], cfg, dtype)
+    params = fuse_qkv(params)
 
     tiers = []
     if args.decoder:
@@ -77,10 +104,10 @@ def main() -> None:
         tiers.append("encoder-w8a8")
 
     os.makedirs(args.out_dir, exist_ok=True)
-    for name in ("config.json", "tokenizer.json"):
-        src = os.path.join(args.in_dir, name)
-        if os.path.exists(src):
-            shutil.copy(src, os.path.join(args.out_dir, name))
+    # Normalize sidecars to the plain names: the output is a standard
+    # safetensors checkpoint dir.
+    shutil.copy(cfg_path, os.path.join(args.out_dir, "config.json"))
+    shutil.copy(tok_path, os.path.join(args.out_dir, "tokenizer.json"))
     out_path = os.path.join(args.out_dir, "model.safetensors")
     save_params(
         out_path, params,
