@@ -538,8 +538,12 @@ class DecodeEngine:
         """Fused single-dispatch window transcription.
 
         audio: [B, S] padded PCM window(s); langs: per-stream language token
-        ids, with -1 requesting in-graph detection; seed: ladder base seed
-        (rung i uses fold_in(seed, i), replacing the host path's seed+i);
+        ids, with -1 requesting in-graph detection; seed: ladder base seed.
+        The SEQUENTIAL ladder arm derives rung i's stream as
+        fold_in(seed, i) (replacing the host path's seed+i); the
+        SPECULATIVE arm (small B*R) instead mixes per-row/per-step inside
+        the sampling kernel from PRNGKey(seed) — a different PRNG stream of
+        the same sampling law, NOT bit-identical draws across the two arms.
         n_active: rows [n_active, B) are batch padding and decode nothing
         (None = all rows are real streams).
 

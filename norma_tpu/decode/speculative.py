@@ -241,11 +241,16 @@ class SpeculativeEngine(DecodeEngine):
             )
 
         def cond(c):
-            (it, tokens, n, p1, p2, lts, slp, fin, ck, cv, dk, dv) = c
+            (it, lr, tokens, n, p1, p2, lts, slp, fin, ck, cv, dk, dv) = c
             return jnp.logical_and(jnp.any(~fin), it < mtp)
 
         def body(c):
-            (it, tokens, n, p1, p2, lts, slp, fin, ck, cv, dk, dv) = c
+            (it, lr, tokens, n, p1, p2, lts, slp, fin, ck, cv, dk, dv) = c
+            # Per-row LIVE round count: rows finished before this round do
+            # not pay (or get credited for) it — the denominator of the
+            # acceptance telemetry must be per-row, or one slow stream in a
+            # batch dilutes every other stream's tokens-per-round ratio.
+            lr = lr + (~fin).astype(jnp.int32)
             step0 = n - n0  # [B] grammar step for position n
 
             # -- draft phase: K+1 sequential 1-token steps -------------
@@ -359,11 +364,12 @@ class SpeculativeEngine(DecodeEngine):
             )
             nlts = jnp.where(fin, lts, nlts)
 
-            return (it + 1, tokens, n_new, np1, np2, nlts, slp, new_fin,
+            return (it + 1, lr, tokens, n_new, np1, np2, nlts, slp, new_fin,
                     ck, cv, dk, dv)
 
         init = (
             jnp.int32(0),
+            jnp.zeros((B,), jnp.int32),
             tokens_init,
             jnp.full((B,), n0, jnp.int32),
             prev1,
@@ -376,10 +382,10 @@ class SpeculativeEngine(DecodeEngine):
             dcache_k,
             dcache_v,
         )
-        (it, tokens, n, _, _, _, slp, _, _, _, _, _) = jax.lax.while_loop(
-            cond, body, init
+        (it, lrounds, tokens, n, _, _, _, slp, _, _, _, _, _) = (
+            jax.lax.while_loop(cond, body, init)
         )
-        return tokens, n, slp, it
+        return tokens, n, slp, lrounds
 
     # ------------------------------------------------------------------
     # Fused window programs
@@ -452,7 +458,7 @@ class SpeculativeEngine(DecodeEngine):
         tokens_init = jnp.zeros((B, Tmax), jnp.int32).at[:, :3].set(prefix)
         gated0 = (nsp > NO_SPEECH_THRESHOLD) | ~active
 
-        toks, n, slp, rounds = self._spec_loop(
+        toks, n, slp, lrounds = self._spec_loop(
             params, draft_params, xk, xv, dxk, dxv,
             cache_k, cache_v, dcache_k, dcache_v,
             tokens_init, jnp.int32(3), prefix[:, -1], prefix[:, -2],
@@ -461,18 +467,21 @@ class SpeculativeEngine(DecodeEngine):
         avg = slp / jnp.maximum(n, 1).astype(jnp.float32)
         rung0 = jnp.zeros((B,), jnp.int32)
         packed = self._pack_ladder(toks, n, avg, rung0, nsp, langs, lang_probs)
-        # Speculation telemetry rides the same single fetch: the round
-        # count as one extra trailing column (scalar, broadcast).
+        # Speculation telemetry rides the same single fetch: each row's
+        # LIVE round count as one extra trailing column (per-row, so one
+        # slow stream cannot dilute the batch's acceptance ratio).
         packed = jnp.concatenate(
-            [packed, jnp.full((B, 1), rounds, jnp.float32)], axis=1
+            [packed, lrounds[:, None].astype(jnp.float32)], axis=1
         )
         return packed, feats
 
     def _fallback_rungs_impl(self, params, feats, langs, seed, settled):
         """The t>0 rungs (TEMPERATURES[1:]) over device-resident features,
         for rows where the speculative t=0 rung failed the logprob gate.
-        Mirrors the sequential arm of ``_ladder_impl`` with rung r mapping
-        to TEMPERATURES[r+1]; settled rows are born finished.
+        Mirrors the sequential arm of ``_ladder_impl``: the rung loop
+        starts at r=1, so a row settling at rung r decoded (and reports)
+        TEMPERATURES[r] — the same brung indexing ``_unpack_window``
+        decodes.  Settled rows are born finished.
         """
         cfg, st = self.cfg, self.st
         B = feats.shape[0]
@@ -585,16 +594,22 @@ class SpeculativeEngine(DecodeEngine):
         langs_out = packed[:, Tmax + 4].astype(np.int32)
 
         # Speculation telemetry (rides the single fetch as the trailing
-        # column): rounds of draft/verify this window, and the average
-        # committed tokens per round across live streams — 1.0 means no
-        # proposal ever accepted, spec_k+1 means every round fully
-        # accepted.  The production knob-tuning signal for spec_k.
-        rounds = int(packed[0, -1])
+        # column): each row's LIVE draft/verify round count, and the mean
+        # over live streams of per-row committed tokens / per-row rounds —
+        # 1.0 means no proposal ever accepted, spec_k+1 means every round
+        # fully accepted.  Per-row denominators matter at batch: with a
+        # global round count, one long stream's rounds would dilute every
+        # short stream's ratio and de-escalate auto-K despite perfect
+        # acceptance.  The production knob-tuning signal for spec_k.
+        lrounds = packed[:, -1].astype(np.int32)
         live = active & ~(nsp > NO_SPEECH_THRESHOLD)
-        self.last_spec_rounds = rounds
+        # Global rounds == max per-row live count (fin is monotone, so a
+        # row live in the final round was live in every round).
+        self.last_spec_rounds = int(lrounds.max()) if len(lrounds) else 0
+        live_r = live & (lrounds > 0)
         self.last_tokens_per_round = (
-            float((bn[live] - 3).mean()) / rounds
-            if rounds > 0 and live.any()
+            float(((bn[live_r] - 3) / lrounds[live_r]).mean())
+            if live_r.any()
             else None
         )
         if self.auto_k:

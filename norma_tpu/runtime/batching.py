@@ -146,6 +146,11 @@ class BatchedTranscriber:
                 "stream (microphone multiplexing is host-specific)"
             )
         with self._lock:
+            if self._closed.is_set():
+                # The scheduler thread is gone (close() or a fatal decode
+                # error): a stream admitted now would capture forever and
+                # its receiver would block forever.
+                raise NormaError("BatchedTranscriber is closed")
             if len(self._streams) >= self.max_streams:
                 raise TooManyStreams(self.max_streams)
             sid = self._next_sid
@@ -372,10 +377,17 @@ class BatchedTranscriber:
                 try:
                     self._decode_round(ready)
                 except Exception:
+                    # Fatal (e.g. a device error): tear the transcriber
+                    # down like close() would — stop capture pipelines so
+                    # threads/rings don't leak, mark closed so late
+                    # blocking_start calls are refused, and close every
+                    # transcript sender so receivers unblock.
                     logger.exception("batched decode round failed")
                     with self._lock:
                         streams = list(self._streams.values())
+                    self._closed.set()
                     for s in streams:
+                        s.pipeline.stop()
                         s.schan.close_sender()
                     raise
             # Retire streams whose source ended and buffer drained.

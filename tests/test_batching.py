@@ -40,6 +40,49 @@ def _source(seed, seconds=1.2, freq=330.0):
     )
 
 
+def test_start_after_close_refused(model):
+    """A stream started after close() would never be serviced (the
+    scheduler thread is gone): it must be refused, not silently leak a
+    capture pipeline with a forever-blocking receiver."""
+    from norma_tpu.errors import NormaError
+
+    bt = BatchedTranscriber(model, max_streams=2)
+    bt.close()
+    with pytest.raises(NormaError, match="closed"):
+        bt.blocking_start(Settings(source=_source(0)))
+
+
+@pytest.mark.filterwarnings(
+    "ignore::pytest.PytestUnhandledThreadExceptionWarning"
+)
+def test_fatal_decode_error_tears_down(model, monkeypatch):
+    """A fatal error in a decode round must stop capture pipelines, mark
+    the transcriber closed, and unblock receivers — not leak capture
+    threads that spam 'ring full' forever."""
+    from norma_tpu.errors import NormaError
+
+    bt = BatchedTranscriber(model, max_streams=2)
+    monkeypatch.setattr(
+        bt, "_decode_round",
+        lambda ready: (_ for _ in ()).throw(RuntimeError("device lost")),
+    )
+    h = bt.blocking_start(Settings(source=_source(1, seconds=0.6)))
+    # Receiver unblocks (sender closed by the teardown path).
+    texts = list(h.receiver)
+    assert texts == [] or all(isinstance(t, str) for t in texts)
+    # Scheduler thread exited; transcriber is closed and refuses new work.
+    bt._thread.join(timeout=10)
+    assert not bt._thread.is_alive()
+    assert bt._closed.is_set()
+    with pytest.raises(NormaError, match="closed"):
+        bt.blocking_start(Settings(source=_source(2)))
+    # The stream's capture pipeline was stopped (source thread gone).
+    with bt._lock:
+        streams = list(bt._streams.values())
+    for s in streams:
+        assert s.pipeline._stopped
+
+
 def test_batch_size_padding():
     bs = BatchedTranscriber._batch_size
     assert [bs(n, 8) for n in (1, 2, 3, 4, 5, 8)] == [1, 2, 4, 4, 8, 8]

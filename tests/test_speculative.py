@@ -335,6 +335,53 @@ def test_spec_quantized_draft():
     _cmp_results(out_p[0], out_s[0])
 
 
+def test_spec_telemetry_per_row_rounds():
+    """Acceptance telemetry uses PER-ROW live round counts: a slow stream
+    in the batch must not dilute other streams' tokens-per-round ratio
+    (the auto-K de-escalation signal), and born-finished pad rows count
+    zero rounds and are excluded."""
+    from norma_tpu.decode.engine import NO_SPEECH_THRESHOLD
+
+    cfg, plain, spec = _engines(0)
+    B = 3
+    # Different audio per row so rows finish at different rounds.
+    audio = jnp.concatenate(
+        [_window(200 + i, cfg) for i in range(B)], axis=0
+    )
+    langs = np.full(B, TEST_LANG_IDS[0], np.int32)
+
+    fn = spec._spec_program(False)
+    packed, _ = fn(
+        spec.params, spec.draft_params, audio,
+        jnp.asarray(langs), jnp.asarray(np.ones(B, bool)),
+    )
+    packed = np.array(packed)
+    Tmax = cfg.max_target_positions
+    bn = packed[:, Tmax].astype(np.int32)
+    nsp = packed[:, Tmax + 3]
+    lr = packed[:, -1].astype(np.int32)
+    live = ~(nsp > NO_SPEECH_THRESHOLD)
+    # Live rows ran at least one round; a row can never out-round the max.
+    assert (lr[live] >= 1).all()
+
+    out, _ = spec.transcribe_window(audio, langs, seed=0)
+    assert spec.last_spec_rounds == int(lr.max())
+    live_r = live & (lr > 0)
+    if live_r.any():
+        expected = float(((bn[live_r] - 3) / lr[live_r]).mean())
+        assert spec.last_tokens_per_round == pytest.approx(expected)
+
+    # Pad rows (n_active) are born finished: zero live rounds, and the
+    # telemetry over the remaining live rows is unaffected by them.
+    packed_p, _ = fn(
+        spec.params, spec.draft_params, audio,
+        jnp.asarray(langs), jnp.asarray(np.array([True, False, False])),
+    )
+    packed_p = np.array(packed_p)
+    assert (packed_p[1:, -1] == 0).all()
+    assert packed_p[0, -1] >= 1
+
+
 def test_spec_w8a8_encoder_target_stays_exact():
     """quantize_encoder on the TARGET: both engines share the (now w8a8)
     encoder features, so speculative output must STILL equal the plain
