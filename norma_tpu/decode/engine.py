@@ -325,6 +325,43 @@ class DecodeEngine:
         )
         return tokens, n, slp
 
+    def _window_front(self, params, audio, langs, *, detect: bool):
+        """Shared device-graph front of every fused window program (plain
+        AND speculative): mel -> encoder -> cross-KV -> optional in-graph
+        language detection -> [sot, lang, task] prefix.  Returns
+        (feats, xk, xv, prefix, resolved langs, lang_probs)."""
+        from ..frontend.mel import log_mel_spectrogram
+
+        cfg, st = self.cfg, self.st
+        B = audio.shape[0]
+        n_frames = 2 * cfg.max_source_positions
+
+        mel = log_mel_spectrogram(
+            audio, n_mels=cfg.num_mel_bins, n_frames=n_frames,
+            center=self.mel_center,
+        )
+        feats = encode(params, cfg, mel)
+        xk, xv = cross_kv(params, cfg, feats)
+
+        if detect:
+            sot = jnp.full((B, 1), st.sot, jnp.int32)
+            logits1, _, _ = decoder_prefill(params, cfg, sot, xk, xv)
+            lang_probs = jax.nn.softmax(logits1[:, 0, self._lang_ids], axis=-1)
+            detected = self._lang_ids[jnp.argmax(lang_probs, axis=-1)]
+            langs = jnp.where(langs < 0, detected, langs).astype(jnp.int32)
+        else:
+            lang_probs = jnp.zeros((B, 1), jnp.float32)
+
+        prefix = jnp.stack(
+            [
+                jnp.full((B,), st.sot, jnp.int32),
+                langs.astype(jnp.int32),
+                jnp.full((B,), st.task, jnp.int32),
+            ],
+            axis=1,
+        )
+        return feats, xk, xv, prefix, langs, lang_probs
+
     def _ladder_impl(self, params, audio, langs, seed, active, *, detect: bool):
         """Fused whole-window transcription: ONE device program.
 
@@ -360,35 +397,10 @@ class DecodeEngine:
         Returns (tokens [B,Tmax], n [B], avg_logprob [B], at_rung [B],
         no_speech_prob [B], langs [B], lang_probs [B, n_langs] or zeros).
         """
-        from ..frontend.mel import log_mel_spectrogram
-
         cfg, st = self.cfg, self.st
         B = audio.shape[0]
-        n_frames = 2 * cfg.max_source_positions
-
-        mel = log_mel_spectrogram(
-            audio, n_mels=cfg.num_mel_bins, n_frames=n_frames,
-            center=self.mel_center,
-        )
-        feats = encode(params, cfg, mel)
-        xk, xv = cross_kv(params, cfg, feats)
-
-        if detect:
-            sot = jnp.full((B, 1), st.sot, jnp.int32)
-            logits1, _, _ = decoder_prefill(params, cfg, sot, xk, xv)
-            lang_probs = jax.nn.softmax(logits1[:, 0, self._lang_ids], axis=-1)
-            detected = self._lang_ids[jnp.argmax(lang_probs, axis=-1)]
-            langs = jnp.where(langs < 0, detected, langs).astype(jnp.int32)
-        else:
-            lang_probs = jnp.zeros((B, 1), jnp.float32)
-
-        prefix = jnp.stack(
-            [
-                jnp.full((B,), st.sot, jnp.int32),
-                langs.astype(jnp.int32),
-                jnp.full((B,), st.task, jnp.int32),
-            ],
-            axis=1,
+        feats, xk, xv, prefix, langs, lang_probs = self._window_front(
+            params, audio, langs, detect=detect
         )
         logits, cache_k, cache_v = decoder_prefill(params, cfg, prefix, xk, xv)
         if self.quantize_cross_kv:  # loop-side only; prefill/detect are bf16
@@ -570,6 +582,27 @@ class DecodeEngine:
                 jnp.asarray(active),
             )
         )
+        return self._unpack_ladder(packed, active, detect)
+
+    def _unpack_ladder(
+        self,
+        packed: np.ndarray,
+        active: np.ndarray,
+        detect: bool,
+        *,
+        trailing_cols: int = 0,
+        reject_rung0_below_gate: bool = False,
+    ) -> Tuple[List[Optional[DecodingResult]], dict]:
+        """Host-side unpack of ``_pack_ladder``'s layout — the ONE place
+        that knows it (the speculative engine unpacks through here too).
+
+        ``trailing_cols``: extra telemetry columns appended after the
+        lang_probs block (the speculative engine rides its round counts on
+        the same fetch).  ``reject_rung0_below_gate``: also reject rung-0
+        rows failing the logprob gate — the speculative host applies the
+        gate AFTER its fallback dispatch, whereas the plain ladder already
+        gated in-graph (rung -1).
+        """
         Tmax = self.cfg.max_target_positions
         btoks = packed[:, :Tmax].astype(np.int32)
         bn = packed[:, Tmax].astype(np.int32)
@@ -577,7 +610,11 @@ class DecodeEngine:
         brung = packed[:, Tmax + 2].astype(np.int32)
         nsp = packed[:, Tmax + 3]
         langs_out = packed[:, Tmax + 4].astype(np.int32)
-        lang_probs = packed[:, Tmax + 5 :]
+        lang_probs = (
+            packed[:, Tmax + 5 : -trailing_cols]
+            if trailing_cols
+            else packed[:, Tmax + 5 :]
+        )
         st = self.st
         out: List[Optional[DecodingResult]] = []
         for b in range(btoks.shape[0]):
@@ -596,7 +633,11 @@ class DecodeEngine:
                     )
                 )
                 continue
-            if brung[b] < 0:
+            if brung[b] < 0 or (
+                reject_rung0_below_gate
+                and brung[b] == 0
+                and bavg[b] < LOGPROB_THRESHOLD
+            ):
                 out.append(None)  # failed at all temperatures
                 continue
             toks = btoks[b, : bn[b]].tolist()

@@ -44,7 +44,6 @@ from ..model.whisper import (
     cross_kv,
     decoder_chunk,
     decoder_prefill,
-    encode,
     quantize_cross_kv,
 )
 from .engine import DecodeEngine, DecodingResult
@@ -399,37 +398,12 @@ class SpeculativeEngine(DecodeEngine):
         gate and runs the t>0 fallback program on failures) plus the
         device-resident encoder features for that fallback.
         """
-        from ..frontend.mel import log_mel_spectrogram
-
         cfg, st = self.cfg, self.st
         B = audio.shape[0]
-        n_frames = 2 * cfg.max_source_positions
-
-        mel = log_mel_spectrogram(
-            audio, n_mels=cfg.num_mel_bins, n_frames=n_frames,
-            center=self.mel_center,
+        feats, xk, xv, prefix, langs, lang_probs = self._window_front(
+            params, audio, langs, detect=detect
         )
-        feats = encode(params, cfg, mel)
-        xk, xv = cross_kv(params, cfg, feats)
         dxk, dxv = cross_kv(draft_params, self.draft_cfg, feats)
-
-        if detect:
-            sot = jnp.full((B, 1), st.sot, jnp.int32)
-            logits1, _, _ = decoder_prefill(params, cfg, sot, xk, xv)
-            lang_probs = jax.nn.softmax(logits1[:, 0, self._lang_ids], axis=-1)
-            detected = self._lang_ids[jnp.argmax(lang_probs, axis=-1)]
-            langs = jnp.where(langs < 0, detected, langs).astype(jnp.int32)
-        else:
-            lang_probs = jnp.zeros((B, 1), jnp.float32)
-
-        prefix = jnp.stack(
-            [
-                jnp.full((B,), st.sot, jnp.int32),
-                langs.astype(jnp.int32),
-                jnp.full((B,), st.task, jnp.int32),
-            ],
-            axis=1,
-        )
         # Prefill BOTH decoders on the prefix MINUS the pending task token
         # (the speculative loop's invariant: the last committed token is
         # re-fed as the head of the first verify chunk).  The no-speech
@@ -638,53 +612,10 @@ class SpeculativeEngine(DecodeEngine):
         return self._unpack_window(packed, active, detect)
 
     def _unpack_window(self, packed, active, detect):
-        """Shared host-side unpack (the tail of DecodeEngine.
-        transcribe_window, kept in sync with _pack_ladder's layout)."""
-        from ..tracing import decode_telemetry
-
-        Tmax = self.cfg.max_target_positions
-        btoks = packed[:, :Tmax].astype(np.int32)
-        bn = packed[:, Tmax].astype(np.int32)
-        bavg = packed[:, Tmax + 1]
-        brung = packed[:, Tmax + 2].astype(np.int32)
-        nsp = packed[:, Tmax + 3]
-        langs_out = packed[:, Tmax + 4].astype(np.int32)
-        lang_probs = packed[:, Tmax + 5 : -1]  # trailing col = rounds
-        st = self.st
-        out: List[Optional[DecodingResult]] = []
-        for b in range(btoks.shape[0]):
-            if not active[b]:
-                out.append(None)
-                continue
-            if nsp[b] > NO_SPEECH_THRESHOLD:
-                out.append(
-                    DecodingResult(
-                        tokens=btoks[b, :3].tolist(),
-                        avg_logprob=0.0,
-                        no_speech_prob=float(nsp[b]),
-                    )
-                )
-                continue
-            if brung[b] < 0 or (
-                brung[b] == 0 and bavg[b] < LOGPROB_THRESHOLD
-            ):
-                out.append(None)  # failed at all temperatures
-                continue
-            toks = btoks[b, : bn[b]].tolist()
-            while len(toks) >= 2 and toks[-2] > st.no_timestamps:
-                del toks[-2]
-            decode_telemetry(
-                float(TEMPERATURES[brung[b]]), float(bavg[b]), float(nsp[b])
-            )
-            out.append(
-                DecodingResult(
-                    tokens=toks,
-                    avg_logprob=float(bavg[b]),
-                    no_speech_prob=float(nsp[b]),
-                )
-            )
-        info = {
-            "langs": langs_out,
-            "lang_probs": lang_probs if detect else None,
-        }
-        return out, info
+        """Host-side unpack: the inherited ``_unpack_ladder`` with one
+        trailing telemetry column (per-row rounds) and the post-fallback
+        rung-0 logprob gate (see that method's docstring)."""
+        return self._unpack_ladder(
+            packed, active, detect,
+            trailing_cols=1, reject_rung0_below_gate=True,
+        )
