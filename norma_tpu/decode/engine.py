@@ -465,8 +465,26 @@ class DecodeEngine:
         # soon as every stream has settled.  Streams whose probe fired are
         # settled with the prefix-only result (n=3, avg=0, at_rung=-1),
         # exactly the host-side early exit.
+        btoks, bn, bavg, brung = self._sequential_rungs(
+            params, xk, xv, cache_k, cache_v, next_logits, tokens_init,
+            prefix, key0, gated0,
+        )
+        return self._pack_ladder(btoks, bn, bavg, brung, nsp, langs, lang_probs)
+
+    def _sequential_rungs(
+        self, params, xk, xv, cache_k, cache_v, next_logits, tokens_init,
+        prefix, key0, settled0, *, start_rung: int = 0,
+    ):
+        """On-device sequential temperature ladder: try rungs in order,
+        stopping as soon as every stream has settled.  Rung r draws from
+        fold_in(key0, r) and reports TEMPERATURES[r]; ``start_rung`` > 0
+        skips rungs a caller already ran (the speculative engine's t=0
+        pass).  Returns (btoks, bn, bavg, brung); unsettled-throughout
+        rows carry brung = -1.
+        """
+        B = tokens_init.shape[0]
+        R = len(TEMPERATURES)
         temps = jnp.asarray(TEMPERATURES, jnp.float32)
-        settled0 = gated0
 
         def cond(c):
             r, settled, *_ = c
@@ -497,7 +515,7 @@ class DecodeEngine:
             return (r + 1, settled | accept, btoks, bn, bavg, brung)
 
         init = (
-            jnp.int32(0),
+            jnp.int32(start_rung),
             settled0,
             tokens_init,
             jnp.full((B,), 3, jnp.int32),
@@ -505,7 +523,7 @@ class DecodeEngine:
             jnp.full((B,), -1, jnp.int32),
         )
         _, _, btoks, bn, bavg, brung = jax.lax.while_loop(cond, body, init)
-        return self._pack_ladder(btoks, bn, bavg, brung, nsp, langs, lang_probs)
+        return btoks, bn, bavg, brung
 
     @staticmethod
     def _pack_ladder(btoks, bn, bavg, brung, nsp, langs, lang_probs):

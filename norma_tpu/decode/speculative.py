@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import LOGPROB_THRESHOLD, NO_SPEECH_THRESHOLD, TEMPERATURES
+from ..constants import LOGPROB_THRESHOLD, NO_SPEECH_THRESHOLD
 from ..tracing import instrument as decode_instrument
 from ..model.config import WhisperConfig
 from ..model.whisper import (
@@ -474,40 +474,13 @@ class SpeculativeEngine(DecodeEngine):
         next_logits = logits[:, -1, :]
         Tmax = cfg.max_target_positions
         tokens_init = jnp.zeros((B, Tmax), jnp.int32).at[:, :3].set(prefix)
-        temps = jnp.asarray(TEMPERATURES, jnp.float32)
-        R = len(TEMPERATURES)
         key0 = jax.random.PRNGKey(seed)
 
-        def cond(c):
-            r, settled, *_ = c
-            return jnp.logical_and(r < R, jnp.any(~settled))
-
-        def body(c):
-            r, settled, btoks, bn, bavg, brung = c
-            toks, n, slp = self._token_loop(
-                params, xk, xv, cache_k, cache_v, next_logits, tokens_init,
-                jnp.int32(3), prefix[:, -1], prefix[:, -2],
-                jnp.broadcast_to(temps[r], (B,)), jax.random.fold_in(key0, r),
-                fin_init=settled,
-            )
-            avg = slp / jnp.maximum(n, 1).astype(jnp.float32)
-            accept = ~(avg < LOGPROB_THRESHOLD)
-            take = (~settled) & accept
-            btoks = jnp.where(take[:, None], toks, btoks)
-            bn = jnp.where(take, n, bn)
-            bavg = jnp.where(take, avg, bavg)
-            brung = jnp.where(take, r, brung)
-            return (r + 1, settled | accept, btoks, bn, bavg, brung)
-
-        init = (
-            jnp.int32(1),  # rung 0 already ran speculatively
-            settled,
-            tokens_init,
-            jnp.full((B,), 3, jnp.int32),
-            jnp.zeros((B,), jnp.float32),
-            jnp.full((B,), -1, jnp.int32),
+        btoks, bn, bavg, brung = self._sequential_rungs(
+            params, xk, xv, cache_k, cache_v, next_logits, tokens_init,
+            prefix, key0, settled,
+            start_rung=1,  # rung 0 already ran speculatively
         )
-        _, _, btoks, bn, bavg, brung = jax.lax.while_loop(cond, body, init)
         return jnp.concatenate(
             [
                 btoks.astype(jnp.float32),
