@@ -154,6 +154,9 @@ PRESETS = {
     "large": _preset(1280, 20, 32, 32),
     "large-v2": _preset(1280, 20, 32, 32),
     "large-v3": _preset(1280, 20, 32, 32, mels=128, vocab=51866),
+    # Beyond the reference's v0.0.3 list: the pruned-decoder serving
+    # checkpoint (large-v3's encoder, 4-layer decoder).
+    "large-v3-turbo": _preset(1280, 20, 32, 4, mels=128, vocab=51866),
     "distil-medium.en": _preset(1024, 16, 24, 2),
     "distil-large-v2": _preset(1280, 20, 32, 2),
     "distil-large-v3": _preset(1280, 20, 32, 2, mels=128, vocab=51866),

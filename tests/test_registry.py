@@ -83,6 +83,17 @@ def test_multilingual_repo_metadata():
     assert MT.LARGE_V3.vocab_version() is VocabVersion.V2
     assert multilingual.Task.TRANSCRIBE.token() == "<|transcribe|>"
     assert multilingual.Task.TRANSLATE.token() == "<|translate|>"
+    # Extension beyond the reference list: the pruned-decoder serving
+    # checkpoint (V2 vocab, same encoder lineage as large-v3).
+    assert MT.LARGE_V3_TURBO.id() == "openai/whisper-large-v3-turbo"
+    assert MT.LARGE_V3_TURBO.rev() == "main"
+    assert MT.LARGE_V3_TURBO.vocab_version() is VocabVersion.V2
+    assert MT.LARGE_V3_TURBO.quantized_ext() is None
+    from norma_tpu.model import PRESETS
+
+    p = PRESETS["large-v3-turbo"]
+    assert (p.encoder_layers, p.decoder_layers) == (32, 4)
+    assert (p.num_mel_bins, p.vocab_size) == (128, 51866)
 
 
 # -- responsiveness clamp (reference: monolingual.rs:146-156) ---------------
