@@ -299,6 +299,46 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - environment-dependent
         print(f"# lv3 speculative bench unavailable: {e!r}")
 
+    # large-v3-turbo (beyond the reference's model list): the pruned
+    # 4-layer-decoder serving checkpoint at the batched-8 shape with the
+    # full opt-in serving stack.  Guarded like the lv3 block.
+    turbo = {}
+    try:
+        tbcfg = PRESETS["large-v3-turbo"].with_(max_target_positions=136)
+        tb = jax.device_put(
+            quantize_decoder(
+                fuse_qkv(init_params(tbcfg, seed=0, dtype=jnp.bfloat16))
+            ),
+            jax.devices()[0],
+        )
+        e_tb = DecodeEngine(
+            tb, tbcfg.with_(encoder_attn_impl="jax_flash"), st,
+            quantize_cross_kv=True,
+        )
+
+        def run_turbo():
+            t0 = time.perf_counter()
+            e_tb.transcribe_window(wj, [50259] * B, seed=0)
+            return time.perf_counter() - t0
+
+        run_turbo()  # warmup/compile
+        t_tb = min(run_turbo() for _ in range(3))
+        d_tb = device_ms_per_window(run_turbo, 2, "turbo8_serving")
+        turbo = {
+            "t_window_turbo8_serving_ms": round(t_tb * 1e3, 1),
+            "t_window_turbo8_serving_device_ms": (
+                None if d_tb is None else round(d_tb, 1)
+            ),
+            "rtf_per_stream_turbo8_serving_device": (
+                None if d_tb is None else round(d_tb / 1e3 / 30.0 / B, 6)
+            ),
+        }
+        del e_tb, tb
+    except (TypeError, AttributeError, NameError, KeyError):
+        raise
+    except Exception as e:  # pragma: no cover - environment-dependent
+        print(f"# turbo bench unavailable: {e!r}")
+
     def rtf_of(ms):
         return None if ms is None else round(ms / 1e3 / 30.0, 6)
 
@@ -351,6 +391,7 @@ def main() -> None:
                     "realtime_streams_per_chip_batched": int(1.0 / rtf8),
                     "tokens_per_window": TOKENS_PER_WINDOW,
                     **e8_fields,
+                    **turbo,
                     **lv3_spec,
                     "methodology": (
                         "production LongFormDecoder.transcribe, forced "
