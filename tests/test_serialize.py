@@ -76,6 +76,40 @@ def test_save_load_params_file_mixed_dtypes(tmp_path):
         )
 
 
+def test_loaded_params_tp_shardable(tmp_path):
+    """A params file loaded from disk carries the same pytree structure as
+    the in-memory quantized form, so Megatron tp-sharding and the sharded
+    forward work identically on it."""
+    import jax
+
+    from norma_tpu.model.quant import quantize_decoder, quantize_encoder
+    from norma_tpu.model.whisper import encode
+    from norma_tpu.parallel.sharding import make_mesh, param_shardings, shard_params
+
+    cfg = tiny_config()
+    params = quantize_encoder(
+        quantize_decoder(fuse_qkv(init_params(cfg, seed=2)))
+    )
+    path = str(tmp_path / "m.safetensors")
+    save_params(path, params)
+    loaded, _ = load_params_file(path)
+
+    mesh = make_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    sh = param_shardings(loaded, mesh)
+    assert sh["encoder"]["layers"]["qkv_w_q"].spec[-1] == "tp"
+    assert sh["decoder"]["tok_emb_q8"]["q"].spec[-1] == "tp"
+    sp = shard_params(loaded, mesh)
+    mel = jnp.asarray(
+        np.random.default_rng(3).standard_normal(
+            (1, cfg.num_mel_bins, 2 * cfg.max_source_positions)
+        ),
+        jnp.float32,
+    )
+    a = np.asarray(encode(sp, cfg, mel))
+    b = np.asarray(encode(params, cfg, mel))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
 def test_peek_format_rejects_hf_checkpoint(tmp_path):
     """A plain HF safetensors file (no metadata marker) is NOT detected as
     a params file, and load_params_file refuses it."""
