@@ -98,6 +98,10 @@ class WhisperConfig:
     #             backend's int8 dot lowering disappoints, and the
     #             accuracy-isolation arm for A/Bs: w8a16 vs w8a8 differ
     #             ONLY by activation quantization.
+    #   "w8a8_pallas" — same math as "w8a8" but the int8 dots are issued
+    #             as explicit Pallas tiles (TPU-only; elsewhere it falls
+    #             back to "w8a8").  Plan B if tools/perf_int8_mxu.py shows
+    #             XLA's s8 lowering is not native on a backend.
     encoder_q8_mode: str = "w8a8"
 
     @property

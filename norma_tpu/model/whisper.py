@@ -245,47 +245,73 @@ def _conv1d(x: jax.Array, w: jax.Array, b: jax.Array, stride: int) -> jax.Array:
     return (y + b.astype(jnp.float32)).astype(x.dtype)
 
 
-def _q8_dense(lp: Params, name: str, x: jax.Array, bias=None) -> jax.Array:
+def _q8a8_apply(xq, xs, wq, ws, bias, pallas: bool):
+    if pallas:
+        from ..ops.quant_matmul import q8a8_dense_pallas
+
+        return q8a8_dense_pallas(xq, xs, wq, ws, bias)
+    from ..ops.quant_matmul import q8a8_dense
+
+    return q8a8_dense(xq, xs, wq, ws, bias)
+
+
+def _q8_dense(
+    lp: Params, name: str, x: jax.Array, bias=None, pallas: bool = False
+) -> jax.Array:
     """w8a8 dense (quantize_encoder): dynamic per-row int8 activations x
     stored int8 weights, int32 MXU accumulation."""
-    from ..ops.quant_matmul import q8a8_dense, quantize_activations
+    from ..ops.quant_matmul import quantize_activations
 
     xq, xs = quantize_activations(x)
-    return q8a8_dense(
-        xq, xs, lp[name + "_q"], lp[name + "_s"], bias
+    return _q8a8_apply(
+        xq, xs, lp[name + "_q"], lp[name + "_s"], bias, pallas
     ).astype(x.dtype)
 
 
-def _qkv_proj_q8(lp: Params, x: jax.Array):
+def _qkv_proj_q8(lp: Params, x: jax.Array, pallas: bool = False):
     """Self-attention Q/K/V projection on the int8 MXU path (w8a8).
 
     Mirrors :func:`qkv_proj`'s fused/unfused dispatch over the
     ``quantize_encoder`` key layout; the activation row is quantized ONCE
     and shared by all three projections.
     """
-    from ..ops.quant_matmul import q8a8_dense, q8a8_qkv, quantize_activations
+    from ..ops.quant_matmul import q8a8_qkv, quantize_activations
 
     xq, xs = quantize_activations(x)
     if "qkv_w_q" in lp:
-        q, k, v = q8a8_qkv(xq, xs, lp["qkv_w_q"], lp["qkv_w_s"], lp["qkv_b"])
+        if pallas:
+            # Flatten the fused [in, 3, out] to one [in, 3*out] kernel
+            # call (one tile grid for all three projections).
+            wq3 = lp["qkv_w_q"]
+            K, _, O = wq3.shape
+            y = _q8a8_apply(
+                xq, xs, wq3.reshape(K, 3 * O),
+                lp["qkv_w_s"].reshape(3 * O),
+                lp["qkv_b"].reshape(3 * O), True,
+            ).reshape(*x.shape[:-1], 3, O)
+            q, k, v = y[..., 0, :], y[..., 1, :], y[..., 2, :]
+        else:
+            q, k, v = q8a8_qkv(
+                xq, xs, lp["qkv_w_q"], lp["qkv_w_s"], lp["qkv_b"]
+            )
     else:
-        q = q8a8_dense(xq, xs, lp["q_w_q"], lp["q_w_s"], lp["q_b"])
-        k = q8a8_dense(xq, xs, lp["k_w_q"], lp["k_w_s"])  # k_proj: no bias
-        v = q8a8_dense(xq, xs, lp["v_w_q"], lp["v_w_s"], lp["v_b"])
+        q = _q8a8_apply(xq, xs, lp["q_w_q"], lp["q_w_s"], lp["q_b"], pallas)
+        k = _q8a8_apply(xq, xs, lp["k_w_q"], lp["k_w_s"], None, pallas)
+        v = _q8a8_apply(xq, xs, lp["v_w_q"], lp["v_w_s"], lp["v_b"], pallas)
     return q.astype(x.dtype), k.astype(x.dtype), v.astype(x.dtype)
 
 
-def _mlp_q8(lp: Params, x: jax.Array) -> jax.Array:
-    from ..ops.quant_matmul import q8a8_dense, quantize_activations
+def _mlp_q8(lp: Params, x: jax.Array, pallas: bool = False) -> jax.Array:
+    from ..ops.quant_matmul import quantize_activations
 
     xq, xs = quantize_activations(x)
     h = jax.nn.gelu(
-        q8a8_dense(xq, xs, lp["fc1_w_q"], lp["fc1_w_s"], lp["fc1_b"]),
+        _q8a8_apply(xq, xs, lp["fc1_w_q"], lp["fc1_w_s"], lp["fc1_b"], pallas),
         approximate=False,
     ).astype(x.dtype)
     hq, hs = quantize_activations(h)
-    return q8a8_dense(
-        hq, hs, lp["fc2_w_q"], lp["fc2_w_s"], lp["fc2_b"]
+    return _q8a8_apply(
+        hq, hs, lp["fc2_w_q"], lp["fc2_w_s"], lp["fc2_b"], pallas
     ).astype(x.dtype)
 
 
@@ -305,10 +331,13 @@ def encoder_layer(
     # stays bf16/f32 under every impl — only the six projection matmuls,
     # where the encoder's FLOPs are, run int8.  q8_mode="w8a16" keeps the
     # int8 storage but computes bf16 (ldense/qkv_proj dequant dispatch —
-    # the fallback/ablation arm; see config.encoder_q8_mode).
-    w8a8 = "fc1_w_q" in p and q8_mode == "w8a8"
+    # the fallback/ablation arm); "w8a8_pallas" issues the int8 dots as
+    # explicit Pallas tiles (Plan B if XLA's s8 lowering is not native on
+    # a backend; see config.encoder_q8_mode).
+    w8a8 = "fc1_w_q" in p and q8_mode in ("w8a8", "w8a8_pallas")
+    pallas = q8_mode == "w8a8_pallas"
     h = layer_norm(x, p["attn_ln_g"], p["attn_ln_b"])
-    q, k, v = _qkv_proj_q8(p, h) if w8a8 else qkv_proj(p, h)
+    q, k, v = _qkv_proj_q8(p, h, pallas) if w8a8 else qkv_proj(p, h)
     if attn_impl == "xla":
         a = attention(q, k, v, n_heads, None, scores_bf16=scores_bf16)
     elif attn_impl == "chunked":
@@ -326,11 +355,11 @@ def encoder_layer(
     else:
         raise ValueError(f"unknown encoder_attn_impl {attn_impl!r}")
     if w8a8:
-        x = x + _q8_dense(p, "o_w", a, p["o_b"])
+        x = x + _q8_dense(p, "o_w", a, p["o_b"], pallas)
     else:
         x = x + ldense(p, "o_w", a, p["o_b"])
     h = layer_norm(x, p["mlp_ln_g"], p["mlp_ln_b"])
-    return x + (_mlp_q8(p, h) if w8a8 else _mlp(p, h))
+    return x + (_mlp_q8(p, h, pallas) if w8a8 else _mlp(p, h))
 
 
 def encode(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Array:
@@ -370,18 +399,21 @@ def encode(params: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Array:
     # removes (~9 ms/B=8 window in op-attribution) were already hidden
     # under other work, and the MLP fusion grew by the same amount at
     # 1536 rows.  Reverted; see PERF.md negative results.
-    if cfg.encoder_q8_mode not in ("w8a8", "w8a16"):
+    if cfg.encoder_q8_mode not in ("w8a8", "w8a16", "w8a8_pallas"):
         raise ValueError(
-            f"encoder_q8_mode={cfg.encoder_q8_mode!r}: expected 'w8a8' or"
-            " 'w8a16'"
+            f"encoder_q8_mode={cfg.encoder_q8_mode!r}: expected 'w8a8',"
+            " 'w8a16' or 'w8a8_pallas'"
         )
+    q8_mode = cfg.encoder_q8_mode
+    if q8_mode == "w8a8_pallas" and jax.default_backend() != "tpu":
+        q8_mode = "w8a8"  # the kernel is TPU-only; same math via XLA
 
     def body(carry, layer_p):
         return (
             encoder_layer(
                 layer_p, carry, n_heads, attn_impl, scores_bf16,
                 cfg.encoder_attn_chunk, cfg.flash_block_q, cfg.flash_block_k,
-                cfg.encoder_q8_mode,
+                q8_mode,
             ),
             None,
         )

@@ -142,6 +142,70 @@ def q8a8_dense(
     return y
 
 
+def _q8a8_kernel(x_ref, s_ref, w_ref, ws_ref, o_ref):
+    acc = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.int32)
+    o_ref[:] = acc.astype(jnp.float32) * s_ref[:] * ws_ref[0, :][None, :]
+
+
+def q8a8_dense_pallas(
+    xq: jax.Array,
+    xs: jax.Array,
+    wq: jax.Array,
+    ws: jax.Array,
+    b: jax.Array | None = None,
+    block_m: int = 512,
+    block_n: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas twin of :func:`q8a8_dense` (leading dims flattened to M).
+
+    Plan B for the w8a8 encoder: if a backend's XLA lowering of the s8
+    dot does not engage the MXU's native int8 mode
+    (tools/perf_int8_mxu.py decides), this kernel issues the int8 dot
+    explicitly per (block_m x block_n) tile with the scales applied in
+    VMEM.  Same int32-exact math; tile sizes are the tuning lever (the
+    flash-encoder lesson: tiles, not the kernel boundary, decide wins).
+    """
+    from jax.experimental import pallas as pl
+
+    lead = xq.shape[:-1]
+    K = xq.shape[-1]
+    M = 1
+    for d in lead:
+        M *= d
+    xq2 = xq.reshape(M, K)
+    xs2 = xs.reshape(M, 1)
+    N = wq.shape[-1]
+    pad_m = (-M) % block_m
+    pad_n = (-N) % block_n
+    if pad_m:
+        xq2 = jnp.pad(xq2, ((0, pad_m), (0, 0)))
+        xs2 = jnp.pad(xs2, ((0, pad_m), (0, 0)))
+    wqp, wsp = wq, ws
+    if pad_n:
+        wqp = jnp.pad(wq, ((0, 0), (0, pad_n)))
+        wsp = jnp.pad(ws, (0, pad_n))
+    MP, NP = M + pad_m, N + pad_n
+
+    out = pl.pallas_call(
+        _q8a8_kernel,
+        grid=(MP // block_m, NP // block_n),
+        in_specs=[
+            pl.BlockSpec((block_m, K), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_m, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((K, block_n), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((MP, NP), jnp.float32),
+        interpret=interpret,
+    )(xq2, xs2, wqp, wsp.reshape(1, NP).astype(jnp.float32))
+    y = out[:M, :N].reshape(*lead, N)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y
+
+
 def q8a8_qkv(
     xq: jax.Array, xs: jax.Array, wq: jax.Array, ws: jax.Array, b: jax.Array
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:

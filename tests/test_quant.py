@@ -282,6 +282,33 @@ def test_q8a8_dense_exact_integer_accumulation():
     assert rel < 0.03
 
 
+def test_q8a8_pallas_matches_xla_interpret():
+    """The Pallas w8a8 tile kernel computes EXACTLY what q8a8_dense does
+    (same int32 accumulation, scales applied in VMEM), across padding
+    (M, N not multiples of the blocks) and leading batch dims."""
+    from norma_tpu.ops.quant_matmul import (
+        q8a8_dense,
+        q8a8_dense_pallas,
+        quantize_activations,
+        quantize_per_channel,
+    )
+
+    rng = np.random.default_rng(24)
+    x = jnp.asarray(rng.standard_normal((2, 37, 64)), jnp.float32)
+    w = rng.standard_normal((64, 300)).astype(np.float32)  # needs padding
+    b = rng.standard_normal(300).astype(np.float32)
+    wq, ws = quantize_per_channel(w)
+    xq, xs = quantize_activations(x)
+    want = np.asarray(q8a8_dense(xq, xs, wq, ws, jnp.asarray(b)))
+    got = np.asarray(
+        q8a8_dense_pallas(
+            xq, xs, wq, ws, jnp.asarray(b),
+            block_m=32, block_n=128, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
+
+
 def test_quantize_activations_no_clip_needed():
     """|x| <= amax implies |round(x/scale)| <= 127 exactly — including the
     amax element itself and all-zero rows (scale falls back to 1)."""

@@ -111,6 +111,9 @@ def main() -> None:
         # (w8a8 vs w8a16 differ ONLY by the matmul mode) and is the
         # fallback if the backend's int8 dot lowering disappoints.
         "w8a16_enc": {"encoder_q8_mode": "w8a16"},
+        # Explicit Pallas int8 tiles (Plan B if XLA's s8 dot is not
+        # native; tools/perf_int8_mxu.py decides which to trust).
+        "w8a8_pallas": {"encoder_q8_mode": "w8a8_pallas"},
     }
     if any(n in W8A8 for n in pick):
         from norma_tpu.model.quant import quantize_encoder

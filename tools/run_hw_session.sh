@@ -28,7 +28,7 @@ run() {
 
 run int8_mxu        python tools/perf_int8_mxu.py
 run encoder_q8      python tools/verify_encoder_q8_tpu.py
-run encoder_ab_w8a8 python tools/perf_encoder_ab.py xla jax_flash512 w8a8 w8a8_jf w8a16_enc
+run encoder_ab_w8a8 python tools/perf_encoder_ab.py xla jax_flash512 w8a8 w8a8_jf w8a16_enc w8a8_pallas
 run sample_kernel   python tools/verify_sample_kernel_tpu.py
 run spec_parity     python tools/verify_spec_parity_tpu.py
 run encoder_attn    python tools/verify_encoder_attn_tpu.py
