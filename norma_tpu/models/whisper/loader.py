@@ -10,6 +10,7 @@ config's suppress list, mirroring monolingual.rs:252-296).
 
 from __future__ import annotations
 
+import logging
 import os
 from dataclasses import dataclass
 from typing import Optional, Tuple
@@ -28,6 +29,8 @@ from ...errors import MelBinsError, WhisperError
 from ...model.config import WhisperConfig
 from ...model.load import load_safetensors
 from ...tracing import instrument
+
+logger = logging.getLogger("norma_tpu.loader")
 from .. import CommonModelParams, SelectedDevice
 from . import token_id
 from .languages import ALL_LANGUAGES
@@ -181,6 +184,21 @@ def build_model(
 
             params, _qmeta = load_params_file(files.weights)
             prequantized = True
+            # Like GGUF, a params file fixes its dtypes at conversion
+            # time; the Definition's dtype= is not applied.  Surface a
+            # mismatch instead of silently ignoring it.
+            file_dt = _qmeta.get("dtype")
+            want_dt = (
+                "bf16" if dtype == jnp.bfloat16
+                else "f32" if dtype == jnp.float32 else str(dtype)
+            )
+            if file_dt and file_dt != want_dt:
+                logger.warning(
+                    "pre-quantized params file was converted at dtype=%s; "
+                    "the requested dtype=%s is ignored (re-run "
+                    "tools/quantize_checkpoint.py --dtype to change it)",
+                    file_dt, want_dt,
+                )
         else:
             params = load_safetensors(files.weights, cfg, dtype)
     if not prequantized:

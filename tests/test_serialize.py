@@ -215,6 +215,26 @@ def test_quantize_checkpoint_tool_end_to_end(tmp_path, monkeypatch):
     t_pre = m_pre.transcribe(audio.copy(), final_chunk=True)
     assert t_fly == t_pre
 
+    # A dtype mismatch with the file is WARNED about, not silently
+    # ignored (the file fixes its dtypes at conversion time, like GGUF).
+    import logging
+
+    d_warn = monolingual.Definition(
+        monolingual.ModelType.TINY_EN, SelectedDevice.cpu(),
+        local_dir=str(out), dtype=jnp.bfloat16,  # file was --dtype f32
+    )
+    import norma_tpu.models.whisper.loader as loader_mod
+
+    records = []
+    h = logging.Handler()
+    h.emit = lambda r: records.append(r.getMessage())
+    loader_mod.logger.addHandler(h)
+    try:
+        d_warn.blocking_try_to_model()
+    finally:
+        loader_mod.logger.removeHandler(h)
+    assert any("dtype" in m and "ignored" in m for m in records), records
+
     # Pre-quantized dirs also work as the TARGET AND the DRAFT of a
     # speculative Definition (the draft branch has its own format
     # detection; self-draft => transcript equals the plain decode).
