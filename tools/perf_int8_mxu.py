@@ -85,6 +85,13 @@ def main() -> int:
             w8a8 = jax.jit(
                 lambda a, q, s: q8a8_dense(*quantize_activations(a), q, s)
             )
+            from norma_tpu.ops.quant_matmul import q8a8_dense_pallas
+
+            w8a8_pl = jax.jit(
+                lambda a, q, s: q8a8_dense_pallas(
+                    *quantize_activations(a), q, s
+                )
+            )
 
             def meas(fn, args, tag):
                 fn(*args).block_until_ready()  # compile
@@ -99,11 +106,17 @@ def main() -> int:
             t_bf = meas(bf16, (x, w_bf), f"bf16_{tag}")
             t_i8 = meas(i8, (xq8, w_q), f"i8_{tag}")
             t_w8a8 = meas(w8a8, (x, w_q, w_s), f"w8a8_{tag}")
+            try:
+                t_pl = meas(w8a8_pl, (x, w_q, w_s), f"w8a8pl_{tag}")
+            except Exception as e:
+                print(f"# pallas w8a8 unavailable ({tag}): {e!r}")
+                t_pl = None
             flop = 2.0 * rows * k * n
             row = {
                 "bf16_ms": t_bf,
                 "int8_ms": t_i8,
                 "w8a8_ms": t_w8a8,
+                "w8a8_pallas_ms": t_pl,
                 "int8_over_bf16": round(t_i8 / t_bf, 3) if t_bf else None,
                 "bf16_tflops": round(flop / (t_bf * 1e9), 1) if t_bf else None,
                 "int8_tops": round(flop / (t_i8 * 1e9), 1) if t_i8 else None,
