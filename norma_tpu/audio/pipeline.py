@@ -103,6 +103,7 @@ class StreamPipeline:
         else:
             self.resampler = None
         self._stopped = False
+        self._carry: Optional[np.ndarray] = None  # mid-frame block split
 
     def start(self) -> None:
         self.source.start(self._on_data, on_end=self._on_source_end)
@@ -117,8 +118,17 @@ class StreamPipeline:
 
     def _on_data(self, frames: np.ndarray) -> None:
         ch = self.source.channels
+        if self._carry is not None and len(self._carry):
+            frames = np.concatenate([self._carry, frames])
+            self._carry = None
         usable = (len(frames) // ch) * ch
-        mono = to_float(frames[:usable]).reshape(-1, ch).mean(axis=1)
+        if usable < len(frames):
+            # A block split mid-frame: carry the partial frame into the
+            # next block — truncating it would desynchronize the channel
+            # interleave for the whole rest of the stream.
+            self._carry = np.array(frames[usable:])
+            frames = frames[:usable]
+        mono = to_float(frames).reshape(-1, ch).mean(axis=1)
         if self.resampler is not None:
             mono = self.resampler.process(mono)
             if len(mono) == 0:

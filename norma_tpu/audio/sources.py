@@ -15,6 +15,7 @@ resampling / packing exactly like the reference's cpal callback.
 from __future__ import annotations
 
 import abc
+import logging
 import threading
 import time
 import wave
@@ -62,17 +63,26 @@ class _ThreadedSource(AudioSource):
         def run() -> None:
             period = self.block_frames / self.sample_rate
             ended = False
-            while not self._stop.is_set():
-                t0 = time.monotonic()
-                block = self._next_block()
-                if block is None:
-                    ended = True
-                    break
-                on_data(block)
-                if self.realtime:
-                    delay = period - (time.monotonic() - t0)
-                    if delay > 0:
-                        self._stop.wait(delay)
+            try:
+                while not self._stop.is_set():
+                    t0 = time.monotonic()
+                    block = self._next_block()
+                    if block is None:
+                        ended = True
+                        break
+                    on_data(block)
+                    if self.realtime:
+                        delay = period - (time.monotonic() - t0)
+                        if delay > 0:
+                            self._stop.wait(delay)
+            except Exception:
+                # A raising source (truncated file, failing callback) must
+                # still END the stream: without on_end the pipeline never
+                # closes the ring and the consumer blocks forever.
+                logging.getLogger("norma_tpu.audio").exception(
+                    "audio source failed; ending stream"
+                )
+                ended = True
             if ended and on_end is not None and not self._stop.is_set():
                 on_end()
 
@@ -114,9 +124,15 @@ class SyntheticSource(_ThreadedSource):
         self._rng = np.random.default_rng(seed)
 
     def _next_block(self) -> Optional[np.ndarray]:
-        if self.duration is not None and self._pos >= self.duration * self.sample_rate:
-            return None
-        n = self.block_frames
+        if self.duration is not None:
+            total = int(self.duration * self.sample_rate)
+            if self._pos >= total:
+                return None
+            # Clamp the final block so the stream is EXACTLY `duration`
+            # long (a full-block overshoot skews length-sensitive tests).
+            n = min(self.block_frames, total - self._pos)
+        else:
+            n = self.block_frames
         t = (self._pos + np.arange(n)) / self.sample_rate
         mono = self.amplitude * np.sin(2 * np.pi * self.freq * t)
         if self.noise > 0:
@@ -132,7 +148,7 @@ class SyntheticSource(_ThreadedSource):
 
 
 class FileSource(_ThreadedSource):
-    """WAV-file source (PCM 8/16/32-bit int) via the stdlib wave module."""
+    """WAV-file source (PCM 8/16/24/32-bit int) via the stdlib wave module."""
 
     def __init__(
         self, path: str, block_frames: int = 1600, realtime: bool = False
@@ -142,14 +158,31 @@ class FileSource(_ThreadedSource):
         self.sample_rate = self._wav.getframerate()
         self.channels = self._wav.getnchannels()
         width = self._wav.getsampwidth()
-        self.dtype = {1: np.dtype(np.uint8), 2: np.dtype(np.int16), 4: np.dtype(np.int32)}[
-            width
-        ]
+        dtypes = {
+            1: np.dtype(np.uint8),
+            2: np.dtype(np.int16),
+            3: np.dtype(np.int32),  # 24-bit PCM widened in _next_block
+            4: np.dtype(np.int32),
+        }
+        if width not in dtypes:
+            raise ValueError(
+                f"{path}: unsupported WAV sample width {width} bytes "
+                "(supported: 1/2/3/4-byte integer PCM)"
+            )
+        self._width = width
+        self.dtype = dtypes[width]
 
     def _next_block(self) -> Optional[np.ndarray]:
         raw = self._wav.readframes(self.block_frames)
         if not raw:
             return None
+        if self._width == 3:
+            # 24-bit little-endian PCM: place the 3 bytes in an int32's
+            # top bytes (value << 8), so the full int32 range is used and
+            # the sign comes from the sample's own top byte.
+            u = np.frombuffer(raw, np.uint8).astype(np.uint32).reshape(-1, 3)
+            x = (u[:, 0] << 8) | (u[:, 1] << 16) | (u[:, 2] << 24)
+            return x.view(np.int32)
         return np.frombuffer(raw, dtype=self.dtype)
 
     def stop(self) -> None:

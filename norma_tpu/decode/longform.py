@@ -37,6 +37,7 @@ from ..constants import (
     HOP_LENGTH,
     LOGPROB_THRESHOLD,
     NO_SPEECH_THRESHOLD,
+    SAMPLE_RATE,
     SAMPLES_PER_TIMESTAMP_TICK,
     TEMPERATURES,
 )
@@ -156,7 +157,7 @@ class LongFormDecoder:
     def _drain(self, n: int) -> None:
         n = max(0, min(int(n), self.buf.size))
         self.buf = self.buf[n:]
-        self.time_offset_s += n / 16_000.0
+        self.time_offset_s += n / float(SAMPLE_RATE)
 
     def apply_result(self, dr: Optional[DecodingResult], final_chunk: bool) -> bool:
         """Consume one window's DecodingResult: drain audio, collect text.
@@ -237,7 +238,7 @@ class LongFormDecoder:
             if text and self.timestamps:
                 start = window_offset + s_timestamp * 0.02
                 if e_token == st.eot:
-                    end = window_offset + slice_len / 16_000.0
+                    end = window_offset + slice_len / float(SAMPLE_RATE)
                 else:
                     end = window_offset + (e_token - st.no_timestamps - 1) * 0.02
                 text = f"[{start:.2f}s -> {end:.2f}s]{text}"

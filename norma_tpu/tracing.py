@@ -71,7 +71,11 @@ def instrument(
                     bound = sig.bind_partial(*args, **kwargs)
                     bound.apply_defaults()
                     for k, fx in fields.items():
-                        fvals[k] = fx(bound.arguments)
+                        # span() takes (name, level) positionally; a field
+                        # with either name would TypeError at the call —
+                        # the one failure extract()'s guard can't catch.
+                        key = k if k not in ("name", "level") else k + "_"
+                        fvals[key] = fx(bound.arguments)
                 except Exception:  # never let telemetry break the call
                     pass
             return fvals
@@ -146,15 +150,17 @@ def profiled_device_ms(fn, n: int, trace_dir: str, ops: int = 0):
     with profile(trace_dir):
         for _ in range(n):
             fn()
-    mods = device_time_report(trace_dir, "XLA Modules")
+    # One proto-parsing pass for both line names (the xplane files can be
+    # tens of MB; parsing them once per line doubled tooling latency).
+    lines = ("XLA Modules", "XLA Ops") if ops else ("XLA Modules",)
+    reports = device_time_report_multi(trace_dir, lines)
+    mods = reports["XLA Modules"]
     avg = sum(t for t, _ in mods.values()) / n
     if not ops:
         return avg, []
     rows = [
         {"op": k[:90], "ms_per_call": round(t / n, 3), "n": c}
-        for k, (t, c) in list(
-            device_time_report(trace_dir, "XLA Ops").items()
-        )[:ops]
+        for k, (t, c) in list(reports["XLA Ops"].items())[:ops]
     ]
     return avg, rows
 
@@ -173,12 +179,19 @@ def device_time_report(trace_dir: str, line: str = "XLA Modules"):
     from the profiler is the only trustworthy comparison.  ``line`` may
     be "XLA Modules" (per jitted program) or "XLA Ops" (per fused op).
     """
+    return device_time_report_multi(trace_dir, (line,))[line]
+
+
+def device_time_report_multi(trace_dir: str, lines):
+    """Like :func:`device_time_report` for several line names in ONE
+    proto-parsing pass: ``{line: {name: (total_ms, count)}}``."""
     import glob
 
     from tensorflow.tsl.profiler.protobuf.xplane_pb2 import XSpace  # type: ignore
 
-    totals: Dict[str, float] = {}
-    counts: Dict[str, int] = {}
+    lines = tuple(lines)
+    totals: Dict[str, Dict[str, float]] = {ln: {} for ln in lines}
+    counts: Dict[str, Dict[str, int]] = {ln: {} for ln in lines}
     for path in glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True):
         xs = XSpace()
         with open(path, "rb") as f:
@@ -187,16 +200,21 @@ def device_time_report(trace_dir: str, line: str = "XLA Modules"):
             if "TPU" not in plane.name:
                 continue
             for pl_line in plane.lines:
-                if pl_line.name != line:
+                if pl_line.name not in totals:
                     continue
+                t = totals[pl_line.name]
+                c = counts[pl_line.name]
                 for ev in pl_line.events:
                     md = plane.event_metadata[ev.metadata_id]
                     name = md.display_name or md.name
-                    totals[name] = totals.get(name, 0.0) + ev.duration_ps / 1e9
-                    counts[name] = counts.get(name, 0) + 1
-    return dict(
-        sorted(
-            ((k, (v, counts[k])) for k, v in totals.items()),
-            key=lambda kv: -kv[1][0],
+                    t[name] = t.get(name, 0.0) + ev.duration_ps / 1e9
+                    c[name] = c.get(name, 0) + 1
+    return {
+        ln: dict(
+            sorted(
+                ((k, (v, counts[ln][k])) for k, v in totals[ln].items()),
+                key=lambda kv: -kv[1][0],
+            )
         )
-    )
+        for ln in lines
+    }

@@ -182,3 +182,160 @@ def test_select_device_policies():
         )
     with pytest.raises(DeviceError):
         select_device(devs, Settings(), None)
+
+
+# -- Sources / pipeline robustness (round-3 review fixes) --------------------
+
+
+def test_failing_source_still_fires_on_end():
+    """A source whose block generator raises mid-stream must still fire
+    on_end — without it the pipeline never closes the ring and the
+    consumer blocks forever."""
+    import threading
+
+    from norma_tpu.audio.sources import SyntheticSource
+
+    class Exploding(SyntheticSource):
+        def _next_block(self):
+            raise RuntimeError("truncated file")
+
+    src = Exploding(sample_rate=16_000, channels=1, duration=1.0)
+    ended = threading.Event()
+    src.start(lambda b: None, on_end=ended.set)
+    assert ended.wait(timeout=5), "on_end never fired after source failure"
+    src.stop()
+
+
+def test_failing_on_data_still_fires_on_end():
+    import threading
+
+    from norma_tpu.audio.sources import SyntheticSource
+
+    src = SyntheticSource(sample_rate=16_000, channels=1, duration=1.0)
+    ended = threading.Event()
+
+    def bad_on_data(block):
+        raise ValueError("packer exploded")
+
+    src.start(bad_on_data, on_end=ended.set)
+    assert ended.wait(timeout=5)
+    src.stop()
+
+
+def test_synthetic_source_exact_duration():
+    """The stream is EXACTLY duration*rate frames — the final block is
+    clamped instead of overshooting by up to a full block."""
+    import threading
+
+    from norma_tpu.audio.sources import SyntheticSource
+
+    got = []
+    done = threading.Event()
+    src = SyntheticSource(
+        sample_rate=48_000, channels=2, duration=0.05, block_frames=1600
+    )
+    src.start(lambda b: got.append(len(b)), on_end=done.set)
+    assert done.wait(timeout=5)
+    src.stop()
+    frames = sum(got) // 2  # interleaved stereo
+    assert frames == int(0.05 * 48_000), frames
+
+
+def test_file_source_24bit_wav(tmp_path):
+    """24-bit PCM WAVs load (widened to int32) and round-trip the signal."""
+    import wave
+
+    from norma_tpu.audio.sources import FileSource
+
+    sr = 16_000
+    t = np.arange(sr // 10) / sr
+    mono = (0.5 * np.sin(2 * np.pi * 440 * t) * (2**23 - 1)).astype(np.int32)
+    b = np.zeros((len(mono), 3), np.uint8)
+    u = mono.view(np.uint32) if mono.dtype == np.uint32 else mono.astype(np.int64)
+    b[:, 0] = (u & 0xFF).astype(np.uint8)
+    b[:, 1] = ((u >> 8) & 0xFF).astype(np.uint8)
+    b[:, 2] = ((u >> 16) & 0xFF).astype(np.uint8)
+    path = str(tmp_path / "t24.wav")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(sr)
+        w.writeframes(b.tobytes())
+
+    src = FileSource(path)
+    assert src.dtype == np.dtype(np.int32)
+    blocks = []
+    import threading
+
+    done = threading.Event()
+    src.start(blocks.append, on_end=done.set)
+    assert done.wait(timeout=5)
+    src.stop()
+    out = np.concatenate(blocks)
+    assert len(out) == len(mono)
+    # Widened by <<8: exact per-sample equality after shifting back.
+    np.testing.assert_array_equal(out >> 8, mono)
+
+
+def test_file_source_rejects_unknown_width(tmp_path):
+    from norma_tpu.audio.sources import FileSource
+
+    path = str(tmp_path / "bad.wav")
+    # Hand-craft a WAV header claiming a 5-byte sample width.
+    import struct
+
+    data = b"\x00" * 40
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 16000 * 5, 5, 40)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    with open(path, "wb") as f:
+        f.write(hdr + data)
+    with pytest.raises((ValueError, Exception)):
+        FileSource(path)
+
+
+def test_pipeline_carries_partial_frames():
+    """A block split mid-frame must not desynchronize the channel
+    interleave: the partial frame is carried into the next block."""
+    from norma_tpu.audio.pipeline import StreamPipeline
+
+    class _Ring:
+        chunk_len = 1600
+
+        def send(self, *a, **k):
+            pass
+
+        def close(self):
+            pass
+
+    class _SplitSource:
+        sample_rate = 16_000
+        channels = 2
+        dtype = np.dtype(np.float32)
+
+        def __init__(self):
+            self.on_data = None
+
+        def start(self, on_data, on_end=None):
+            self.on_data = on_data
+
+        def stop(self):
+            pass
+
+    src = _SplitSource()
+    ring = _Ring()
+    pipe = StreamPipeline(src, 16_000, np.float32, ring)
+    pipe.start()
+
+    # Stereo signal: L channel = 1.0, R channel = 0.0 -> mono mean 0.5.
+    frames = np.tile(np.asarray([1.0, 0.0], np.float32), 8)  # 8 frames
+    out = []
+    pipe.packer.append = lambda mono: out.append(np.array(mono))
+    # Deliver split mid-frame: 5 samples then the rest.
+    src.on_data(frames[:5])
+    src.on_data(frames[5:])
+    mono = np.concatenate(out)
+    assert len(mono) == 8
+    np.testing.assert_allclose(mono, 0.5)

@@ -101,3 +101,22 @@ def test_async_instrument_wraps_coroutines():
         return v * 2
 
     assert asyncio.run(g(21)) == 42
+
+
+def test_instrument_field_named_name_or_level(caplog):
+    """Span fields named 'name'/'level' collide with span()'s own
+    positional args; the instrument layer must rename rather than
+    TypeError the instrumented call (the 'telemetry never breaks the
+    call' contract)."""
+    import logging
+
+    from norma_tpu.tracing import instrument
+
+    @instrument(fields={"name": lambda a: a["x"], "level": lambda a: a["x"]})
+    def f(x):
+        return x * 2
+
+    with caplog.at_level(logging.DEBUG, logger="norma_tpu"):
+        assert f(21) == 42
+    msgs = " ".join(r.getMessage() for r in caplog.records)
+    assert "name_" in msgs and "level_" in msgs
