@@ -120,3 +120,47 @@ def test_instrument_field_named_name_or_level(caplog):
         assert f(21) == 42
     msgs = " ".join(r.getMessage() for r in caplog.records)
     assert "name_" in msgs and "level_" in msgs
+
+
+def test_device_time_report_parses_xplane(tmp_path):
+    """The xplane parser (the trusted-measurement path behind every
+    device-ms figure) aggregates durations/counts per line name in one
+    pass, hermetically pinned with a synthetic proto."""
+    pytest.importorskip("tensorflow")
+    from tensorflow.tsl.profiler.protobuf.xplane_pb2 import XSpace
+
+    from norma_tpu.tracing import device_time_report, device_time_report_multi
+
+    xs = XSpace()
+    p = xs.planes.add()
+    p.name = "/device:TPU:0"
+    p.event_metadata[1].name = "jit_step"
+    p.event_metadata[2].name = "fusion.1"
+    ln = p.lines.add()
+    ln.name = "XLA Modules"
+    for dur in (5_000_000, 7_000_000):  # picoseconds
+        ev = ln.events.add()
+        ev.metadata_id = 1
+        ev.duration_ps = dur
+    ln2 = p.lines.add()
+    ln2.name = "XLA Ops"
+    ev = ln2.events.add()
+    ev.metadata_id = 2
+    ev.duration_ps = 3_000_000
+    # A non-TPU plane must be ignored.
+    host = xs.planes.add()
+    host.name = "/host:CPU"
+    hl = host.lines.add()
+    hl.name = "XLA Modules"
+    he = hl.events.add()
+    he.metadata_id = 1
+    he.duration_ps = 99_000_000
+
+    sub = tmp_path / "run1"
+    sub.mkdir()
+    (sub / "x.xplane.pb").write_bytes(xs.SerializeToString())
+
+    r = device_time_report_multi(str(tmp_path), ("XLA Modules", "XLA Ops"))
+    assert r["XLA Modules"] == {"jit_step": (0.012, 2)}
+    assert r["XLA Ops"] == {"fusion.1": (0.003, 1)}
+    assert device_time_report(str(tmp_path)) == {"jit_step": (0.012, 2)}
