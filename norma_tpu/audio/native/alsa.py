@@ -30,15 +30,10 @@ from ...tracing import instrument
 from ...input import Settings
 from ..device import SupportedConfig, rank_configs, select_device
 from . import load
-from .wrappers import NativeRing
+from .wrappers import FMT_CODES, NativeRing
 
 logger = logging.getLogger(__name__)
 
-# C++ SampleFmt enum values (norma_audio.cpp) by sample-format string.
-FMT_CODES = {
-    "i8": 0, "i16": 1, "i32": 2, "f32": 3, "f64": 4,
-    "u8": 5, "u16": 6, "u32": 7, "i64": 8, "u64": 9,
-}
 _FMT_NAMES = {v: k for k, v in FMT_CODES.items()}
 
 
@@ -94,6 +89,18 @@ class NativeMicPipeline:
         # Joins the capture thread; the native side flushes the final short
         # chunk and closes the ring (end-of-stream protocol).
         self._lib.nta_alsa_stop(self._handle)
+
+    def __del__(self):
+        # A dropped-without-stop pipeline must join the C++ capture worker
+        # BEFORE the ring it writes to can be freed.  This object holds the
+        # only strong reference chain to the NativeRing from the capture
+        # side, so refcount collection runs this finalizer first; without
+        # it, NativeRing.__del__ would delete the SpscRing under a live
+        # writer thread (use-after-free).
+        try:
+            self.stop()
+        except Exception:
+            pass
 
 
 @instrument(

@@ -128,9 +128,11 @@ struct SincResampler {
     return std::sin(px) / px;
   }
 
-  // Returns number of output samples written (out must hold
-  // ceil((n_in + taps) / step) + 1 floats).
-  int64_t process(const float* in, int64_t n_in, float* out) {
+  // Returns number of output samples written (bounded by out_cap; a safe
+  // sizing is ceil((n_in + taps) / step) + 1), or -1 when the output would
+  // exceed out_cap — in which case nothing is consumed and no state changes,
+  // so the caller can retry with a larger buffer.
+  int64_t process(const float* in, int64_t n_in, float* out, int64_t out_cap) {
     std::vector<double> x;
     x.reserve(hist.size() + static_cast<size_t>(n_in));
     x.insert(x.end(), hist.begin(), hist.end());
@@ -138,6 +140,14 @@ struct SincResampler {
 
     const int half = kTaps / 2;
     const int64_t n = static_cast<int64_t>(x.size());
+    // Overflow check up front (exact count of the loop below) so a
+    // too-small buffer is an error, not a heap overflow.
+    {
+      double lim = static_cast<double>(n - half);
+      int64_t expect =
+          t < lim ? static_cast<int64_t>(std::floor((lim - t) / step)) + 1 : 0;
+      if (expect > out_cap) return -1;
+    }
     int64_t n_out = 0;
     double tt = t;
     while (tt < static_cast<double>(n - half)) {
@@ -274,6 +284,7 @@ struct AlsaFns {
   long (*pcm_readi)(void*, void*, unsigned long) = nullptr;
   int (*pcm_close)(void*) = nullptr;
   int (*pcm_recover)(void*, int, int) = nullptr;
+  int (*pcm_wait)(void*, int) = nullptr;
   int (*hint)(int, const char*, void***) = nullptr;
   char* (*hint_get)(const void*, const char*) = nullptr;
   int (*hint_free)(void**) = nullptr;
@@ -305,6 +316,7 @@ struct AlsaFns {
     pcm_close = reinterpret_cast<decltype(pcm_close)>(dlsym(lib, "snd_pcm_close"));
     pcm_recover =
         reinterpret_cast<decltype(pcm_recover)>(dlsym(lib, "snd_pcm_recover"));
+    pcm_wait = reinterpret_cast<decltype(pcm_wait)>(dlsym(lib, "snd_pcm_wait"));
     hint = reinterpret_cast<decltype(hint)>(dlsym(lib, "snd_device_name_hint"));
     hint_get = reinterpret_cast<decltype(hint_get)>(
         dlsym(lib, "snd_device_name_get_hint"));
@@ -408,8 +420,7 @@ void* nta_resampler_new(double src_hz, double dst_hz) {
 }
 int64_t nta_resampler_process(void* rs, const float* in, int64_t n_in,
                               float* out, int64_t max_out) {
-  (void)max_out;
-  return static_cast<SincResampler*>(rs)->process(in, n_in, out);
+  return static_cast<SincResampler*>(rs)->process(in, n_in, out, max_out);
 }
 void nta_resampler_free(void* rs) { delete static_cast<SincResampler*>(rs); }
 
@@ -512,8 +523,14 @@ void* nta_alsa_start_fmt(const char* device, unsigned dev_rate,
   const FmtMap* fm = fmt_entry(fmt);
   if (!fm) return nullptr;
   auto* cap = new AlsaCapture();
-  // SND_PCM_STREAM_CAPTURE = 1, blocking mode (0).
-  if (g_alsa.pcm_open(&cap->pcm, device, 1, 0) < 0) {
+  // SND_PCM_STREAM_CAPTURE = 1.  When snd_pcm_wait is available, open in
+  // NONBLOCK mode (SND_PCM_NONBLOCK = 1) and poll with a bounded wait so the
+  // worker re-checks the stop flag even if the device stalls without error —
+  // a blocking snd_pcm_readi on a starved PCM would otherwise hang
+  // nta_alsa_stop's join forever.  Without snd_pcm_wait (minimal stubs),
+  // fall back to blocking reads.
+  const bool nonblock = g_alsa.pcm_wait != nullptr;
+  if (g_alsa.pcm_open(&cap->pcm, device, 1, nonblock ? 1 : 0) < 0) {
     delete cap;
     return nullptr;
   }
@@ -540,13 +557,23 @@ void* nta_alsa_start_fmt(const char* device, unsigned dev_rate,
       (1024.0 + kTaps) *
           (static_cast<double>(target_rate) / static_cast<double>(dev_rate)) +
       kTaps + 16);
-  cap->worker = std::thread([cap, bytes, sample_fmt, res_cap]() {
+  cap->worker = std::thread([cap, bytes, sample_fmt, res_cap, nonblock]() {
     const unsigned long frames = 1024;
     std::vector<uint8_t> raw(frames * cap->channels * bytes);
     std::vector<float> mono(frames);
     std::vector<float> res(res_cap);
     while (!cap->stop.load(std::memory_order_relaxed)) {
+      if (nonblock) {
+        int ready = g_alsa.pcm_wait(cap->pcm, 100);  // bounded: stop stays live
+        if (cap->stop.load(std::memory_order_relaxed)) break;
+        if (ready == 0) continue;  // timeout: no data yet
+        if (ready < 0 &&
+            !(g_alsa.pcm_recover && g_alsa.pcm_recover(cap->pcm, ready, 1) == 0))
+          break;
+      }
       long got = g_alsa.pcm_readi(cap->pcm, raw.data(), frames);
+      if (got == -11 /* -EAGAIN: nonblocking, nothing buffered */) continue;
+      if (got == 0) continue;
       if (got < 0) {
         if (g_alsa.pcm_recover && g_alsa.pcm_recover(cap->pcm, (int)got, 1) == 0)
           continue;
@@ -555,7 +582,9 @@ void* nta_alsa_start_fmt(const char* device, unsigned dev_rate,
       mixdown_to_f32(raw.data(), got, (int)cap->channels, sample_fmt,
                      mono.data());
       if (cap->resampler) {
-        int64_t n = cap->resampler->process(mono.data(), got, res.data());
+        int64_t n = cap->resampler->process(mono.data(), got, res.data(),
+                                            static_cast<int64_t>(res.size()));
+        if (n < 0) break;  // capacity bug: end the stream, don't corrupt
         cap->packer->append(res.data(), n);
       } else {
         cap->packer->append(mono.data(), got);

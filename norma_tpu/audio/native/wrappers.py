@@ -15,6 +15,15 @@ class NativeUnavailable(RuntimeError):
     pass
 
 
+# C++ SampleFmt enum values (norma_audio.cpp) by sample-format string.
+# Single source of truth for the Python side — alsa.py and native_mixdown
+# both map through this table.
+FMT_CODES = {
+    "i8": 0, "i16": 1, "i32": 2, "f32": 3, "f64": 4,
+    "u8": 5, "u16": 6, "u32": 7, "i64": 8, "u64": 9,
+}
+
+
 def _lib():
     lib = load()
     if lib is None:
@@ -96,8 +105,13 @@ class NativeRing:
         self._lib.nta_ring_close(self._ptr)
 
     def __del__(self):
+        # NativeMicPipeline holds a strong reference to this ring and joins
+        # its capture worker in its own finalizer, so by the time the ring
+        # is collectable no C++ thread can still touch the SpscRing.
         try:
-            self._lib.nta_ring_free(self._ptr)
+            if self._ptr:
+                self._lib.nta_ring_free(self._ptr)
+                self._ptr = None
         except Exception:
             pass
 
@@ -117,6 +131,10 @@ class NativeResampler:
         n = self._lib.nta_resampler_process(
             self._ptr, x.ctypes.data_as(_FP), len(x), out.ctypes.data_as(_FP), max_out
         )
+        if n < 0:  # capacity bound tripped (nothing consumed on the C side)
+            raise RuntimeError(
+                f"native resampler output exceeded buffer ({max_out} samples)"
+            )
         return out[: int(n)].astype(np.float64)
 
     def __del__(self):
@@ -129,7 +147,6 @@ class NativeResampler:
 def native_mixdown(raw: np.ndarray, channels: int, fmt: str) -> np.ndarray:
     """Interleaved native-format frames -> mono f32 via C++."""
     lib = _lib()
-    fmts = {"i8": 0, "i16": 1, "i32": 2, "f32": 3, "f64": 4, "u8": 5, "u16": 6, "u32": 7, "i64": 8, "u64": 9}
     frames = len(raw) // channels
     out = np.zeros(frames, np.float32)
     raw = np.ascontiguousarray(raw)
@@ -139,7 +156,7 @@ def native_mixdown(raw: np.ndarray, channels: int, fmt: str) -> np.ndarray:
         raw.ctypes.data_as(ctypes.c_void_p),
         frames,
         channels,
-        fmts[fmt],
+        FMT_CODES[fmt],
         out.ctypes.data_as(_FP),
     )
     return out

@@ -21,6 +21,7 @@ multi-channel int inputs).
 from __future__ import annotations
 
 import logging
+import threading
 from typing import Optional
 
 import numpy as np
@@ -103,18 +104,46 @@ class StreamPipeline:
         else:
             self.resampler = None
         self._stopped = False
+        self._lock = threading.Lock()  # source thread vs control thread
         self._carry: Optional[np.ndarray] = None  # mid-frame block split
 
     def start(self) -> None:
         self.source.start(self._on_data, on_end=self._on_source_end)
 
+    def _finalize_once(self) -> bool:
+        """Claim finalization exactly once (EOF callback on the source
+        thread can race a concurrent ``stop()`` from the control thread —
+        a double ``packer.close()`` would drop an extra sample and emit a
+        second spurious EOS chunk)."""
+        with self._lock:
+            if self._stopped:
+                return False
+            self._stopped = True
+            return True
+
     def _on_source_end(self) -> None:
         """Source ended on its own (file EOF / fixed duration): finalize."""
-        if self._stopped:
+        if not self._finalize_once():
             return
-        self._stopped = True
+        self._flush_resampler_tail()
         self.packer.close()
         self.ring.close()
+
+    def _flush_resampler_tail(self) -> None:
+        """At end of stream, push the resampler's pending history through.
+
+        The sinc filter holds ~taps/2 input samples of latency; on a finite
+        source (file / fixed duration) those are real received audio that
+        would otherwise never be emitted.  Feeding half a filter of silence
+        flushes them.  (A real mic never ends, so this matches the
+        reference, whose dasp ring simply stops, lib.rs:189-216.)
+        """
+        if self.resampler is None:
+            return
+        pad = np.zeros(self.resampler.taps // 2, np.float64)
+        tail = self.resampler.process(pad)
+        if len(tail):
+            self.packer.append(tail.astype(self.model_dtype))
 
     def _on_data(self, frames: np.ndarray) -> None:
         ch = self.source.channels
@@ -136,9 +165,12 @@ class StreamPipeline:
         self.packer.append(mono.astype(self.model_dtype))
 
     def stop(self) -> None:
-        if self._stopped:
-            return
-        self._stopped = True
+        # Always stop the source — even after a natural end (EOF) the
+        # source still owns a worker thread / file handle to release
+        # (``AudioSource.stop`` is idempotent).  Never called from the
+        # source thread itself, so joining the worker here cannot deadlock.
+        finalize = self._finalize_once()
         self.source.stop()
-        self.packer.close()
-        self.ring.close()
+        if finalize:
+            self.packer.close()
+            self.ring.close()

@@ -15,9 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from .tiling import round_up as _round_up
 
 
 def flash_self_attention(

@@ -34,11 +34,9 @@ from ..constants import HOP_LENGTH, N_FFT, N_FRAMES, N_FREQS
 from ..frontend.filters import mel_filterbank
 from ..frontend.mel import hann_window
 
+from .tiling import round_up as _round_up
+
 LANE = 128
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
 
 
 @functools.lru_cache(maxsize=4)

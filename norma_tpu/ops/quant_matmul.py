@@ -16,7 +16,6 @@ per-32-block -> per-channel scale change.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
@@ -86,13 +85,6 @@ def w8_matmul_pallas(
         interpret=interpret,
     )(x.astype(jnp.bfloat16), q, s2)
     return out[:, :OUT]
-
-
-@functools.partial(jax.jit, static_argnames=("use_pallas",))
-def w8_logits(x, q, scale, use_pallas: bool = True):
-    if use_pallas:
-        return w8_matmul_pallas(x, q, scale)
-    return w8_matmul_jnp(x, q, scale)
 
 
 # ---------------------------------------------------------------------------

@@ -83,6 +83,15 @@ int snd_pcm_recover(void *pcm, int err, int silent) {
   return err; /* nothing recoverable in the stub */
 }
 
+/* Presence of snd_pcm_wait makes the capture worker use the nonblocking
+ * bounded-wait loop (stop flag stays live); data is always "ready" here —
+ * real-time pacing happens inside readi. */
+int snd_pcm_wait(void *pcm, int timeout) {
+  (void)pcm;
+  (void)timeout;
+  return 1;
+}
+
 /* 440 Hz sine, amplitude 0.5, all channels identical; paced to real time. */
 long snd_pcm_readi(void *pcm, void *buffer, unsigned long frames) {
   stub_pcm *p = pcm;

@@ -339,3 +339,74 @@ def test_pipeline_carries_partial_frames():
     mono = np.concatenate(out)
     assert len(mono) == 8
     np.testing.assert_allclose(mono, 0.5)
+
+
+def test_pipeline_eof_flushes_resampler_tail():
+    """A finite resampled source must emit (almost) its full duration: the
+    sinc filter's half-taps of pending history are flushed at EOF instead
+    of silently dropped (review fix, pipeline.py _flush_resampler_tail)."""
+    import threading
+
+    from norma_tpu.audio.pipeline import StreamPipeline
+    from norma_tpu.audio.sources import SyntheticSource
+    from norma_tpu.runtime.channels import RecycledRing
+
+    dur, model_rate = 0.1, 16_000
+    src = SyntheticSource(sample_rate=48_000, channels=2, duration=dur)
+    ring = RecycledRing(capacity=64, chunk_len=400)
+    pipe = StreamPipeline(src, model_rate, np.float32, ring)
+    pipe.start()
+
+    total = 0
+    while True:
+        chunk = ring.recv(timeout=5)
+        if chunk is None:
+            break
+        total += chunk.length
+        ring.release(chunk)
+    # packer.close() pops exactly one sample (EOS protocol); the resampler
+    # startup transient costs a couple more.  Without the tail flush this
+    # came out ~20 samples (half-taps/ratio) short.
+    expect = int(dur * model_rate)
+    assert expect - 4 <= total <= expect, total
+    pipe.stop()  # releases the source after natural EOF; must be a no-op
+
+
+def test_pipeline_stop_after_eof_releases_source_exactly_once():
+    """stop() after a natural end still stops the source (file handles /
+    worker threads are released) but must NOT re-run finalization (double
+    packer.close would pop an extra sample and emit a second EOS chunk)."""
+    import threading
+
+    from norma_tpu.audio.pipeline import StreamPipeline
+    from norma_tpu.runtime.channels import RecycledRing
+
+    class SpySource:
+        sample_rate = 16_000
+        channels = 1
+        dtype = np.dtype(np.float32)
+        stop_calls = 0
+
+        def start(self, on_data, on_end=None):
+            on_data(np.zeros(1000, np.float32))
+            on_end()
+
+        def stop(self):
+            self.stop_calls += 1
+
+    src = SpySource()
+    ring = RecycledRing(capacity=8, chunk_len=400)
+    pipe = StreamPipeline(src, 16_000, np.float32, ring)
+    pipe.start()  # SpySource delivers + ends synchronously
+    pipe.stop()
+    pipe.stop()  # idempotent
+    assert src.stop_calls == 2  # source release is never skipped
+
+    chunks = []
+    while True:
+        c = ring.recv(timeout=1)
+        if c is None:
+            break
+        chunks.append(c.length)
+    # 1000 samples - 1 (EOS pop) = 999: two full chunks + ONE short chunk.
+    assert chunks == [400, 400, 199], chunks
