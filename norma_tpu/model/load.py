@@ -46,15 +46,20 @@ def read_safetensors(path: str) -> Dict[str, np.ndarray]:
         if name == "__metadata__":
             continue
         start, end = info["data_offsets"]
-        buf = mm[base + start : base + end]
         shape = info["shape"]
         st_dtype = info["dtype"]
+        # frombuffer(mm, offset=...) is a true zero-copy view into the map;
+        # slicing the mmap (mm[a:b]) would materialize a bytes COPY of every
+        # tensor and double peak host memory on multi-GB checkpoints.
         if st_dtype == "BF16":
             # numpy lacks bf16: widen via bit manipulation to f32.
-            raw = np.frombuffer(buf, dtype=np.uint16).astype(np.uint32) << 16
-            arr = raw.view(np.float32).reshape(shape)
+            n = (end - start) // 2
+            raw16 = np.frombuffer(mm, np.uint16, n, offset=base + start)
+            arr = (raw16.astype(np.uint32) << 16).view(np.float32).reshape(shape)
         else:
-            arr = np.frombuffer(buf, dtype=_ST_DTYPES[st_dtype]).reshape(shape)
+            dt = np.dtype(_ST_DTYPES[st_dtype])
+            n = (end - start) // dt.itemsize
+            arr = np.frombuffer(mm, dt, n, offset=base + start).reshape(shape)
         out[name] = arr
     return out
 

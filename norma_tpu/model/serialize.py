@@ -148,8 +148,12 @@ def load_params_file(path: str) -> Tuple[Dict[str, Any], Dict[str, str]]:
     """
     from .load import read_safetensors
 
-    meta = peek_format(path)
-    if not meta:
+    # One header read serves both the format check and the BF16-tag lookup
+    # (quantized stacked-layer headers enumerate every tensor; parsing the
+    # JSON repeatedly is measurable on large models).
+    header = _read_header(path)
+    meta = header.get("__metadata__") or {}
+    if not meta.get(FORMAT_KEY):
         raise ValueError(
             f"{path}: not a norma-tpu params file (missing {FORMAT_KEY!r}"
             " metadata)"
@@ -158,7 +162,6 @@ def load_params_file(path: str) -> Tuple[Dict[str, Any], Dict[str, str]]:
         raise ValueError(
             f"{path}: unsupported {FORMAT_KEY}={meta[FORMAT_KEY]!r}"
         )
-    header = _read_header(path)
     flat = {}
     for name, arr in read_safetensors(path).items():
         x = jnp.asarray(arr)

@@ -74,7 +74,6 @@ class RecycledRing:
             np.zeros(chunk_len, dtype) for _ in range(max(capacity, 2))
         )
         self._full: Deque[Chunk] = deque()
-        self._capacity = capacity
         self._chunk_len = chunk_len
         self._closed = False
         self.dropped = 0
@@ -244,6 +243,12 @@ class StringChannel:
                     self._cond.notify_all()  # wake senders blocked on full
                     return s
                 if self._sender_closed:
+                    return None
+                if self._receiver_closed:
+                    # The consumer closed its own half (tokio: drain buffered
+                    # messages, then None).  Without this check an iterating
+                    # thread on a silent stream would block forever — silence
+                    # produces no send() to trip ReceiverClosed.
                     return None
                 if deadline is None:
                     self._cond.wait()

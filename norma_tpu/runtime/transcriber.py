@@ -81,6 +81,50 @@ class _StreamState:
         self.pipeline: Optional[StreamPipeline] = None
 
 
+class _StartReply:
+    """Atomic reply slot for a start request (oneshot + abandonment).
+
+    The reference's ``blocking_start`` blocks forever on its oneshot
+    (lib.rs:670); ours takes a timeout, which opens a race the reference
+    can't hit: the caller gives up while ``run()`` is still opening the
+    stream, and the stream would then run with a receiver nobody owns —
+    its first full transcript buffer would block the run loop forever.
+    Exactly one side wins here: either the caller gets the receiver, or
+    ``reply()`` returns False and run() tears the orphan stream down.
+    """
+
+    def __init__(self) -> None:
+        self._q: "queue.Queue" = queue.Queue(maxsize=1)
+        self._lock = threading.Lock()
+        self._abandoned = False
+
+    def reply(self, value) -> bool:
+        """Deliver the reply; False if the caller already gave up."""
+        with self._lock:
+            if self._abandoned:
+                return False
+            self._q.put(value)
+            return True
+
+    def abandoned(self) -> bool:
+        with self._lock:
+            return self._abandoned
+
+    def wait(self, timeout: Optional[float]):
+        """Wait for the reply; marks the request abandoned on timeout."""
+        try:
+            return self._q.get(timeout=timeout)
+        except queue.Empty:
+            pass
+        with self._lock:
+            # A reply may have landed between the timeout and the lock.
+            try:
+                return self._q.get_nowait()
+            except queue.Empty:
+                self._abandoned = True
+        raise TranscriberDown()
+
+
 class Transcriber:
     def __init__(
         self,
@@ -195,25 +239,32 @@ class Transcriber:
             if msg is None:  # handle dropped -> terminate (lib.rs:494)
                 return
             settings, res_q = msg
+            if res_q.abandoned():  # caller timed out while queued
+                continue
 
             schan = StringChannel(self._params.string_buffer_size)
 
             try:
                 pipeline, ring = self._open_stream(settings)
             except StartError as e:
-                res_q.put(e)
+                res_q.reply(e)
                 # The reference terminates the run loop on stream-build
                 # failure (lib.rs:432 break).
                 return
             except Exception as e:
                 err = DeviceError()
                 err.__cause__ = e  # preserve the underlying failure
-                res_q.put(err)
+                res_q.reply(err)
                 return
 
             with self._stream_state.lock:
                 self._stream_state.pipeline = pipeline
-            res_q.put(schan.receiver())
+            if not res_q.reply(schan.receiver()):
+                # Caller gave up mid-open: nobody owns the receiver, so the
+                # stream must not run (its first full transcript buffer
+                # would block this loop forever).
+                self._teardown_stream()
+                continue
 
             # Reject starts that raced in while we were setting up
             # (lib.rs:454-460).
@@ -226,7 +277,7 @@ class Transcriber:
                 if stale is None:
                     shutdown = True
                 else:
-                    stale[1].put(TranscriberRunning())
+                    stale[1].reply(TranscriberRunning())
 
             while True:
                 chunk = ring.recv()
@@ -288,15 +339,12 @@ class TranscriberHandle:
         if running:
             raise TranscriberRunning()
 
-        res_q: "queue.Queue" = queue.Queue(maxsize=1)
+        res_q = _StartReply()
         try:
             self._ctrl.put((settings, res_q), timeout=timeout)
         except queue.Full:
             raise TranscriberDown()
-        try:
-            res = res_q.get(timeout=timeout)
-        except queue.Empty:
-            raise TranscriberDown()
+        res = res_q.wait(timeout)  # raises TranscriberDown on timeout
         if isinstance(res, Exception):
             raise res
         return res
@@ -324,13 +372,30 @@ class TranscriberHandle:
     # -- drop semantics --------------------------------------------------
 
     def close(self) -> None:
-        """Equivalent of dropping the handle: terminates the transcriber."""
-        if not self._closed:
-            self._closed = True
+        """Equivalent of dropping the handle: terminates the transcriber.
+
+        The shutdown sentinel must actually land: if the 1-slot ctrl queue
+        holds a pending start (raced in during a previous stream's
+        teardown), silently dropping the sentinel would leave the run loop
+        alive forever.  Displace pending starts with TranscriberDown until
+        the sentinel fits.
+        """
+        if self._closed:
+            return
+        self._closed = True
+        while True:
             try:
                 self._ctrl.put_nowait(None)
+                return
             except queue.Full:
                 pass
+            try:
+                stale = self._ctrl.get_nowait()
+            except queue.Empty:
+                continue  # run() consumed the blocker; retry the sentinel
+            if stale is None:
+                return  # another handle already signaled shutdown
+            stale[1].reply(TranscriberDown())
 
     def __enter__(self) -> "TranscriberHandle":
         return self

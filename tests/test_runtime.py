@@ -152,3 +152,79 @@ def test_transcribe_error_surfaces_via_join():
         jh.join(timeout=10)
     # The stream was torn down on error.
     assert stream.blocking_recv(timeout=0.5) is None
+
+
+# -- Concurrency review fixes (round 3) ---------------------------------------
+
+
+def test_receiver_close_unblocks_blocked_recv():
+    """Closing the receiver must wake a thread blocked in blocking_recv on a
+    SILENT stream: silence produces no send() to trip ReceiverClosed, so the
+    receiver-closed flag itself must end the wait (tokio semantics)."""
+    import threading
+
+    from norma_tpu.runtime.channels import StringChannel
+
+    chan = StringChannel(4)
+    rx = chan.receiver()
+    got = []
+    t = threading.Thread(target=lambda: got.append(rx.blocking_recv()))
+    t.start()
+    time.sleep(0.2)
+    rx.close()
+    t.join(timeout=5)
+    assert not t.is_alive(), "blocking_recv never woke after receiver.close()"
+    assert got == [None]
+
+
+def test_receiver_close_still_drains_buffered():
+    from norma_tpu.runtime.channels import StringChannel
+
+    chan = StringChannel(4)
+    rx = chan.receiver()
+    chan.send("a")
+    chan.send("b")
+    rx.close()
+    assert rx.blocking_recv(timeout=1) == "a"
+    assert rx.blocking_recv(timeout=1) == "b"
+    assert rx.blocking_recv(timeout=1) is None
+
+
+def test_abandoned_start_request_is_not_served():
+    """A blocking_start that times out must not leave a zombie stream: the
+    run loop either skips the queued request or tears the stream down if the
+    open already happened (an unowned receiver would otherwise block the
+    run loop at the first full transcript buffer, hanging the transcriber)."""
+    from norma_tpu.runtime.transcriber import _StartReply
+
+    r = _StartReply()
+    with pytest.raises(Exception):
+        r.wait(timeout=0.05)  # times out -> abandoned
+    assert r.abandoned()
+    assert r.reply("receiver") is False  # run() must see the abandonment
+
+    # And the winning order: reply first, wait returns it.
+    r2 = _StartReply()
+    assert r2.reply("rx") is True
+    assert r2.wait(timeout=1) == "rx"
+
+
+def test_close_lands_past_a_pending_start():
+    """close() with a pending start stuck in the 1-slot ctrl queue must
+    still terminate the run loop (the sentinel used to be dropped on
+    queue.Full, leaking the thread forever) and fail the pending start."""
+    import queue as _queue
+
+    from norma_tpu.runtime.transcriber import TranscriberHandle, _StartReply, _StreamState
+    from norma_tpu.errors import TranscriberDown
+
+    ctrl = _queue.Queue(maxsize=1)
+    pending = _StartReply()
+    ctrl.put((Settings(), pending))  # ctrl is now full
+    th = TranscriberHandle(_StreamState(), ctrl)
+    th.close()
+    # The pending start was displaced with TranscriberDown...
+    res = pending.wait(timeout=1)
+    assert isinstance(res, TranscriberDown)
+    # ...and the shutdown sentinel landed.
+    assert ctrl.get_nowait() is None
