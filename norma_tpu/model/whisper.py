@@ -629,6 +629,46 @@ def decoder_prefill(
     return logits, cache_k, cache_v
 
 
+def _decoder_incremental_layer(
+    lp, x, ck, cv, lxk, lxv, n_heads, key_mask, write_kv, cross_attn, dtype
+):
+    """One decoder layer of the incremental path, shared by
+    :func:`decoder_step` (single token, lockstep position) and
+    :func:`decoder_chunk` (C tokens, per-row positions).  The two callers
+    differ ONLY in how K/V land in the cache (``write_kv``) and how the
+    cross-attention is dispatched (``cross_attn``) — keeping one body means
+    a fix to either path cannot silently diverge the speculative verify
+    pass from the plain token loop.
+    """
+    h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
+    q, k, v = qkv_proj(lp, h)
+    ck = write_kv(ck, k.astype(dtype))
+    cv = write_kv(cv, v.astype(dtype))
+    a = attention(q, ck, cv, n_heads, key_mask)
+    x = x + ldense(lp, "o_w", a, lp["o_b"])
+
+    h = layer_norm(x, lp["xattn_ln_g"], lp["xattn_ln_b"])
+    xq = ldense(lp, "xq_w", h, lp["xq_b"])
+    x = x + ldense(lp, "xo_w", cross_attn(xq, lxk, lxv), lp["xo_b"])
+
+    h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
+    x = x + _mlp(lp, h)
+    return x, ck, cv
+
+
+def _unroll_gate(cfg: WhisperConfig, rows: int) -> int:
+    """Unroll shallow decoders (distil models have 2 layers) at small row
+    counts: removes the scan's per-iteration while/slice machinery from
+    the per-token hot path and lets XLA prefetch both layers' weight
+    DMAs eagerly.  Profiled on v5e in the production window program:
+    90.8 -> 82.2 ms device at <= 6 rows, but a REGRESSION at 8 rows
+    (349 -> 438 ms; the eager double prefetch pressures VMEM), hence
+    the row-count gate.  Deep decoders keep a rolled scan for compile
+    time.
+    """
+    return cfg.decoder_layers if cfg.decoder_layers <= 4 and rows <= 6 else 1
+
+
 def decoder_step(
     params: Params,
     cfg: WhisperConfig,
@@ -661,44 +701,29 @@ def decoder_step(
     key_mask = jnp.where(key_idx <= pos, 0.0, -jnp.inf).astype(jnp.float32)
     key_mask = key_mask[None, None, None, :]  # [1,1,1,Tmax]
 
+    def write_kv(c, k):
+        return jax.lax.dynamic_update_slice(c, k, (0, pos, 0))
+
+    def cross_attn(xq, lxk, lxv):
+        if isinstance(lxk, dict):  # int8 cross-KV (quantize_cross_kv)
+            return attention_cross_q8(xq, lxk, lxv, n_heads, n_rungs)
+        if n_rungs == 1:
+            return attention(xq, lxk, lxv, n_heads)
+        return attention_grouped(xq, lxk, lxv, n_heads, n_rungs)
+
     def body(x, layer_in):
         lp, ck, cv, lxk, lxv = layer_in
-        h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
-        q, k, v = qkv_proj(lp, h)
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(dtype), (0, pos, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(dtype), (0, pos, 0))
-        a = attention(q, ck, cv, n_heads, key_mask)
-        x = x + ldense(lp, "o_w", a, lp["o_b"])
-
-        h = layer_norm(x, lp["xattn_ln_g"], lp["xattn_ln_b"])
-        xq = ldense(lp, "xq_w", h, lp["xq_b"])
-        if isinstance(lxk, dict):  # int8 cross-KV (quantize_cross_kv)
-            a = attention_cross_q8(xq, lxk, lxv, n_heads, n_rungs)
-        elif n_rungs == 1:
-            a = attention(xq, lxk, lxv, n_heads)
-        else:
-            a = attention_grouped(xq, lxk, lxv, n_heads, n_rungs)
-        x = x + ldense(lp, "xo_w", a, lp["xo_b"])
-
-        h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
-        x = x + _mlp(lp, h)
+        x, ck, cv = _decoder_incremental_layer(
+            lp, x, ck, cv, lxk, lxv, n_heads, key_mask, write_kv, cross_attn,
+            dtype,
+        )
         return x, (ck, cv)
 
-    # Unroll shallow decoders (distil models have 2 layers) at small row
-    # counts: removes the scan's per-iteration while/slice machinery from
-    # the per-token hot path and lets XLA prefetch both layers' weight
-    # DMAs eagerly.  Profiled on v5e in the production window program:
-    # 90.8 -> 82.2 ms device at <= 6 rows, but a REGRESSION at 8 rows
-    # (349 -> 438 ms; the eager double prefetch pressures VMEM), hence
-    # the row-count gate.  Deep decoders keep a rolled scan for compile
-    # time.
-    unroll = (
-        cfg.decoder_layers
-        if cfg.decoder_layers <= 4 and tok.shape[0] <= 6
-        else 1
-    )
     x, (new_k, new_v) = jax.lax.scan(
-        body, x, (dec["layers"], cache_k, cache_v, xk, xv), unroll=unroll
+        body,
+        x,
+        (dec["layers"], cache_k, cache_v, xk, xv),
+        unroll=_unroll_gate(cfg, tok.shape[0]),
     )
 
     x = layer_norm(x, dec["ln_g"], dec["ln_b"])
@@ -759,34 +784,27 @@ def decoder_chunk(
         lambda c, k, p: jax.lax.dynamic_update_slice(c, k, (p, 0))
     )
 
+    def write_kv(c, k):
+        return write(c, k, pos)
+
+    def cross_attn(xq, lxk, lxv):
+        if isinstance(lxk, dict):  # int8 cross-KV (quantize_cross_kv)
+            return attention_cross_q8(xq, lxk, lxv, n_heads)
+        return attention(xq, lxk, lxv, n_heads)
+
     def body(x, layer_in):
         lp, ck, cv, lxk, lxv = layer_in
-        h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
-        q, k, v = qkv_proj(lp, h)
-        ck = write(ck, k.astype(dtype), pos)
-        cv = write(cv, v.astype(dtype), pos)
-        a = attention(q, ck, cv, n_heads, key_mask)
-        x = x + ldense(lp, "o_w", a, lp["o_b"])
-
-        h = layer_norm(x, lp["xattn_ln_g"], lp["xattn_ln_b"])
-        xq = ldense(lp, "xq_w", h, lp["xq_b"])
-        if isinstance(lxk, dict):  # int8 cross-KV (quantize_cross_kv)
-            a = attention_cross_q8(xq, lxk, lxv, n_heads)
-        else:
-            a = attention(xq, lxk, lxv, n_heads)
-        x = x + ldense(lp, "xo_w", a, lp["xo_b"])
-
-        h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
-        x = x + _mlp(lp, h)
+        x, ck, cv = _decoder_incremental_layer(
+            lp, x, ck, cv, lxk, lxv, n_heads, key_mask, write_kv, cross_attn,
+            dtype,
+        )
         return x, (ck, cv)
 
-    unroll = (
-        cfg.decoder_layers
-        if cfg.decoder_layers <= 4 and B <= 6
-        else 1
-    )
     x, (new_k, new_v) = jax.lax.scan(
-        body, x, (dec["layers"], cache_k, cache_v, xk, xv), unroll=unroll
+        body,
+        x,
+        (dec["layers"], cache_k, cache_v, xk, xv),
+        unroll=_unroll_gate(cfg, B),
     )
 
     x = layer_norm(x, dec["ln_g"], dec["ln_b"])
