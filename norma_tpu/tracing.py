@@ -80,12 +80,20 @@ def instrument(
                     pass
             return fvals
 
+        # The enabled-check may skip the span's enter/exit records, but the
+        # ERROR capture (the reference's #[instrument(err)], lib.rs:315)
+        # must fire at production log levels too — a logger at INFO still
+        # records failures of instrumented entry points.
         if inspect.iscoroutinefunction(fn):
 
             @functools.wraps(fn)
             async def awrapper(*args, **kwargs):
                 if not logger.isEnabledFor(level):
-                    return await fn(*args, **kwargs)
+                    try:
+                        return await fn(*args, **kwargs)
+                    except Exception as e:
+                        logger.error("%s error: %r", span_name, e)
+                        raise
                 with span(span_name, level=level, **extract(args, kwargs)):
                     return await fn(*args, **kwargs)
 
@@ -94,7 +102,11 @@ def instrument(
         @functools.wraps(fn)
         def wrapper(*args, **kwargs):
             if not logger.isEnabledFor(level):
-                return fn(*args, **kwargs)
+                try:
+                    return fn(*args, **kwargs)
+                except Exception as e:
+                    logger.error("%s error: %r", span_name, e)
+                    raise
             with span(span_name, level=level, **extract(args, kwargs)):
                 return fn(*args, **kwargs)
 
@@ -155,6 +167,14 @@ def profiled_device_ms(fn, n: int, trace_dir: str, ops: int = 0):
     lines = ("XLA Modules", "XLA Ops") if ops else ("XLA Modules",)
     reports = device_time_report_multi(trace_dir, lines)
     mods = reports["XLA Modules"]
+    if not mods:
+        # No device-plane module events (CPU backend, or a trace the
+        # profiler failed to populate): raising lets callers' guards report
+        # "unavailable" — silently returning 0.0 would publish rtf_device=0
+        # (an infinitely fast chip) in the scored artifact.
+        raise RuntimeError(
+            f"no 'XLA Modules' device events in trace under {trace_dir}"
+        )
     avg = sum(t for t, _ in mods.values()) / n
     if not ops:
         return avg, []

@@ -14,7 +14,6 @@ Run ON TPU:  python tools/perf_encoder_ab.py [variant ...]
 
 import json
 import os
-import shutil
 import sys
 import time
 
@@ -35,7 +34,7 @@ def main() -> None:
     from norma_tpu.decode.masks import SpecialTokens
     from norma_tpu.frontend.mel import prepare_audio
     from norma_tpu.model import PRESETS, fuse_qkv, init_params
-    from norma_tpu.tracing import device_time_report, profile
+    from norma_tpu.tracing import device_time_report, profiled_device_ms
 
     base_cfg = PRESETS["distil-large-v3"].with_(max_target_positions=136)
     st = SpecialTokens(
@@ -115,6 +114,15 @@ def main() -> None:
         # native; tools/perf_int8_mxu.py decides which to trust).
         "w8a8_pallas": {"encoder_q8_mode": "w8a8_pallas"},
     }
+    # Fail fast on typos BEFORE any variant burns scarce hardware time: a
+    # KeyError after profiling half the list would lose the final table.
+    unknown = [n for n in pick if n not in VARIANTS and n not in W8A8]
+    if unknown:
+        sys.exit(
+            f"unknown variant(s) {unknown}; known: "
+            f"{sorted(set(VARIANTS) | set(W8A8))}"
+        )
+
     if any(n in W8A8 for n in pick):
         from norma_tpu.model.quant import quantize_encoder
 
@@ -139,11 +147,15 @@ def main() -> None:
                 engine.transcribe_window(audio, [50259] * B, seed=0)
                 walls.append(time.perf_counter() - t0)
             tdir = f"/tmp/enc_ab/{name}_{bname}"
-            shutil.rmtree(tdir, ignore_errors=True)
-            n_prof = 2
-            with profile(tdir):
-                for _ in range(n_prof):
-                    engine.transcribe_window(audio, [50259] * B, seed=0)
+            # The headline total goes through tracing.profiled_device_ms —
+            # the SAME measurement path as bench.py, so the A/B's numbers
+            # and the scored artifact's are directly comparable — and the
+            # per-module attribution re-reads the same trace.
+            total_ms, _ = profiled_device_ms(
+                lambda: engine.transcribe_window(audio, [50259] * B, seed=0),
+                2,
+                tdir,
+            )
             mods = device_time_report(tdir, "XLA Modules")
             dev = {
                 k: round(total / max(n, 1), 2)
@@ -153,6 +165,7 @@ def main() -> None:
             row[bname] = {
                 "wall_ms": round(min(walls) * 1e3, 1),
                 "compile_s": round(compile_s, 1),
+                "device_ms_per_window": round(total_ms, 2),
                 "device_ms_per_call": dev,
             }
             print(json.dumps({name: {bname: row[bname]}}), flush=True)

@@ -23,7 +23,10 @@ run() {
   name="$1"; shift
   echo "=== $name ==="
   timeout 1800 "$@" 2>&1 | tee "$OUT/$name.log"
-  echo "=== $name done (rc=$?) ==="
+  # $? after a pipeline is tee's status (always 0); the step's own rc is
+  # PIPESTATUS[0] — without it a crashed/timed-out step banners rc=0 and
+  # the operator believes the hardware gate passed.
+  echo "=== $name done (rc=${PIPESTATUS[0]}) ==="
 }
 
 run int8_mxu        python tools/perf_int8_mxu.py
