@@ -3,7 +3,7 @@ Transcriber::spawn / handle.start / receiver.recv)."""
 
 import asyncio
 
-from norma_tpu import Transcriber
+from norma_tpu import NoStreamRunning, Transcriber
 from norma_tpu.input import Settings
 from norma_tpu.models import SelectedDevice
 from norma_tpu.models.whisper import monolingual
@@ -23,7 +23,10 @@ async def main() -> None:
 
     task = asyncio.create_task(printer())
     await asyncio.sleep(10)
-    th.stop()
+    try:
+        th.stop()
+    except NoStreamRunning:
+        pass  # the stream already ended on its own (mic failure/EOF)
     th.close()
     await task
     jh.join()

@@ -19,10 +19,31 @@ from norma_tpu.models.whisper import monolingual
 
 
 def read_wav(path: str) -> np.ndarray:
+    """Whole-file 16 kHz mono PCM -> float32 in [-1, 1).
+
+    Handles the same widths as audio.sources.FileSource (8/16/24/32-bit
+    int PCM); parsing 24-bit data as int16 would silently feed garbage to
+    the model and report ~100% WER instead of failing loudly.
+    """
     with wave.open(path, "rb") as w:
-        assert w.getframerate() == 16_000 and w.getnchannels() == 1
+        if w.getframerate() != 16_000 or w.getnchannels() != 1:
+            raise ValueError(
+                f"{path}: need 16 kHz mono, got "
+                f"{w.getframerate()} Hz x{w.getnchannels()}"
+            )
+        width = w.getsampwidth()
         raw = w.readframes(w.getnframes())
-    return np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    if width == 1:  # unsigned 8-bit
+        return (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    if width == 2:
+        return np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    if width == 3:  # 24-bit LE: widen into an int32's top bytes
+        u = np.frombuffer(raw, np.uint8).astype(np.uint32).reshape(-1, 3)
+        x = ((u[:, 0] << 8) | (u[:, 1] << 16) | (u[:, 2] << 24)).view(np.int32)
+        return x.astype(np.float32) / 2147483648.0
+    if width == 4:
+        return np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
+    raise ValueError(f"{path}: unsupported WAV sample width {width} bytes")
 
 
 def main() -> None:
@@ -37,8 +58,17 @@ def main() -> None:
 
     pairs = []
     with open(manifest) as f:
-        for line in f:
-            path, ref = line.rstrip("\n").split("\t", 1)
+        for lineno, line in enumerate(f, start=1):
+            line = line.rstrip("\n")
+            if not line.strip():
+                continue  # blank lines are not utterances
+            if "\t" not in line:
+                # Fail with context up front, not hours into the run.
+                raise ValueError(
+                    f"{manifest}:{lineno}: expected '<wav>\\t<text>', "
+                    f"got {line[:60]!r}"
+                )
+            path, ref = line.split("\t", 1)
             audio = read_wav(path)
             # Fresh long-form state per utterance.
             lf = LongFormDecoder(

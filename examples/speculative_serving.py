@@ -18,7 +18,7 @@ import time
 
 import jax.numpy as jnp
 
-from norma_tpu import Transcriber
+from norma_tpu import NoStreamRunning, Transcriber
 from norma_tpu.input import Settings
 from norma_tpu.models import SelectedDevice
 from norma_tpu.models.whisper import multilingual
@@ -42,7 +42,10 @@ def main() -> None:
     ).start()
 
     time.sleep(15)
-    th.stop()
+    try:
+        th.stop()
+    except NoStreamRunning:
+        pass  # the stream already ended on its own (mic failure/EOF)
     th.close()
     jh.join()
 

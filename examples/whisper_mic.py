@@ -6,7 +6,7 @@ Mirror of the reference example (``/root/reference/examples/whisper-mic.rs``).
 import threading
 import time
 
-from norma_tpu import Transcriber
+from norma_tpu import NoStreamRunning, Transcriber
 from norma_tpu.input import Settings
 from norma_tpu.models import SelectedDevice
 from norma_tpu.models.whisper import monolingual
@@ -29,7 +29,10 @@ def main() -> None:
     threading.Thread(target=printer, daemon=True).start()
 
     time.sleep(10.0)
-    th.stop()
+    try:
+        th.stop()
+    except NoStreamRunning:
+        pass  # the stream already ended on its own (mic failure/EOF)
     th.close()
 
     jh.join()

@@ -23,6 +23,7 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
+from ..dtype import is_valid_model_dtype, sample_format_name
 from ..errors import DeviceError, NoConfigFound, SelectedDeviceNotFound
 from ..input import OnError, Settings
 
@@ -58,13 +59,19 @@ class SupportedConfig:
 
 
 def _dtype_format(dtype) -> str:
-    """Model data dtype -> matching sample-format string."""
-    return {
-        np.dtype(np.float32): "f32",
-        np.dtype(np.float64): "f64",
-        np.dtype(np.uint8): "u8",
-        np.dtype(np.uint32): "u32",
-    }.get(np.dtype(dtype), "f32")
+    """Model data dtype -> matching sample-format string.
+
+    Enforces the reference's sealed-DType invariant (dtype.rs:38-42): a
+    Model's PCM dtype must be one of u8/u32/f32/f64.  Rust makes this a
+    compile-time bound; here an invalid dtype errors at stream build
+    instead of silently ranking configs as if the model wanted f32.
+    """
+    if not is_valid_model_dtype(dtype):
+        raise ValueError(
+            f"model dtype {np.dtype(dtype)} is not a valid PCM data type "
+            "(expected one of u8/u32/f32/f64, dtype.py VALID_MODEL_DTYPES)"
+        )
+    return sample_format_name(dtype)
 
 
 def cmp_mic_config(lhs: SupportedConfig, rhs: SupportedConfig, model_rate: int, model_format: str) -> int:

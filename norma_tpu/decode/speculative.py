@@ -491,6 +491,27 @@ class SpeculativeEngine(DecodeEngine):
             axis=1,
         )
 
+    def warmup_fallback(self, batch: int = 1) -> None:
+        """Pre-compile the t>0 fallback-rungs program.
+
+        ``transcribe_window`` on silence never reaches it (the no-speech
+        gate keeps ``need_fb`` false), so a warmup that only runs zeros
+        leaves this program untraced and the FIRST live window failing the
+        avg_logprob gate would stall its stream on a mid-utterance XLA
+        compile.  Called by WhisperModel.warmup.
+        """
+        import jax.numpy as jnp
+
+        feats = jnp.zeros(
+            (batch, self.cfg.max_source_positions, self.cfg.d_model),
+            self.params["decoder"]["tok_emb"].dtype,
+        )
+        langs = jnp.full((batch,), self.st.sot + 1, jnp.int32)
+        self._fallback_rungs(
+            self.params, feats, langs, jnp.uint32(0),
+            jnp.zeros((batch,), bool),
+        )
+
     # ------------------------------------------------------------------
     # Host orchestration
     # ------------------------------------------------------------------

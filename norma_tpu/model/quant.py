@@ -105,15 +105,23 @@ def _quantize_layer_stack(layers: dict, keys) -> dict:
     return layers
 
 
-def quantize_decoder(params: dict) -> dict:
+def quantize_decoder(params: dict, logits: str = "int8") -> dict:
     """Return params with all decoder-layer matmul weights as int8.
 
     Each stacked weight ``name`` [L, in, *out] is replaced by ``name_q``
     (int8, per-(layer, out-channel) symmetric; axis 1 is the contraction)
-    + ``name_s`` (f32 [L, *out]); the logits head is quantized too.
+    + ``name_s`` (f32 [L, *out]); the logits head is quantized too —
+    int8 by default, or blockwise-int4 with ``logits="int4"`` (the two
+    tiers are orthogonal, so an explicit int4 head request must not be
+    downgraded by also quantizing the layers).
     Works on fused (``qkv_w`` [L, in, 3, out]) and unfused layer stacks.
     """
-    out = quantize_logits_head(params)
+    if logits == "int4":
+        out = quantize_logits_head_int4(params)
+    elif logits in (True, "int8"):
+        out = quantize_logits_head(params)
+    else:
+        raise ValueError(f"logits={logits!r}: expected 'int8' or 'int4'")
     dec = dict(out["decoder"])
     dec["layers"] = _quantize_layer_stack(dec["layers"], DECODER_W8_KEYS)
     out["decoder"] = dec

@@ -55,7 +55,23 @@ class SelectedDevice:
         if self.kind == "cpu":
             return jax.devices("cpu")[0]
         if self.kind == "tpu":
-            return jax.devices()[self.ordinal]
+            # Explicit TPU must not silently land on CPU when the backend
+            # is absent (the reference's Cuda variant likewise errors when
+            # CUDA is unavailable, mod.rs:47-55).  jax.devices("tpu")
+            # raises on a CPU-only host; a bad ordinal gets a clear error
+            # instead of a bare IndexError.
+            tpus = jax.devices("tpu")
+            if self.ordinal >= len(tpus):
+                raise ValueError(
+                    f"SelectedDevice.tpu({self.ordinal}): only "
+                    f"{len(tpus)} TPU device(s) present"
+                )
+            return tpus[self.ordinal]
+        if self.kind != "auto":
+            raise ValueError(
+                f"unknown device kind {self.kind!r} (expected 'auto', "
+                "'cpu' or 'tpu')"
+            )
         # auto: first accelerator if present, else cpu
         devs = jax.devices()
         return devs[min(self.ordinal, len(devs) - 1)]
@@ -70,15 +86,18 @@ class CommonModelParams:
     string_buffer_size is floored at 1.
     """
 
-    max_chunk_len: int = MIN_CHUNK_LEN
-    data_buffer_size: int = MIN_DATA_BUF_SIZE
-    string_buffer_size: int = MIN_STRING_BUF_SIZE
+    # No field-level defaults: the hand-written __init__ below (which
+    # @dataclass keeps) is the only constructor, so defaults declared here
+    # would be dead and misleading.
+    max_chunk_len: int
+    data_buffer_size: int
+    string_buffer_size: int
 
     def __init__(
         self,
-        max_chunk_len: int,
-        data_buffer_size: int,
-        string_buffer_size: int,
+        max_chunk_len: int = MIN_CHUNK_LEN,
+        data_buffer_size: int = 1,
+        string_buffer_size: int = MIN_STRING_BUF_SIZE,
     ) -> None:
         self.max_chunk_len = max(max_chunk_len, MIN_CHUNK_LEN)
         self.data_buffer_size = data_buffer_size + 2

@@ -31,7 +31,56 @@ from ...model.load import load_safetensors
 from ...tracing import instrument
 
 logger = logging.getLogger("norma_tpu.loader")
-from .. import CommonModelParams, SelectedDevice
+from .. import CommonModelParams, SelectedDevice  # noqa: E402
+
+_DTYPE_NAMES = {jnp.float32: "f32", jnp.bfloat16: "bf16", jnp.float16: "f16"}
+_DTYPE_FROM_NAME = {v: k for k, v in _DTYPE_NAMES.items()}
+
+
+def definition_ext_to_dict(defn) -> dict:
+    """Serialize the TPU-extension fields both Definitions share.
+
+    Without these, a round-tripped Definition silently rebuilt an
+    unquantized, non-speculative, untimestamped model — to_dict/from_dict
+    must cover every constructor knob, like the reference's serde derive
+    covers every struct field (monolingual.rs:29).
+    """
+    d = {
+        "dtype": _DTYPE_NAMES.get(defn.dtype, "f32"),
+        "quantize_logits": defn.quantize_logits,
+        "quantize_decoder": defn.quantize_decoder,
+        "quantize_encoder": defn.quantize_encoder,
+        "quantize_cross_kv": defn.quantize_cross_kv,
+        "mel_center": defn.mel_center,
+        "timestamps": defn.timestamps,
+        "spec_k": defn.spec_k,
+    }
+    # Optional fields only when set (keeps old payloads readable).
+    if defn.local_dir:
+        d["local_dir"] = defn.local_dir
+    if defn.draft:
+        d["draft"] = defn.draft  # "auto" is resolved at construction
+    if defn.draft_local_dir:
+        d["draft_local_dir"] = defn.draft_local_dir
+    return d
+
+
+def apply_definition_ext(defn, d: dict) -> None:
+    """Restore the fields written by :func:`definition_ext_to_dict`.
+
+    Tolerates payloads from before these fields existed (defaults apply).
+    """
+    defn.dtype = _DTYPE_FROM_NAME.get(d.get("dtype", "f32"), jnp.float32)
+    defn.quantize_logits = d.get("quantize_logits", False)
+    defn.quantize_decoder = d.get("quantize_decoder", False)
+    defn.quantize_encoder = d.get("quantize_encoder", False)
+    defn.quantize_cross_kv = d.get("quantize_cross_kv", False)
+    defn.mel_center = d.get("mel_center", False)
+    defn.timestamps = d.get("timestamps", False)
+    defn.spec_k = d.get("spec_k", 4)
+    defn.local_dir = d.get("local_dir")
+    defn.draft = d.get("draft")
+    defn.draft_local_dir = d.get("draft_local_dir")
 from . import token_id
 from .languages import ALL_LANGUAGES
 from .model import WhisperModel
@@ -199,24 +248,54 @@ def build_model(
                     "tools/quantize_checkpoint.py --dtype to change it)",
                     file_dt, want_dt,
                 )
+            # Same for the quantize_* flags: a params file bakes its quant
+            # tiers in at conversion time.  Surface a mismatch so an A/B
+            # doesn't silently measure the wrong configuration.
+            want_tiers = set()
+            if quantize_decoder:
+                want_tiers.add("decoder-w8")
+            elif quantize_logits:
+                want_tiers.add(
+                    "logits-int4" if quantize_logits == "int4" else "logits-w8"
+                )
+            if quantize_encoder:
+                want_tiers.add("encoder-w8a8")
+            file_tiers = set(
+                t for t in (_qmeta.get("quant") or "").split("+")
+                if t and t != "none"
+            )
+            if want_tiers - file_tiers:
+                logger.warning(
+                    "pre-quantized params file has quant tiers %s; the "
+                    "requested %s are ignored (re-run "
+                    "tools/quantize_checkpoint.py with the matching flags)",
+                    sorted(file_tiers) or "none",
+                    sorted(want_tiers - file_tiers),
+                )
         else:
             params = load_safetensors(files.weights, cfg, dtype)
     if not prequantized:
         from ...model.load import fuse_qkv
 
         params = fuse_qkv(params)  # one fused QKV matmul in the hot path
+        # True/"int8" -> per-channel int8 head; "int4" -> blockwise int4
+        # (half the int8 head's weight stream again).  Validated up front
+        # so a bad value errors in every flag combination.
+        if quantize_logits not in (None, False, True, "int8", "int4"):
+            raise ValueError(
+                f"quantize_logits={quantize_logits!r}: expected True,"
+                " False, 'int8' or 'int4'"
+            )
         if quantize_decoder:
             from ...model.quant import quantize_decoder as _qd
 
-            params = _qd(params)
+            # An explicit int4 head request composes with the int8 layers
+            # instead of being silently downgraded to the int8 head.
+            params = _qd(
+                params,
+                logits="int4" if quantize_logits == "int4" else "int8",
+            )
         elif quantize_logits:
-            # True/"int8" -> per-channel int8 head; "int4" -> blockwise
-            # int4 (half the int8 head's weight stream again).
-            if quantize_logits not in (True, "int8", "int4"):
-                raise ValueError(
-                    f"quantize_logits={quantize_logits!r}: expected True,"
-                    " False, 'int8' or 'int4'"
-                )
             if quantize_logits == "int4":
                 from ...model.quant import quantize_logits_head_int4
 

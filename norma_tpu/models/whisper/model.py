@@ -75,3 +75,7 @@ class WhisperModel(Model):
             self.engine.transcribe_window(
                 audio, [int(lf.language_tokens[0])], seed=0
             )
+        if hasattr(self.engine, "warmup_fallback"):
+            # Speculative engines have a second program (the t>0 fallback
+            # rungs) that silence can never reach: compile it here too.
+            self.engine.warmup_fallback()

@@ -217,16 +217,20 @@ class Definition(ModelDefinition):
             if isinstance(self.model, MultiAsMono)
             else self.model.value
         )
+        from .loader import definition_ext_to_dict
+
         return {
             "model": model,
             "device": {"kind": self.device.kind, "ordinal": self.device.ordinal},
             "common_params": self._common.to_dict(),
+            **definition_ext_to_dict(self),
         }
 
     @classmethod
     def from_dict(cls, d: dict) -> "Definition":
         from .. import CommonModelParams
         from . import multilingual
+        from .loader import apply_definition_ext
 
         m = d["model"]
         if isinstance(m, dict):
@@ -239,4 +243,5 @@ class Definition(ModelDefinition):
         dev = SelectedDevice(d["device"]["kind"], d["device"]["ordinal"])
         out = cls(model, dev)
         out._common = CommonModelParams.from_dict(d["common_params"])
+        apply_definition_ext(out, d)
         return out

@@ -188,16 +188,20 @@ class Definition(ModelDefinition):
 
     # Optional (de)serialization (reference serde feature).
     def to_dict(self) -> dict:
+        from .loader import definition_ext_to_dict
+
         return {
             "model": self.model.value,
             "device": {"kind": self.device.kind, "ordinal": self.device.ordinal},
             "task": self.task.value,
             "common_params": self._common.to_dict(),
+            **definition_ext_to_dict(self),
         }
 
     @classmethod
     def from_dict(cls, d: dict) -> "Definition":
         from .. import CommonModelParams
+        from .loader import apply_definition_ext
 
         out = cls(
             ModelType(d["model"]),
@@ -205,4 +209,5 @@ class Definition(ModelDefinition):
             Task(d["task"]),
         )
         out._common = CommonModelParams.from_dict(d["common_params"])
+        apply_definition_ext(out, d)
         return out

@@ -596,3 +596,26 @@ def test_engine_quantize_cross_kv_decodes_both_ladders():
     win4 = jnp.asarray(np.stack([win1] * 4))
     out4, _ = e_q.transcribe_window(win4, [TEST_LANG_IDS[0]] * 4, seed=0)
     assert len(out4) == 4
+
+
+def test_quantize_decoder_honors_int4_head():
+    """quantize_decoder(logits='int4') composes the blockwise-int4 head with
+    the int8 layers — an explicit int4 request must not be downgraded."""
+    import jax.numpy as jnp
+
+    from norma_tpu.model import fuse_qkv, init_params
+    from norma_tpu.model.quant import quantize_decoder
+    from helpers import tiny_config
+
+    params = fuse_qkv(init_params(tiny_config(), seed=0, dtype=jnp.bfloat16))
+    q = quantize_decoder(params, logits="int4")
+    dec = q["decoder"]
+    # int4 head present, int8 head absent (int4 takes precedence).
+    assert "tok_emb_q4" in dec and "tok_emb_q8" not in dec, sorted(
+        k for k in dec if k != "layers"
+    )
+    # Layers still int8-quantized.
+    assert any(k.endswith("_q") for k in dec["layers"])
+
+    with __import__("pytest").raises(ValueError):
+        quantize_decoder(params, logits="nope")

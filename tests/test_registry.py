@@ -179,3 +179,81 @@ def test_gguf_roundtrip(tmp_path):
     np.testing.assert_array_equal(tensors["a"], f32_t)
     np.testing.assert_allclose(tensors["b"], f16_t.astype(np.float32))
     np.testing.assert_allclose(tensors["c"], q8_expected, rtol=1e-3)
+
+
+# -- Round-3 review fixes -----------------------------------------------------
+
+
+def test_definition_roundtrip_preserves_extensions():
+    """to_dict/from_dict must cover every constructor knob: a round-tripped
+    Definition used to silently rebuild an unquantized, non-speculative,
+    untimestamped model."""
+    import jax.numpy as jnp
+
+    from norma_tpu.models.whisper import monolingual, multilingual
+
+    d = monolingual.Definition(
+        monolingual.ModelType.DISTIL_LARGE_EN_V3,
+        dtype=jnp.bfloat16,
+        quantize_decoder=True,
+        quantize_cross_kv=True,
+        timestamps=True,
+        draft="distil-whisper/distil-small.en",
+        spec_k="auto",
+        local_dir="/tmp/ckpt",
+    )
+    r = monolingual.Definition.from_dict(d.to_dict())
+    assert r.dtype == jnp.bfloat16
+    assert r.quantize_decoder and r.quantize_cross_kv and r.timestamps
+    assert r.draft == "distil-whisper/distil-small.en"
+    assert r.spec_k == "auto"
+    assert r.local_dir == "/tmp/ckpt"
+    assert not r.quantize_encoder and not r.mel_center
+
+    m = multilingual.Definition(
+        multilingual.ModelType.LARGE_V3,
+        task=multilingual.Task.TRANSLATE,
+        quantize_encoder=True,
+        mel_center=True,
+    )
+    r2 = multilingual.Definition.from_dict(m.to_dict())
+    assert r2.task == multilingual.Task.TRANSLATE
+    assert r2.quantize_encoder and r2.mel_center
+    assert not r2.quantize_decoder
+
+    # Old payloads (pre-extension) still load with defaults.
+    legacy = {
+        "model": monolingual.ModelType.TINY_EN.value,
+        "device": {"kind": "auto", "ordinal": 0},
+        "common_params": d.common_params().to_dict(),
+    }
+    r3 = monolingual.Definition.from_dict(legacy)
+    assert not r3.quantize_decoder and r3.spec_k == 4 and r3.draft is None
+
+
+def test_common_model_params_defaults_construct():
+    from norma_tpu.models import MIN_CHUNK_LEN, CommonModelParams
+
+    p = CommonModelParams()
+    assert p.max_chunk_len == MIN_CHUNK_LEN
+    assert p.data_buffer_size == 3  # 1 + ring slack
+    assert p.string_buffer_size == 1
+
+
+def test_selected_device_rejects_unknown_kind():
+    import pytest
+
+    from norma_tpu.models import SelectedDevice
+
+    with pytest.raises(ValueError, match="unknown device kind"):
+        SelectedDevice("gpu", 0).to_jax_device()
+
+
+def test_selected_device_tpu_errors_without_tpu():
+    """Explicit TPU selection must not silently fall back to CPU."""
+    import pytest
+
+    from norma_tpu.models import SelectedDevice
+
+    with pytest.raises(Exception):  # jax raises RuntimeError on missing backend
+        SelectedDevice.tpu(0).to_jax_device()

@@ -553,3 +553,31 @@ def test_spec_auto_k_escalates_and_stays_exact():
     # Self-draft acceptance is ~full, so at least one escalation fired.
     assert len(k_seen) >= 2, k_seen
     assert spec.spec_k > 4
+
+
+def test_warmup_compiles_fallback_program():
+    """WhisperModel.warmup must also trace the speculative engine's t>0
+    fallback program: silence never reaches it (no-speech gate), so without
+    warmup_fallback the first live window failing the logprob gate would
+    stall on a mid-utterance compile."""
+    from helpers import ToyTokenizer
+    from norma_tpu.decode import LanguageState
+    from norma_tpu.models.whisper.model import WhisperModel
+
+    cfg = tiny_config()
+    params = init_params(cfg, seed=5)
+    spec = SpeculativeEngine(
+        params, cfg, params, cfg, TEST_ST,
+        language_token_ids=TEST_LANG_IDS, spec_k=2,
+    )
+    # Direct call executes the program end to end (shape/dtype sanity).
+    spec.warmup_fallback()
+
+    called = []
+    orig = spec.warmup_fallback
+    spec.warmup_fallback = lambda *a, **k: (called.append(1), orig(*a, **k))[1]
+    model = WhisperModel(
+        spec, ToyTokenizer(), LanguageState(const=TEST_LANG_IDS[0])
+    )
+    model.warmup()
+    assert called, "warmup() did not invoke warmup_fallback()"
