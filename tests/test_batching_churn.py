@@ -99,3 +99,23 @@ def test_stop_mid_stream_releases_slot():
         assert out2
     finally:
         bt.close()
+
+
+def test_soak_tool_self_test(monkeypatch, capsys):
+    """tools/soak_serving.py --cpu is the hermetic self-test of the
+    hardware soak; keep it green so run_hw_session.sh's soak step works."""
+    import importlib.util
+    import sys as _sys
+
+    spec = importlib.util.spec_from_file_location(
+        "soak_serving",
+        __file__.rsplit("/tests/", 1)[0] + "/tools/soak_serving.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(
+        _sys, "argv",
+        ["soak_serving.py", "--cpu", "--minutes", "0.05", "--streams", "2"],
+    )
+    mod.main()
+    assert "SOAK PASS" in capsys.readouterr().out

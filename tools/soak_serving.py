@@ -1,0 +1,172 @@
+"""Multi-stream serving soak: N realtime streams for M minutes, with
+liveness/loss assertions and periodic metrics.
+
+Production-stability evidence beyond the short churn tests
+(tests/test_batching_churn.py): streams run at REAL TIME for minutes, so
+scheduler rounds, admission, retirement and channel backpressure all cycle
+hundreds of times, and host memory growth would show.  Exit code 0 means
+every assertion held:
+
+  - every stream terminated and produced output
+  - zero transcript drops and zero audio-chunk drops (the lossy paths must
+    not fire when receivers drain promptly)
+  - RSS growth under SOAK_RSS_BUDGET_MB (default 256 MB) after warmup
+
+Run on TPU (real dims):   python tools/soak_serving.py --minutes 3
+Self-test on CPU (tiny):  python tools/soak_serving.py --cpu --minutes 0.2
+"""
+
+import argparse
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
+))
+
+
+def rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return 0.0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--minutes", type=float, default=3.0)
+    ap.add_argument("--streams", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true",
+                    help="tiny seeded model on CPU (hermetic self-test)")
+    ap.add_argument("--rss-budget-mb", type=float,
+                    default=float(os.environ.get("SOAK_RSS_BUDGET_MB", 256)))
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import numpy as np
+
+    from norma_tpu.audio.sources import SyntheticSource
+    from norma_tpu.decode import DecodeEngine, LanguageState
+    from norma_tpu.input import Settings
+    from norma_tpu.models.whisper.model import WhisperModel
+    from norma_tpu.runtime.batching import BatchedTranscriber
+
+    if args.cpu:
+        from helpers import TEST_LANG_IDS, TEST_ST, ToyTokenizer, tiny_config
+        from norma_tpu.model import init_params
+
+        cfg = tiny_config()
+        engine = DecodeEngine(
+            init_params(cfg, seed=3), cfg, TEST_ST,
+            language_token_ids=TEST_LANG_IDS,
+        )
+        model = WhisperModel(
+            engine, ToyTokenizer(), LanguageState(const=TEST_LANG_IDS[0])
+        )
+    else:
+        import jax.numpy as jnp
+
+        from norma_tpu.decode.masks import SpecialTokens
+        from norma_tpu.model import PRESETS, fuse_qkv, init_params
+
+        cfg = PRESETS["distil-large-v3"]
+        params = jax.device_put(
+            fuse_qkv(init_params(cfg, seed=0, dtype=jnp.bfloat16)),
+            jax.devices()[0],
+        )
+        st = SpecialTokens(
+            sot=50258, eot=50257, task=50360, no_speech=50363,
+            no_timestamps=50364, zero_sec=50365, one_sec=50415,
+        )
+
+        class _NullTok:
+            def decode(self, ids, skip_special_tokens=True):
+                return " ".join(str(i) for i in ids) or "."
+
+            def token_to_id(self, s):
+                return None
+
+        model = WhisperModel(
+            DecodeEngine(params, cfg, st), _NullTok(),
+            LanguageState(const=50259),
+        )
+        model.warmup()
+
+    bt = BatchedTranscriber(model, max_streams=args.streams)
+    deadline = time.monotonic() + args.minutes * 60.0
+    results = {}
+    threads = []
+    started = 0
+    rss0 = None
+    lock = threading.Lock()
+
+    def drain(tag, handle):
+        segs = list(handle.receiver)
+        with lock:
+            results[tag] = segs
+
+    print(f"# soak: {args.streams} streams, {args.minutes} min, "
+          f"{'tiny/cpu' if args.cpu else 'distil-large-v3'}", flush=True)
+    wave = 0
+    while time.monotonic() < deadline:
+        handles = []
+        # Streams live ~20s real time each wave (or 3s for the CPU
+        # self-test) so retirement/admission cycles repeatedly.
+        dur = 3.0 if args.cpu else 20.0
+        dur = min(dur, max(2.0, deadline - time.monotonic()))
+        for i in range(args.streams):
+            h = bt.blocking_start(Settings(source=SyntheticSource(
+                sample_rate=16_000, channels=1, duration=dur,
+                freq=220.0 + 20 * ((started + i) % 16), realtime=True,
+            )))
+            handles.append(h)
+            started += 1
+        for i, h in enumerate(handles):
+            t = threading.Thread(
+                target=drain, args=(f"w{wave}s{i}", h), daemon=True
+            )
+            t.start()
+            threads.append(t)
+        for t in threads:
+            t.join(timeout=dur * 4 + 120)
+        stuck = [t for t in threads if t.is_alive()]
+        assert not stuck, f"{len(stuck)} drain threads stuck in wave {wave}"
+        threads.clear()
+        if rss0 is None:
+            rss0 = rss_mb()  # after first wave: compiles + caches warm
+        m = bt.metrics()
+        print(
+            f"# wave {wave}: {started} streams total, rss {rss_mb():.0f} MB, "
+            f"metrics {m}", flush=True,
+        )
+        wave += 1
+
+    m = bt.metrics()
+    bt.close()
+    grew = rss_mb() - (rss0 or rss_mb())
+    empty = [tag for tag, segs in results.items() if not segs]
+    print(f"# done: {started} streams, {len(results)} drained, "
+          f"rss growth {grew:.0f} MB, metrics {m}", flush=True)
+    assert len(results) == started, (len(results), started)
+    assert not empty, f"streams with no output: {empty[:5]}"
+    assert m["transcript_drops"] == 0, m
+    assert m["audio_drops"] == 0, m
+    assert grew < args.rss_budget_mb, (
+        f"RSS grew {grew:.0f} MB (> {args.rss_budget_mb:.0f} budget) — "
+        "possible leak across stream churn"
+    )
+    print("SOAK PASS")
+
+
+if __name__ == "__main__":
+    main()
