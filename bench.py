@@ -57,7 +57,49 @@ class _NullTokenizer:
         return None
 
 
+def _probe_backend(timeout_s: float = 180.0) -> bool:
+    """Bounded backend-liveness probe.
+
+    The tunneled TPU backend can hang jax.devices() INDEFINITELY when the
+    tunnel is down (observed for hours); without this bound the bench (and
+    the driver waiting on it) would hang instead of recording a result.
+    The probe runs in a daemon thread so a hung backend can't block exit.
+    """
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax
+
+        ok.append(str(jax.devices()[0]))
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main() -> None:
+    if not _probe_backend():
+        print(
+            json.dumps(
+                {
+                    "metric": "rtf_distil_large_v3_stream",
+                    "value": None,
+                    "unit": "rtf (wall-clock per 30s window / 30s; lower is better)",
+                    "vs_baseline": None,
+                    "detail": {
+                        "error": "jax backend initialization timed out "
+                        "(TPU tunnel down); no measurement possible",
+                    },
+                }
+            )
+        )
+        import os
+
+        os._exit(3)  # the probe thread may be wedged in native code
+
     import jax
     import jax.numpy as jnp
 
