@@ -500,8 +500,6 @@ class SpeculativeEngine(DecodeEngine):
         avg_logprob gate would stall its stream on a mid-utterance XLA
         compile.  Called by WhisperModel.warmup.
         """
-        import jax.numpy as jnp
-
         feats = jnp.zeros(
             (batch, self.cfg.max_source_positions, self.cfg.d_model),
             self.params["decoder"]["tok_emb"].dtype,
@@ -599,9 +597,6 @@ class SpeculativeEngine(DecodeEngine):
                 )
             )
             packed[need_fb, : Tmax + 3] = fb[need_fb]
-        else:
-            # Normalize accepted-rung bookkeeping: rung stays 0.
-            pass
 
         return self._unpack_window(packed, active, detect)
 

@@ -51,21 +51,30 @@ class WhisperModel(Model):
         return self.longform.transcribe(np.asarray(data, np.float32), final_chunk)
 
     @instrument
-    def warmup(self) -> None:
+    def warmup(self, batch: int = 1) -> None:
         """Pre-compile the serving path — the fused whole-window program
         (mel + encoder + detection when multilingual + prefill + ladder) —
-        so the first real audio chunk doesn't pay compilation latency."""
+        so the first real audio chunk doesn't pay compilation latency.
+
+        ``batch``: the window batch size to compile for.  Programs are
+        shape-specialized per batch, so batched serving must warm each
+        power-of-two bucket it can dispatch — use
+        ``BatchedTranscriber.warmup()``, which calls this per bucket.
+        """
         import jax.numpy as jnp
 
         from ...frontend.mel import prepare_audio
 
         lf = self.longform
         audio = jnp.asarray(
-            prepare_audio(np.zeros(lf.window_samples, np.float32), lf.n_frames)
-        )[None]
+            np.tile(
+                prepare_audio(np.zeros(lf.window_samples, np.float32), lf.n_frames),
+                (batch, 1),
+            )
+        )
         lang = lf.lang.token
         self.engine.transcribe_window(
-            audio, [int(lang) if lang is not None else -1], seed=0
+            audio, [int(lang) if lang is not None else -1] * batch, seed=0
         )
         if lang is None and lf.language_tokens:
             # Detect-mode models run the detect variant on window 1 and the
@@ -73,9 +82,9 @@ class WhisperModel(Model):
             # resolved); compile that second program now too, or it stalls
             # the live stream mid-utterance.
             self.engine.transcribe_window(
-                audio, [int(lf.language_tokens[0])], seed=0
+                audio, [int(lf.language_tokens[0])] * batch, seed=0
             )
         if hasattr(self.engine, "warmup_fallback"):
             # Speculative engines have a second program (the t>0 fallback
             # rungs) that silence can never reach: compile it here too.
-            self.engine.warmup_fallback()
+            self.engine.warmup_fallback(batch)

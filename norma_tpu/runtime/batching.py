@@ -177,7 +177,14 @@ class BatchedTranscriber:
             schan = StringChannel(8)
             stream = _Stream(sid, pipeline, ring, state, schan)
             self._streams[sid] = stream
-            pipeline.start()
+            try:
+                pipeline.start()
+            except Exception:
+                # A source that fails to start must not leak its slot: the
+                # caller gets no handle, so nothing could ever stop it and
+                # repeated failures would exhaust max_streams.
+                del self._streams[sid]
+                raise
             return BatchedStreamHandle(self, sid, schan.receiver())
 
     def _stop_stream(self, sid: int) -> None:
@@ -186,12 +193,37 @@ class BatchedTranscriber:
         if s is not None:
             s.pipeline.stop()  # flushes final chunk, closes ring
 
+    def warmup(self) -> None:
+        """Pre-compile every fused-window variant this scheduler can
+        dispatch (one per power-of-two batch bucket, dp-rounded), including
+        the speculative fallback program at each bucket.  Without this the
+        first round at a new bucket — or the first gate-failing window at
+        that bucket on a speculative engine — compiles mid-stream and
+        stalls every live stream in the batch.
+        """
+        buckets = sorted(
+            {
+                min(
+                    -(-max(self._batch_size(n, self.max_streams), self._dp)
+                      // self._dp) * self._dp,
+                    self.max_streams,
+                )
+                for n in range(1, self.max_streams + 1)
+            }
+        )
+        for b in buckets:
+            self.model.warmup(batch=b)
+
     def close(self) -> None:
+        # _closed must be set INSIDE the lock, before the snapshot: a
+        # blocking_start racing between snapshot and set would admit a
+        # stream close() never stops, and the scheduler (whose shutdown
+        # condition needs every source closed) would never exit.
         with self._lock:
+            self._closed.set()
             streams = list(self._streams.values())
         for s in streams:
             s.pipeline.stop()
-        self._closed.set()
         self._wake.set()
         self._thread.join(timeout=30)
 
@@ -380,15 +412,18 @@ class BatchedTranscriber:
                     # Fatal (e.g. a device error): tear the transcriber
                     # down like close() would — stop capture pipelines so
                     # threads/rings don't leak, mark closed so late
-                    # blocking_start calls are refused, and close every
-                    # transcript sender so receivers unblock.
+                    # blocking_start calls are refused, and retire every
+                    # stream (closes senders so receivers unblock, pops the
+                    # slot, folds its drop counters into the retired totals
+                    # — zombie entries would otherwise report as 'live'
+                    # behind a dead scheduler forever).
                     logger.exception("batched decode round failed")
                     with self._lock:
+                        self._closed.set()
                         streams = list(self._streams.values())
-                    self._closed.set()
                     for s in streams:
                         s.pipeline.stop()
-                        s.schan.close_sender()
+                        self._finish_stream(s)
                     raise
             # Retire streams whose source ended and buffer drained.
             with self._lock:

@@ -342,3 +342,80 @@ def test_round_cap_rotates_and_completes(model):
     # Rotation served every stream (no starvation).
     served = set().union(*map(set, rounds))
     assert served == {h._sid for h in handles}, (rounds, served)
+
+
+# -- Round-3 engine/batching review fixes -------------------------------------
+
+
+def test_failing_source_start_releases_slot(model):
+    """A source whose start() raises must not leak its stream slot —
+    repeated failures would exhaust max_streams with nothing to stop."""
+    bt = BatchedTranscriber(model, max_streams=1)
+    try:
+        class BoomSource(SyntheticSource):
+            def start(self, on_data, on_end=None):
+                raise RuntimeError("device open failed")
+
+        for _ in range(3):
+            with pytest.raises(RuntimeError, match="device open failed"):
+                bt.blocking_start(Settings(source=BoomSource(
+                    sample_rate=16_000, channels=1, duration=0.5)))
+        # The slot is still free.
+        h = bt.blocking_start(Settings(source=SyntheticSource(
+            sample_rate=16_000, channels=1, duration=0.4, realtime=False)))
+        assert list(h.receiver)  # stream runs to completion
+    finally:
+        bt.close()
+
+
+def test_warmup_covers_scheduler_buckets(model):
+    """BatchedTranscriber.warmup() compiles every dp-rounded power-of-two
+    bucket the scheduler can dispatch (including the speculative fallback
+    per bucket) so no live round pays a mid-stream compile."""
+    import copy
+    model2 = copy.copy(model)  # don't monkeypatch the shared fixture
+    bt = BatchedTranscriber(model2, max_streams=5)
+    try:
+        calls = []
+        model2.warmup = lambda batch=1: calls.append(batch)
+        bt.warmup()
+        assert calls == [1, 2, 4, 5], calls
+    finally:
+        bt.close()
+
+
+def test_close_start_race_does_not_leak_scheduler():
+    """close() marks closed under the lock before snapshotting, so a start
+    racing with close either is admitted-and-stopped or refused — never
+    admitted-and-ignored (which would hang the scheduler join forever)."""
+    import threading
+
+    cfg = tiny_config()
+    params = init_params(cfg, seed=3)
+    for _ in range(10):
+        engine = DecodeEngine(
+            params, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS
+        )
+        m = WhisperModel(
+            engine, ToyTokenizer(), LanguageState(const=TEST_LANG_IDS[0])
+        )
+        bt = BatchedTranscriber(m, max_streams=2)
+        barrier = threading.Barrier(2)
+        errors = []
+
+        def starter():
+            barrier.wait()
+            try:
+                bt.blocking_start(Settings(source=SyntheticSource(
+                    sample_rate=16_000, channels=1, duration=0.3,
+                    realtime=False)))
+            except Exception as e:
+                errors.append(e)
+
+        t = threading.Thread(target=starter, daemon=True)
+        t.start()
+        barrier.wait()
+        bt.close()
+        t.join(timeout=10)
+        assert not t.is_alive()
+        assert not bt._thread.is_alive(), "scheduler thread leaked"
