@@ -38,9 +38,11 @@ def main() -> None:
         # batched encoder win.
     )
     model = definition.blocking_try_to_model()
-    model.warmup()
 
     bt = BatchedTranscriber(model, max_streams=max(len(args), 1))
+    # Compile every batch bucket the scheduler can dispatch up front, so
+    # no live round pays a mid-stream XLA compile.
+    bt.warmup()
     handles = [
         (path, bt.blocking_start(Settings(source=FileSource(path))))
         for path in args
