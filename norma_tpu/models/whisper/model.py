@@ -51,7 +51,7 @@ class WhisperModel(Model):
         return self.longform.transcribe(np.asarray(data, np.float32), final_chunk)
 
     @instrument
-    def warmup(self, batch: int = 1) -> None:
+    def warmup(self, batch: int = 1, put=None) -> None:
         """Pre-compile the serving path — the fused whole-window program
         (mel + encoder + detection when multilingual + prefill + ladder) —
         so the first real audio chunk doesn't pay compilation latency.
@@ -60,6 +60,10 @@ class WhisperModel(Model):
         shape-specialized per batch, so batched serving must warm each
         power-of-two bucket it can dispatch — use
         ``BatchedTranscriber.warmup()``, which calls this per bucket.
+        ``put``: optional placement hook applied to the warmup audio
+        (e.g. a dp-sharded ``jax.device_put``); programs also specialize
+        on input SHARDING, so mesh serving must warm with the same
+        placement its rounds will use.
         """
         import jax.numpy as jnp
 
@@ -72,6 +76,8 @@ class WhisperModel(Model):
                 (batch, 1),
             )
         )
+        if put is not None:
+            audio = put(audio)
         lang = lf.lang.token
         self.engine.transcribe_window(
             audio, [int(lang) if lang is not None else -1] * batch, seed=0

@@ -211,8 +211,16 @@ class BatchedTranscriber:
                 for n in range(1, self.max_streams + 1)
             }
         )
+        put = None
+        if self._batch_sharding is not None:
+            import jax
+
+            # Programs specialize on input sharding too: warm with the same
+            # dp placement _decode_round uses, or the mesh path would still
+            # compile on the first live round.
+            put = lambda a: jax.device_put(a, self._batch_sharding)
         for b in buckets:
-            self.model.warmup(batch=b)
+            self.model.warmup(batch=b, put=put)
 
     def close(self) -> None:
         # _closed must be set INSIDE the lock, before the snapshot: a

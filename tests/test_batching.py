@@ -377,7 +377,7 @@ def test_warmup_covers_scheduler_buckets(model):
     bt = BatchedTranscriber(model2, max_streams=5)
     try:
         calls = []
-        model2.warmup = lambda batch=1: calls.append(batch)
+        model2.warmup = lambda batch=1, put=None: calls.append(batch)
         bt.warmup()
         assert calls == [1, 2, 4, 5], calls
     finally:

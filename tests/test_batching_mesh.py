@@ -143,3 +143,27 @@ def test_non_power_of_two_dp_rounds_batch(monkeypatch):
     assert seen_batches, "no decode round ran"
     assert all(b % 3 == 0 for b in seen_batches), seen_batches
     assert not bt._thread.is_alive()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4+ virtual devices")
+def test_mesh_warmup_compiles_sharded_variants():
+    """BatchedTranscriber.warmup() on a mesh warms with the SAME dp-sharded
+    placement its rounds use (programs specialize on input sharding), then
+    live rounds run without error."""
+    cfg = tiny_config(
+        d_model=64, encoder_attention_heads=4, decoder_attention_heads=4
+    )
+    mesh = make_mesh(dp=2, tp=2)
+    params = shard_params(init_params(cfg, seed=3), mesh)
+    engine = DecodeEngine(params, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS)
+    model = WhisperModel(
+        engine, ToyTokenizer(), LanguageState(const=TEST_LANG_IDS[0]),
+        language_tokens=TEST_LANG_IDS,
+    )
+    bt = BatchedTranscriber(model, max_streams=4, mesh=mesh)
+    try:
+        bt.warmup()  # buckets 2, 4 (dp=2 floor), dp-sharded inputs
+        h = bt.blocking_start(Settings(source=_source(0)))
+        assert list(h.receiver) is not None
+    finally:
+        bt.close()
