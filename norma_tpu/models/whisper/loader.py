@@ -254,6 +254,8 @@ def build_model(
             want_tiers = set()
             if quantize_decoder:
                 want_tiers.add("decoder-w8")
+                if quantize_logits == "int4":
+                    want_tiers.add("logits-int4")
             elif quantize_logits:
                 want_tiers.add(
                     "logits-int4" if quantize_logits == "int4" else "logits-w8"

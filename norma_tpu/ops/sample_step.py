@@ -33,6 +33,25 @@ import jax
 import jax.numpy as jnp
 
 
+def uniform_from_bits(bits: jax.Array) -> jax.Array:
+    """TPU-PRNG raw bits -> uniform floats in (0, 1), inside a Pallas kernel.
+
+    ``prng_random_bits`` returns int32: bitcast to uint32 BEFORE the shift,
+    else ``>> 9`` is arithmetic and half the draws land in [-0.5, 0)
+    (clamped to a constant) instead of uniform [0, 1).  The shifted value
+    fits in 23 bits, so bitcast back to int32 for the float conversion
+    (Mosaic has no uint32->f32 cast).  Shared with the hardware uniformity
+    probe (tools/verify_sample_kernel_tpu.py) so the probe exercises THIS
+    code, not a private copy that could drift from it.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    u = pltpu.bitcast(
+        pltpu.bitcast(bits, jnp.uint32) >> 9, jnp.int32
+    ).astype(jnp.float32) * (1.0 / (1 << 23))
+    return jnp.maximum(u, 1e-12)  # avoid log(0)
+
+
 def sample_step_jnp(
     ll: jax.Array,  # [B, V] f32 raw logits for the next token
     m_suppress: jax.Array,  # [V] f32 0/-inf
@@ -177,16 +196,8 @@ def _make_kernel(V: int, eot: int, no_timestamps: int):
         )
         s1 = seed_ref[0, 1] + jnp.uint32(blk) * jnp.uint32(0x9E3779B9)
         pltpu.prng_seed(s0, s1)
-        # prng_random_bits returns int32: bitcast to uint32 BEFORE the
-        # shift, else `>> 9` is arithmetic and half the draws land in
-        # [-0.5, 0) (clamped to a constant) instead of uniform [0, 1).
-        # The shifted value fits in 23 bits, so bitcast back to int32 for
-        # the float conversion (Mosaic has no uint32->f32 cast).
-        bits = pltpu.bitcast(pltpu.prng_random_bits((R, VP)), jnp.uint32)[:, :V]
-        u = pltpu.bitcast(bits >> 9, jnp.int32).astype(jnp.float32) * (
-            1.0 / (1 << 23)
-        )
-        u = jnp.maximum(u, 1e-12)  # avoid log(0)
+        bits = pltpu.prng_random_bits((R, VP))
+        u = uniform_from_bits(bits)[:, :V]
         g = -jnp.log(-jnp.log(u))
         z = masked / jnp.maximum(temp, 1e-6) + g
         cat = _first_index_of_max(z, ids, V)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import wave
 
@@ -116,5 +117,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    sys.path.insert(0, ".")
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     main()

@@ -66,9 +66,13 @@ def main() -> None:
     dcfg = PRESETS["distil-large-v3"].with_(max_target_positions=136)
     dev = jax.devices()[0]
 
-    tgt = init_params(tcfg, seed=0, dtype=jnp.bfloat16)
+    # EVERY arm builds on fused-QKV params — the production form (the
+    # loader always fuses, loader.py).  Leaving the baselines unfused
+    # would fold the fusion effect into every "_w8" delta and misattribute
+    # it to quantization.
+    tgt = fuse_qkv(init_params(tcfg, seed=0, dtype=jnp.bfloat16))
     draft_rand = jax.device_put(
-        init_params(dcfg, seed=7, dtype=jnp.bfloat16), dev
+        fuse_qkv(init_params(dcfg, seed=7, dtype=jnp.bfloat16)), dev
     )
 
     def identity_tail_pair():
@@ -136,15 +140,11 @@ def main() -> None:
              1),
         ]
     elif scenario == "knobs":
-        tgt_w8 = jax.device_put(quantize_decoder(fuse_qkv(tgt)), dev)
+        tgt_w8 = jax.device_put(quantize_decoder(tgt), dev)
         # The draft pays the SAME-size logits head as the target (d_model
         # and vocab match) on every one of its K+1 sequential steps per
         # round — int8-quantizing the draft halves that stream too.
-        draft_w8 = jax.device_put(
-            quantize_decoder(fuse_qkv(init_params(dcfg, seed=7,
-                                                  dtype=jnp.bfloat16))),
-            dev,
-        )
+        draft_w8 = jax.device_put(quantize_decoder(draft_rand), dev)
         tgt_d = jax.device_put(tgt, dev)
         runs = [
             (f"lv3_spec_rand_k{K}",
@@ -171,7 +171,7 @@ def main() -> None:
              1),
         ]
     elif scenario == "batch":
-        tgt_w8 = jax.device_put(quantize_decoder(fuse_qkv(tgt)), dev)
+        tgt_w8 = jax.device_put(quantize_decoder(tgt), dev)
         tgt_d = jax.device_put(tgt, dev)
         B = 8
         runs = [

@@ -57,6 +57,13 @@ def main() -> None:
         if os.path.exists(plain):
             return plain
         hits = sorted(glob.glob(os.path.join(args.in_dir, f"{stem}*.json")))
+        # tokenizer*.json must never match tokenizer_config.json — copying
+        # the config as tokenizer.json produces a dir that only fails much
+        # later, when the serving loader tries to parse it.
+        hits = [
+            h for h in hits
+            if os.path.basename(h) != f"{stem}_config.json"
+        ]
         if not hits:
             raise SystemExit(f"{args.in_dir}: no {stem}*.json found")
         return hits[0]
@@ -85,8 +92,15 @@ def main() -> None:
     if args.decoder:
         from norma_tpu.model.quant import quantize_decoder
 
-        params = quantize_decoder(params)
+        # Same composition rule as the runtime loader (loader.py): an
+        # explicit --logits int4 keeps the int4 head alongside the int8
+        # layers instead of being downgraded to the int8 head.
+        params = quantize_decoder(
+            params, logits="int4" if args.logits == "int4" else "int8"
+        )
         tiers.append("decoder-w8")
+        if args.logits == "int4":
+            tiers.append("logits-int4")
     elif args.logits == "int4":
         from norma_tpu.model.quant import quantize_logits_head_int4
 

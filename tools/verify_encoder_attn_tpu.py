@@ -77,7 +77,10 @@ def main() -> int:
             for s in range(3)
         ]
 
-        for impl in ("chunked", "jax_flash"):
+        # Every non-default impl, including the Pallas "flash" kernel —
+        # this gate exists precisely because the impls are TPU-only and a
+        # numeric regression there is invisible to the CPU suite.
+        for impl in ("chunked", "jax_flash", "flash"):
             cfg = cfg0.with_(encoder_attn_impl=impl)
             f = np.asarray(
                 jax.jit(lambda p, m, c=cfg: encode(p, c, m))(params, mel),
@@ -93,14 +96,24 @@ def main() -> int:
                  type("N", (), {"tokens": None})).tokens
                 for s in range(3)
             ]
-            match = sum(a == b for a, b in zip(t, t_ref))
+            # A window with no result on BOTH engines compares equal but
+            # verifies nothing: exclude such seeds from the parity count
+            # (same fix as verify_encoder_q8_tpu, commit 0c81d17).
+            real = [
+                (a, b) for a, b in zip(t, t_ref)
+                if not (a is None and b is None)
+            ]
+            match = sum(a == b for a, b in real)
             print(f"{preset}/{impl}: feature rel-RMS {rel:.2e}, "
-                  f"transcripts {match}/3 identical")
+                  f"transcripts {match}/{len(real)} identical "
+                  f"({3 - len(real)} no-result excluded)")
             bound = 1e-4 if impl == "chunked" else 5e-2
             if rel > bound:
                 failures[f"{preset}/{impl}"] = f"rel {rel} > {bound}"
-            if impl == "chunked" and match != 3:
-                failures[f"{preset}/{impl}-tokens"] = f"{match}/3"
+            if impl == "chunked" and (not real or match != len(real)):
+                failures[f"{preset}/{impl}-tokens"] = (
+                    f"{match}/{len(real)}" if real else "vacuous (0 compared)"
+                )
 
     print("PASS" if not failures else f"FAIL {failures}")
     return 1 if failures else 0

@@ -53,6 +53,7 @@ def main() -> int:
 
     n_windows = 4
     failures = 0
+    compared = 0  # real (non-vacuous) token comparisons
     for preset in ("distil-large-v3", "tiny"):
         cfg_on = PRESETS[preset].with_(encoder_scores_bf16=True)
         cfg_off = PRESETS[preset].with_(encoder_scores_bf16=False)
@@ -77,7 +78,17 @@ def main() -> int:
                 )
                 t_on = drs_on[0].tokens if drs_on[0] else None
                 t_off = drs_off[0].tokens if drs_off[0] else None
+                if t_on is None and t_off is None:
+                    # No result on either engine: comparing nothing must
+                    # not count as parity (same fix as
+                    # verify_encoder_q8_tpu, commit 0c81d17).
+                    print(
+                        f"{preset} seed={seed} window={w}: NO RESULT on "
+                        "both engines (excluded from parity)"
+                    )
+                    continue
                 ok = t_on == t_off
+                compared += 1
                 failures += 0 if ok else 1
                 print(
                     f"{preset} seed={seed} window={w}: "
@@ -112,6 +123,9 @@ def main() -> int:
                 failures += 1
                 print("  FAIL: drift above 2% rel-RMS")
 
+    if compared == 0:
+        print("FAIL (no real token comparisons — gate is vacuous)")
+        return 1
     print("PASS" if failures == 0 else f"FAIL ({failures})")
     return 1 if failures else 0
 

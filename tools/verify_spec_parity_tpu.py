@@ -72,6 +72,19 @@ def main() -> None:
         out_p, _ = plain.transcribe_window(mel1, [50259], seed=0)
         spec = SpeculativeEngine(tgt, tcfg, draft, dcfg, st, spec_k=4)
         out_s, _ = spec.transcribe_window(mel1, [50259], seed=0)
+        if out_p[0] is None or out_s[0] is None:
+            # No-result window (every rung rejected): print a verdict
+            # instead of crashing on .tokens, and fail only on asymmetry
+            # (one engine produced a result, the other didn't).
+            sym = (out_p[0] is None) == (out_s[0] is None)
+            print(json.dumps({
+                "dtype": dtype.__name__,
+                "no_result": True,
+                "symmetric": sym,
+            }), flush=True)
+            if not sym:
+                ok = False
+            continue
         pt, stoks = out_p[0].tokens, out_s[0].tokens
         npfx = 0
         for a, b in zip(pt, stoks):
