@@ -454,6 +454,9 @@ class DecodeEngine:
             acc = accept.reshape(R, B)
             any_acc = acc.any(axis=0)
             first_r = jnp.argmax(acc, axis=0).astype(jnp.int32)
+            # No rung accepted -> brung -1 -> host returns None and the
+            # long-form layer discards the slice, exactly the reference's
+            # `Ok(None)` + drain (model.rs:90-93, 188-190).
             sel = first_r * B + jnp.arange(B)
             brung = jnp.where(any_acc, first_r, -1)
             btoks = jnp.where(any_acc[:, None], toks[sel], tokens_init)

@@ -103,13 +103,23 @@ def sample_step_jnp(
         jnp.int32
     )
     use_sampling = temp > 0.0
-    all_nan = jnp.isnan(masked).any(axis=-1)
+    # Grammar deadlock == no token has a finite weight: every entry -inf
+    # (all suppressed — softmax(masked/t) would be all-NaN, the condition
+    # the reference checks, model.rs:343-346) or a NaN present (which
+    # poisons that softmax the same way).  `isnan(masked).any()` alone
+    # missed the all--inf case: additive -inf masks never produce NaN.
+    deadlock = ~jnp.isfinite(jnp.max(masked, axis=-1))
+    # Greedy in a deadlock: candle's max_by returns the LAST of equal
+    # maxima (all -inf), i.e. the highest vocab id; numpy argmax the
+    # first.  Match the reference.  (Finite exact ties keep first-index —
+    # unreachable on continuous softmax outputs.)
+    greedy = jnp.where(deadlock, V - 1, greedy)
     nxt = jnp.where(use_sampling, cat, greedy)
-    nxt = jnp.where(use_sampling & all_nan, eot, nxt)
+    nxt = jnp.where(use_sampling & deadlock, eot, nxt)
     prob_chosen = jnp.sum(
         jnp.where(ids[None] == nxt[:, None], masked, 0.0), axis=-1
     )
-    return nxt, prob_chosen, all_nan
+    return nxt, prob_chosen, deadlock
 
 
 _ROWS = 8  # rows per program: one VPU sublane group
@@ -179,9 +189,14 @@ def _make_kernel(V: int, eot: int, no_timestamps: int):
         masked = base + jnp.where(p1 > no_timestamps, mask_a, mask_b)
         masked = jnp.where(step == 0, probs + mfirst_ref[:], masked)
 
-        isn = jnp.isnan(masked)
-        any_nan = jnp.any(isn, axis=1, keepdims=True)
+        # Deadlock == non-finite row max (all -inf, or any NaN poisoning
+        # it) — matches sample_step_jnp and the reference's all-NaN
+        # softmax check (model.rs:343-346).
+        deadlock = ~jnp.isfinite(jnp.max(masked, axis=1, keepdims=True))
         greedy = _first_index_of_max(masked, ids, V)
+        # Deadlocked greedy: candle's max_by picks the LAST of the equal
+        # -inf maxima (highest vocab id); our argmax picks the first.
+        greedy = jnp.where(deadlock, V - 1, greedy)
 
         # Gumbel-max draw: argmax(masked/T + G), G ~ Gumbel(0,1) from the
         # per-core PRNG seeded on (key, step, block) — rows inside a block
@@ -204,14 +219,14 @@ def _make_kernel(V: int, eot: int, no_timestamps: int):
 
         use_sampling = temp > 0.0
         nxt = jnp.where(use_sampling, cat, greedy)
-        nxt = jnp.where(use_sampling & any_nan, eot, nxt)
+        nxt = jnp.where(use_sampling & deadlock, eot, nxt)
         prob = jnp.sum(
             jnp.where(ids == nxt, masked, 0.0), axis=1, keepdims=True
         )
 
         nxt_ref[:] = jnp.broadcast_to(nxt, (R, 128))
         prob_ref[:] = jnp.broadcast_to(prob, (R, 128))
-        nan_ref[:] = jnp.broadcast_to(any_nan.astype(jnp.int32), (R, 128))
+        nan_ref[:] = jnp.broadcast_to(deadlock.astype(jnp.int32), (R, 128))
 
     return kernel
 

@@ -147,8 +147,12 @@ def _write_gguf_q8(path, tensors):
     off = 0
     for name, arr in tensors.items():
         arr = np.ascontiguousarray(arr, np.float32)
-        n = arr.size
-        if arr.ndim >= 2 and n % 32 == 0:
+        # ggml requires the INNERMOST dim (ne0) to be a block multiple for
+        # quantized types; quantizing on total-size divisibility produced
+        # blocks spanning rows (e.g. conv1.weight ne0=3) — invalid ggml
+        # that only a flat reader accepts.  Real q8_0 whisper files keep
+        # such tensors unquantized; mirror that.
+        if arr.ndim >= 2 and arr.shape[-1] % 32 == 0:
             flat = arr.reshape(-1, 32)
             scales = np.abs(flat).max(axis=1) / 127.0
             scales = np.where(scales > 0, scales, 1.0)

@@ -50,6 +50,38 @@ def tiny_config(**kw) -> WhisperConfig:
     return WhisperConfig(**defaults)
 
 
+def texty_config(**kw) -> WhisperConfig:
+    """tiny_config with EOT in the static suppress list.
+
+    For PLUMBING tests that assert "the stream emitted transcript text":
+    with EOT unreachable the greedy decode runs to the length cap through
+    text/timestamp tokens instead of stopping empty, so emissions are
+    non-empty AND deterministic (greedy rung 0, no t>0 draws whose seeds
+    depend on batched round composition — the source of an old flake).
+    Combine with :func:`confident_params`.
+    """
+    kw.setdefault("suppress_tokens", (0, 5, 9, 907, TEST_ST.eot))
+    return tiny_config(**kw)
+
+
+def confident_params(cfg: WhisperConfig, seed: int = 3, scale: float = 8.0):
+    """Seeded params with a PEAKED decoder softmax (final LayerNorm gain
+    scaled): greedy choices carry high probability, so decodes follow the
+    deterministic rung-0 path instead of escalating through seed-dependent
+    sampled rungs.  Pair with :func:`texty_config` in plumbing tests that
+    assert non-empty transcript text."""
+    import jax.numpy as jnp
+    import numpy as _np
+
+    from norma_tpu.model import init_params
+
+    params = dict(init_params(cfg, seed=seed))
+    d = dict(params["decoder"])
+    d["ln_g"] = jnp.asarray(_np.asarray(d["ln_g"]) * scale)
+    params["decoder"] = d
+    return params
+
+
 class ToyTokenizer:
     """Minimal tokenizer with the whisper special-token surface."""
 

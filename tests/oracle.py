@@ -93,6 +93,11 @@ class OracleDecoder:
                 next_token = int(rng.choice(len(prs), p=prs / prs.sum()))
             else:
                 next_token = int(np.argmax(masked))
+                if not np.isfinite(np.max(masked)):
+                    # Grammar deadlock (all -inf): Rust's max_by returns the
+                    # LAST of equal maxima, i.e. the highest vocab id —
+                    # np.argmax would return the first (model.rs greedy arm).
+                    next_token = len(masked) - 1
 
             if next_token > st.no_timestamps:
                 last_timestamp = next_token

@@ -5,7 +5,7 @@ import time
 import numpy as np
 import pytest
 
-from helpers import TEST_LANG_IDS, TEST_ST, ToyTokenizer, tiny_config
+from helpers import TEST_LANG_IDS, TEST_ST, ToyTokenizer, confident_params, texty_config, tiny_config
 from norma_tpu.audio.sources import SyntheticSource
 from norma_tpu.decode import DecodeEngine, LanguageState, LongFormDecoder
 from norma_tpu.input import Settings
@@ -16,8 +16,8 @@ from norma_tpu.runtime.batching import BatchedTranscriber, TooManyStreams
 
 @pytest.fixture(scope="module")
 def model():
-    cfg = tiny_config()
-    params = init_params(cfg, seed=3)
+    cfg = texty_config()
+    params = confident_params(cfg)
     engine = DecodeEngine(params, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS)
     return WhisperModel(
         engine,

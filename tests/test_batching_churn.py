@@ -10,7 +10,7 @@ threads.  Runs hermetically on CPU with the tiny seeded model.
 import threading
 import time
 
-from helpers import TEST_LANG_IDS, TEST_ST, ToyTokenizer, tiny_config
+from helpers import TEST_LANG_IDS, TEST_ST, ToyTokenizer, confident_params, texty_config
 from norma_tpu.audio.sources import SyntheticSource
 from norma_tpu.decode import DecodeEngine, LanguageState
 from norma_tpu.input import Settings
@@ -27,8 +27,8 @@ def _source(i):
 
 
 def test_churn_waves_and_abandoned_receiver():
-    cfg = tiny_config()
-    params = init_params(cfg, seed=3)
+    cfg = texty_config()
+    params = confident_params(cfg)
     engine = DecodeEngine(params, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS)
     model = WhisperModel(engine, ToyTokenizer(), LanguageState(const=TEST_LANG_IDS[0]))
     bt = BatchedTranscriber(model, max_streams=3)
@@ -78,8 +78,8 @@ def test_churn_waves_and_abandoned_receiver():
 
 
 def test_stop_mid_stream_releases_slot():
-    cfg = tiny_config()
-    params = init_params(cfg, seed=3)
+    cfg = texty_config()
+    params = confident_params(cfg)
     engine = DecodeEngine(params, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS)
     model = WhisperModel(engine, ToyTokenizer(), LanguageState(const=TEST_LANG_IDS[0]))
     bt = BatchedTranscriber(model, max_streams=1)

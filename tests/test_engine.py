@@ -67,8 +67,10 @@ def test_grammar_invariants_greedy(setup):
         assert toks[0] == st.sot and toks[-1] == st.eot
         assert len(toks) <= cfg.max_target_positions
         sampled = toks[3:]
-        # First sampled token forced into [<|0.00|> ..= <|1.00|>].
-        assert st.zero_sec <= sampled[0] <= st.one_sec
+        # First sampled token forced into [<|0.00|> ..= <|1.00|>] — unless
+        # the trailing double-timestamp cleanup removed it (a decode ending
+        # [.., ts, eot] comes back [.., eot], so toks[3] can be EOT).
+        assert sampled[0] == st.eot or st.zero_sec <= sampled[0] <= st.one_sec
         # Monotonic non-decreasing timestamps.
         ts = [t for t in sampled if t > st.no_timestamps]
         assert ts == sorted(ts)
@@ -101,7 +103,8 @@ def _first_token_expected(engine, state, temp: float) -> np.ndarray:
 
 def _chisq_pvalue(counts: np.ndarray, expected_p: np.ndarray) -> float:
     """Chi-square GOF p-value, merging bins with expected count < 5."""
-    from scipy.stats import chisquare
+    scipy_stats = pytest.importorskip("scipy.stats")
+    chisquare = scipy_stats.chisquare
 
     n = counts.sum()
     exp = expected_p * n
@@ -128,6 +131,11 @@ def test_sampling_matches_oracle_distributionally(setup):
     for s in range(n_draws):
         dr = engine.run_loop(state, temp, seed=1_000_000 + s)[0]
         first = dr.tokens[3]
+        if first == TEST_ST.eot:
+            # The trailing cleanup can delete the forced first timestamp
+            # when the decode is [prefix, ts, eot]; such a draw carries no
+            # first-token information — skip it (rare: ~1/900 per draw).
+            continue
         # Sampled tokens respect the first-token mask.
         assert TEST_ST.zero_sec <= first <= TEST_ST.one_sec
         counts[first] += 1

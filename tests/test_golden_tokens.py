@@ -45,7 +45,7 @@ class IdsTokenizer:
         return None
 
 
-def build_engine():
+def build_engine(eot_like: int = 0, eot_scale: float = 0.0):
     import jax.numpy as jnp
 
     from norma_tpu.decode.engine import DecodeEngine
@@ -60,6 +60,21 @@ def build_engine():
         suppress_tokens=(),
     )
     params = init_params(cfg, seed=0, dtype=jnp.float32)
+    if eot_scale:
+        # Seeded random models essentially never argmax onto EOT (and the
+        # timestamp grammar walks to the max timestamp and deadlocks, so
+        # every window used to pin avg_logprob = NaN — a vacuous check).
+        # Pointing EOT's tied embedding at a token the decode actually
+        # chooses makes EOT win early: a natural-EOT stop with a FINITE
+        # avg_logprob, pinning the logprob accounting and the stop path.
+        import numpy as _np
+
+        d = dict(params["decoder"])
+        emb = _np.asarray(d["tok_emb"]).copy()
+        emb[EOT] = eot_scale * emb[eot_like]
+        d["tok_emb"] = jnp.asarray(emb)
+        params = dict(params)
+        params["decoder"] = d
     st = SpecialTokens(
         sot=SOT, eot=EOT, task=TASK, no_speech=NO_SPEECH,
         no_timestamps=NO_TS, zero_sec=ZERO_SEC, one_sec=ONE_SEC,
@@ -113,12 +128,24 @@ def longform_transcript(engine):
     return out
 
 
+# Token 5221 is an early greedy text choice of the seed-0 model on the
+# tone window; EOT := 1.2x its embedding makes EOT win right after the
+# forced initial timestamp (finite-avg natural stop; see build_engine).
+EOT_LIKE, EOT_SCALE = 5221, 1.2
+
+
 def compute_golden():
     engine = build_engine()
     windows = {}
     for kind in ("tone", "noise", "mix"):
         toks, alp = window_tokens(engine, make_audio(kind, 6.0, seed=1))
         windows[kind] = {"tokens": toks, "avg_logprob": round(alp, 4)}
+    e2 = build_engine(eot_like=EOT_LIKE, eot_scale=EOT_SCALE)
+    toks, alp = window_tokens(e2, make_audio("tone", 6.0, seed=1))
+    assert len(toks) < MTP and not np.isnan(alp), "natural-EOT pin degenerated"
+    windows["tone_natural_eot"] = {
+        "tokens": toks, "avg_logprob": round(alp, 4)
+    }
     return {
         "config": "v1-layout d64 L2 seed0 f32",
         "windows": windows,
@@ -134,8 +161,11 @@ def golden():
 
 def test_window_tokens_match_golden(golden):
     engine = build_engine()
+    e2 = build_engine(eot_like=EOT_LIKE, eot_scale=EOT_SCALE)
+    finite_pins = 0
     for kind, want in golden["windows"].items():
-        toks, alp = window_tokens(engine, make_audio(kind, 6.0, seed=1))
+        e = e2 if kind == "tone_natural_eot" else engine
+        toks, alp = window_tokens(e, make_audio("tone" if "tone" in kind else kind, 6.0, seed=1))
         assert toks == want["tokens"], f"{kind}: token drift"
         import math
 
@@ -144,6 +174,14 @@ def test_window_tokens_match_golden(golden):
             assert math.isnan(alp), f"{kind}: logprob drift (want NaN)"
         else:
             assert abs(alp - want["avg_logprob"]) < 5e-3, f"{kind}: logprob drift"
+            finite_pins += 1
+    # The set must pin the ACCOUNTING, not just NaN absorption: at least
+    # one window with a finite avg_logprob (and, via tone_natural_eot, a
+    # natural-EOT stop rather than only length caps).
+    assert finite_pins >= 1, "no finite-logprob window in the golden set"
+    assert any(
+        len(w["tokens"]) < MTP for w in golden["windows"].values()
+    ), "no natural-EOT stop pinned"
 
 
 def test_longform_emissions_match_golden(golden):

@@ -126,6 +126,15 @@ class RefShim:
         if last > self.no_ts and pen < self.eot:
             out[:, : self.tb] = float("-inf")
             out[:, self.tb : last + 1] = float("-inf")
+        elif last > self.no_ts and pen <= self.no_ts:
+            # Penultimate is a SPECIAL (eot <= pen <= no_ts): the reference
+            # treats it like a paired timestamp (prev2 >= eot,
+            # model.rs:256-258) and suppresses ALL timestamps; HF's
+            # processor calls this unpaired and masks text instead —
+            # rebuild from raw with the reference's mask.
+            out[:] = raw
+            out[:, self.no_ts] = float("-inf")
+            out[:, self.tb :] = float("-inf")
         elif last <= self.no_ts:
             base = raw.float().softmax(-1)
             base[:, self.no_ts] = 0.0
@@ -153,7 +162,14 @@ def hf_greedy(tm, gen_cfg, mel_np):
         enc_out = BaseModelOutput(last_hidden_state=enc.last_hidden_state)
         while True:
             logits = tm(encoder_outputs=enc_out, decoder_input_ids=ids).logits[:, -1]
-            nxt = int(proc(ids, logits.float()).argmax(-1))
+            scores = proc(ids, logits.float())
+            if not torch.isfinite(scores.max()):
+                # Grammar deadlock (everything masked): Rust's max_by picks
+                # the LAST of the equal -inf maxima — the highest vocab id —
+                # where torch.argmax picks the first (model.rs greedy arm).
+                nxt = scores.shape[-1] - 1
+            else:
+                nxt = int(scores.argmax(-1))
             ids = torch.cat([ids, torch.tensor([[nxt]])], dim=1)
             if nxt == EOT:
                 break
@@ -199,7 +215,9 @@ def test_greedy_tokens_match_hf(setup, kind, seed):
     assert mine == hf
     # Non-trivial: prefix + forced initial timestamp + at least one more.
     assert len(mine) > 5
-    assert ZERO_SEC <= mine[3] <= ONE_SEC  # initial-token forcing held
+    # Initial-token forcing held (post-cleanup, [prefix, ts, eot] shows as
+    # [prefix, eot], so EOT is also legal here).
+    assert mine[3] == EOT or ZERO_SEC <= mine[3] <= ONE_SEC
 
 
 def test_stopping_paths_covered(setup):
@@ -216,5 +234,8 @@ def test_stopping_paths_covered(setup):
         feats = engine.encode(mel)
         state = engine.prefill(feats, LANG_EN)
         lens.append(len(engine.run_loop(state, 0.0, seed=0)[0].tokens))
-    assert any(n < MTP for n in lens), "no natural-EOT stop in the case set"
+    # Post-cleanup lengths: a length-capped run can lose ONE trailing
+    # timestamp to the cleanup, so only n <= MTP - 2 proves a natural EOT
+    # (n in {MTP-1, MTP} is ambiguous / capped).
+    assert any(n <= MTP - 2 for n in lens), "no natural-EOT stop in the case set"
     assert any(n == MTP for n in lens), "no length-cap stop in the case set"

@@ -117,13 +117,19 @@ def main() -> int:
         print(f"coverage gate: test run failed (rc={rc}); not scoring")
         return int(rc)
 
+    # Group once: rescanning the full hit set per source file is
+    # O(files x hits) on a set that grows with the whole suite.
+    by_file: dict = {}
+    for f, ln in _hits:
+        by_file.setdefault(f, set()).add(ln)
+
     total_exec = total_hit = 0
     rows = []
     for path in iter_sources():
         ex = executable_lines(path)
         if not ex:
             continue
-        hit = {ln for (f, ln) in _hits if f == path} & ex
+        hit = by_file.get(path, set()) & ex
         total_exec += len(ex)
         total_hit += len(hit)
         pct = 100.0 * len(hit) / len(ex)

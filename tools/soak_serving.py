@@ -62,12 +62,14 @@ def main() -> None:
     from norma_tpu.runtime.batching import BatchedTranscriber
 
     if args.cpu:
-        from helpers import TEST_LANG_IDS, TEST_ST, ToyTokenizer, tiny_config
-        from norma_tpu.model import init_params
+        from helpers import (
+            TEST_LANG_IDS, TEST_ST, ToyTokenizer, confident_params,
+            texty_config,
+        )
 
-        cfg = tiny_config()
+        cfg = texty_config()
         engine = DecodeEngine(
-            init_params(cfg, seed=3), cfg, TEST_ST,
+            confident_params(cfg), cfg, TEST_ST,
             language_token_ids=TEST_LANG_IDS,
         )
         model = WhisperModel(
@@ -79,11 +81,23 @@ def main() -> None:
         from norma_tpu.decode.masks import SpecialTokens
         from norma_tpu.model import PRESETS, fuse_qkv, init_params
 
-        cfg = PRESETS["distil-large-v3"]
-        params = jax.device_put(
-            fuse_qkv(init_params(cfg, seed=0, dtype=jnp.bfloat16)),
-            jax.devices()[0],
+        # Suppressing EOT + peaking the softmax makes greedy decodes run
+        # to the cap through text tokens deterministically: random weights
+        # otherwise fail every rung's logprob gate and (reference-faithful)
+        # the returned last-rung decode may carry no text, which would
+        # trip the non-empty-output assertion for model reasons rather
+        # than plumbing ones.
+        base = PRESETS["distil-large-v3"]
+        cfg = base.with_(
+            suppress_tokens=tuple(base.suppress_tokens) + (50257,)
         )
+        params = fuse_qkv(init_params(cfg, seed=0, dtype=jnp.bfloat16))
+        d = dict(params["decoder"])
+        d["ln_g"] = (jnp.asarray(d["ln_g"], jnp.float32) * 8.0).astype(
+            d["ln_g"].dtype
+        )
+        params["decoder"] = d
+        params = jax.device_put(params, jax.devices()[0])
         st = SpecialTokens(
             sot=50258, eot=50257, task=50360, no_speech=50363,
             no_timestamps=50364, zero_sec=50365, one_sec=50415,
