@@ -75,6 +75,12 @@ CASES = [
     (ST.zero_sec + 2, ST.sot, 0, 2),          # last is ts, second special
     (100, 101, 0, 3),                          # both text
     (100, ST.zero_sec + 3, ST.zero_sec + 3, 4),  # past-ts masking active
+    # GRAMMAR DEADLOCK: last is the top timestamp with text penultimate —
+    # the unpaired rule demands a STRICTLY GREATER ts (none exists) and
+    # masks text, so the whole vocab is -inf.  Greedy must pick V-1
+    # (the reference's max_by takes the LAST equal maximum) and t>0 must
+    # push EOT — both pinned vs the jnp twin by the cases loop.
+    (CFG.vocab_size - 1, 100, CFG.vocab_size - 1, 5),
 ]
 
 
@@ -100,6 +106,26 @@ def test_nan_logits_flagged():
     assert bool(nank[0]) and bool(nano[0])
     # t>0 with NaN weights forces EOT on both paths (model.rs:343-346).
     assert int(nk[0]) == int(no[0]) == ST.eot
+
+
+def test_deadlock_semantics_match_reference():
+    """All--inf deadlock: greedy picks V-1 (Rust max_by's last-of-equals),
+    t>0 pushes EOT with the deadlock flag set — kernel == jnp twin ==
+    the reference's model.rs:342-357 behavior."""
+    V = CFG.vocab_size
+    rng = np.random.default_rng(9)
+    ll = rng.normal(0, 2, (2, V)).astype(np.float32)
+    p1, p2, lts = [V - 1] * 2, [100] * 2, [V - 1] * 2
+    for fn, kw in ((sample_step_jnp, dict(key=jax.random.PRNGKey(0))),
+                   (sample_step_pallas,
+                    dict(seed2=jnp.asarray([1, 2], jnp.uint32),
+                         interpret=_interp()))):
+        nk, pk, flag = _run(fn, ll, p1, p2, lts, 5, 0.0, **kw)
+        assert np.asarray(flag).all(), "deadlock not flagged"
+        assert (np.asarray(nk) == V - 1).all(), np.asarray(nk)
+        nk2, _, flag2 = _run(fn, ll, p1, p2, lts, 5, 0.4, **kw)
+        assert np.asarray(flag2).all()
+        assert (np.asarray(nk2) == ST.eot).all(), np.asarray(nk2)
 
 
 def test_sampling_respects_mask_support():

@@ -61,6 +61,10 @@ def main() -> None:
         (st_real.zero_sec + 2, st_real.sot, 0, 2),
         (100, 101, 0, 3),
         (100, st_real.zero_sec + 3, st_real.zero_sec + 3, 4),
+        # Grammar deadlock (whole vocab -inf): greedy must pick V-1
+        # (reference max_by last-of-equals); pinned on hardware since the
+        # kernel's compiled isfinite/max path differs from interpret mode.
+        (V - 1, 100, V - 1, 5),
     ]
     n_exact = 0
     for i, (p1, p2, lts, step) in enumerate(cases):
