@@ -144,3 +144,68 @@ def test_packer_conserves_samples(block_sizes, chunk_len):
     assert got == total - 1
     assert finals >= 1
     assert ring.dropped == 0
+
+
+# --- differential grammar fuzz: Pallas kernel vs jnp twin -------------------
+
+_grammar_state = st.tuples(
+    st.one_of(  # prev1: text / special / timestamp
+        st.integers(0, S.eot - 1),
+        st.integers(S.eot, S.no_timestamps),
+        st.integers(S.no_timestamps + 1, 999),
+    ),
+    st.one_of(  # prev2
+        st.integers(0, S.eot - 1),
+        st.integers(S.eot, S.no_timestamps),
+        st.integers(S.no_timestamps + 1, 999),
+    ),
+    st.one_of(st.just(0), st.integers(S.no_timestamps + 1, 999)),  # last_ts
+    st.integers(0, 6),  # step (0 selects the first-token mask)
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(state=_grammar_state, seed=st.integers(0, 2**31 - 1))
+def test_kernel_matches_twin_on_arbitrary_grammar_states(state, seed):
+    """For ARBITRARY (prev1, prev2, last_ts, step) grammar states — valid
+    or not — the fused Pallas kernel's greedy token, chosen prob and
+    deadlock flag must equal the jnp twin's (which the branchy oracle and
+    the reference pin elsewhere).  Catches mask-algebra divergence in
+    state corners the enumerated CASES never visit."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from norma_tpu.decode.masks import build_masks
+    from norma_tpu.ops.sample_step import sample_step_jnp, sample_step_pallas
+
+    cfg = tiny_config()
+    masks = build_masks(cfg.vocab_size, cfg.suppress_tokens, S)
+    ms, mn, mt, mf = (
+        jnp.asarray(masks.suppress), jnp.asarray(masks.non_timestamps),
+        jnp.asarray(masks.timestamps), jnp.asarray(masks.first_token),
+    )
+    p1, p2, lts, step = state
+    rng = np.random.default_rng(seed)
+    ll = jnp.asarray(rng.normal(0, 2, (2, cfg.vocab_size)).astype(np.float32))
+    args = (
+        ll, ms, mn, mt, mf,
+        jnp.full((2,), p1, jnp.int32), jnp.full((2,), p2, jnp.int32),
+        jnp.full((2,), lts, jnp.int32), jnp.int32(step),
+        jnp.zeros((2,), jnp.float32),
+    )
+    nk, pk, fk = sample_step_pallas(
+        *args, jnp.asarray([1, 2], jnp.uint32),
+        eot=S.eot, no_timestamps=S.no_timestamps,
+        interpret=pltpu.InterpretParams(),
+    )
+    no, po, fo = sample_step_jnp(
+        *args, jax.random.PRNGKey(0), eot=S.eot, no_timestamps=S.no_timestamps
+    )
+    np.testing.assert_array_equal(np.asarray(nk), np.asarray(no))
+    np.testing.assert_allclose(
+        np.asarray(pk), np.asarray(po), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fk, bool), np.asarray(fo, bool)
+    )
