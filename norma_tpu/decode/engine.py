@@ -42,6 +42,7 @@ from ..model.whisper import (
     decoder_step,
     encode,
     quantize_cross_kv,
+    quantize_self_kv_cache,
 )
 from ..tracing import decode_telemetry, instrument as decode_instrument
 from .masks import SpecialTokens, build_masks
@@ -80,6 +81,7 @@ class DecodeEngine:
         mel_center: bool = False,
         fused_sampler: bool = True,
         quantize_cross_kv: bool = False,
+        quantize_self_kv: bool = False,
     ):
         self.params = params
         self.cfg = cfg
@@ -99,6 +101,13 @@ class DecodeEngine:
         # constructor argument like fused_sampler.  Opt-in: int8 rounding
         # of K/V can perturb logits ~0.1-0.5%.
         self.quantize_cross_kv = bool(quantize_cross_kv)
+        # int8 SELF-attention KV cache with per-written-row scales: halves
+        # the other per-step KV stream (large-v3 @ 448 positions: ~73 MB
+        # of self-K/V bf16 per step, scaling with batch).  Scale folding
+        # is exact (model/whisper.py attention_self_q8); like the other
+        # trace-time knobs it is a constructor argument.  Opt-in; device
+        # A/B staged in tools/perf_decoder_ab.py.
+        self.quantize_self_kv = bool(quantize_self_kv)
         # False = reference (whisper.cpp/candle) framing; True = OpenAI/HF
         # centered STFT (matches how the checkpoints were trained).
         self.mel_center = bool(mel_center)
@@ -145,6 +154,9 @@ class DecodeEngine:
         )
         if self.quantize_cross_kv:  # loop-side only; prefill above is bf16
             xk, xv = quantize_cross_kv(xk, xv)
+        if self.quantize_self_kv:  # ditto: the prefill pass itself is bf16
+            cache_k = quantize_self_kv_cache(cache_k)
+            cache_v = quantize_self_kv_cache(cache_v)
         probe = jax.nn.softmax(logits[:, 0, :], axis=-1)
         no_speech_prob = probe[:, self.st.no_speech]
         return xk, xv, cache_k, cache_v, logits[:, -1, :], no_speech_prob
@@ -405,6 +417,9 @@ class DecodeEngine:
         logits, cache_k, cache_v = decoder_prefill(params, cfg, prefix, xk, xv)
         if self.quantize_cross_kv:  # loop-side only; prefill/detect are bf16
             xk, xv = quantize_cross_kv(xk, xv)
+        if self.quantize_self_kv:
+            cache_k = quantize_self_kv_cache(cache_k)
+            cache_v = quantize_self_kv_cache(cache_v)
         probe = jax.nn.softmax(logits[:, 0, :], axis=-1)
         nsp = probe[:, st.no_speech]
         next_logits = logits[:, -1, :]
@@ -424,12 +439,17 @@ class DecodeEngine:
             # shared by attention_grouped inside decoder_step (n_rungs) so
             # that per-step traffic does not scale with R.
             temps_row = jnp.repeat(jnp.asarray(TEMPERATURES, jnp.float32), B)
+            # tree_map: an int8 self-KV cache is a dict of rank-4 leaves
+            # ("q" [L,B,T,D], "s" [L,B,T,1]) — the same tile spec fits both.
+            tile_r = lambda c: jax.tree.map(
+                lambda x: jnp.tile(x, (1, R, 1, 1)), c
+            )
             toks, n, slp = self._token_loop(
                 params,
                 xk,
                 xv,
-                jnp.tile(cache_k, (1, R, 1, 1)),
-                jnp.tile(cache_v, (1, R, 1, 1)),
+                tile_r(cache_k),
+                tile_r(cache_v),
                 jnp.tile(next_logits, (R, 1)),
                 jnp.tile(tokens_init, (R, 1)),
                 jnp.int32(3),

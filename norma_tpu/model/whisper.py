@@ -571,6 +571,73 @@ def attention_cross_q8(
     return out.astype(q.dtype).reshape(gb, tq, d)
 
 
+def quantize_self_kv_cache(cache: jax.Array) -> Dict[str, jax.Array]:
+    """Per-written-row int8 quantization of a self-attention KV cache.
+
+    cache: [L, B, Tmax, D] bf16 -> {"q": int8 same shape,
+    "s": [L, B, Tmax, 1] f32} (one scale per (layer, stream, position) row
+    — per-channel scales can't work here because the token loop appends
+    one row per step and must not requantize history).
+
+    Why: at production ``max_target_positions`` the decode loop re-reads
+    the whole self-K/V each step (large-v3 @ 448 positions: ~73 MB/step
+    bf16, scaling with batch); int8 halves that stream.  Scale folding is
+    EXACT: the K scale multiplies the per-key logits after the QK
+    contraction, the V scale folds into the softmax weights before PV
+    (:func:`attention_self_q8`).  Unwritten rows quantize to q=0 — they
+    are masked out of the attention by the position mask regardless.
+    Opt-in: ``DecodeEngine(quantize_self_kv=True)``.
+    """
+    x = cache.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)  # [L,B,Tmax,1]
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": s}
+
+
+def quantize_kv_row(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """One step's new K or V rows [B, 1, D] -> (int8 [B,1,D], s [B,1,1])."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def attention_self_q8(
+    q: jax.Array,
+    ckq: Dict[str, jax.Array],
+    cvq: Dict[str, jax.Array],
+    n_heads: int,
+    mask: jax.Array,
+) -> jax.Array:
+    """Self-attention over an int8 KV cache with per-row scales.
+
+    q: [B, 1, D]; ckq/cvq: {"q": [B, Tmax, D] int8, "s": [B, Tmax, 1] f32};
+    mask: additive position mask broadcastable to [B, H, 1, Tmax].
+
+    Exact folding with PER-ROW scales: the K dequant commutes onto the
+    per-key logits (sum_d q[d]*(k8[t,d]*s[t]) == (sum_d q[d]*k8[t,d])*s[t])
+    and the V dequant onto the softmax weights (sum_t w[t]*(v8[t,d]*s[t])
+    == sum_t (w[t]*s[t])*v8[t,d]).  int8 values are integers <= 127 —
+    exactly representable in bf16 — so the MXU sees the same operands as
+    dequantize-then-attend; only the HBM stream halves.
+    """
+    b, tq, d = q.shape
+    dh = d // n_heads
+    # Both whisper dh**-0.25 factors fold onto q (k is raw integers).
+    qh = _split_heads(q, n_heads) * float(dh) ** -0.5
+    kh = _split_heads(ckq["q"].astype(q.dtype), n_heads)
+    vh = _split_heads(cvq["q"].astype(q.dtype), n_heads)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32)
+    logits = logits * ckq["s"][:, None, :, 0][:, :, None, :]  # [B,1,1,Tk]
+    logits = logits + mask.astype(logits.dtype)
+    w = jax.nn.softmax(logits, axis=-1)
+    w = (w * cvq["s"][:, None, :, 0][:, :, None, :]).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, vh, preferred_element_type=jnp.float32)
+    return _merge_heads(out.astype(q.dtype))
+
+
 def _decoder_layer_prefill(
     lp: Params, x: jax.Array, xk: jax.Array, xv: jax.Array, n_heads: int, causal: jax.Array
 ):
@@ -638,13 +705,17 @@ def _decoder_incremental_layer(
     differ ONLY in how K/V land in the cache (``write_kv``) and how the
     cross-attention is dispatched (``cross_attn``) — keeping one body means
     a fix to either path cannot silently diverge the speculative verify
-    pass from the plain token loop.
+    pass from the plain token loop.  An int8 self-KV cache (dict leaves,
+    quantize_self_kv) dispatches to the scale-folded attention.
     """
     h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
     q, k, v = qkv_proj(lp, h)
     ck = write_kv(ck, k.astype(dtype))
     cv = write_kv(cv, v.astype(dtype))
-    a = attention(q, ck, cv, n_heads, key_mask)
+    if isinstance(ck, dict):  # int8 self-KV (quantize_self_kv)
+        a = attention_self_q8(q, ck, cv, n_heads, key_mask)
+    else:
+        a = attention(q, ck, cv, n_heads, key_mask)
     x = x + ldense(lp, "o_w", a, lp["o_b"])
 
     h = layer_norm(x, lp["xattn_ln_g"], lp["xattn_ln_b"])
@@ -702,6 +773,12 @@ def decoder_step(
     key_mask = key_mask[None, None, None, :]  # [1,1,1,Tmax]
 
     def write_kv(c, k):
+        if isinstance(c, dict):  # int8 self-KV: quantize the new row
+            kq, ks = quantize_kv_row(k)
+            return {
+                "q": jax.lax.dynamic_update_slice(c["q"], kq, (0, pos, 0)),
+                "s": jax.lax.dynamic_update_slice(c["s"], ks, (0, pos, 0)),
+            }
         return jax.lax.dynamic_update_slice(c, k, (0, pos, 0))
 
     def cross_attn(xq, lxk, lxv):

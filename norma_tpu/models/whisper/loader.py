@@ -51,6 +51,7 @@ def definition_ext_to_dict(defn) -> dict:
         "quantize_decoder": defn.quantize_decoder,
         "quantize_encoder": defn.quantize_encoder,
         "quantize_cross_kv": defn.quantize_cross_kv,
+        "quantize_self_kv": defn.quantize_self_kv,
         "mel_center": defn.mel_center,
         "timestamps": defn.timestamps,
         "spec_k": defn.spec_k,
@@ -75,6 +76,7 @@ def apply_definition_ext(defn, d: dict) -> None:
     defn.quantize_decoder = d.get("quantize_decoder", False)
     defn.quantize_encoder = d.get("quantize_encoder", False)
     defn.quantize_cross_kv = d.get("quantize_cross_kv", False)
+    defn.quantize_self_kv = d.get("quantize_self_kv", False)
     defn.mel_center = d.get("mel_center", False)
     defn.timestamps = d.get("timestamps", False)
     defn.spec_k = d.get("spec_k", 4)
@@ -180,6 +182,7 @@ def build_model(
     quantize_decoder: bool = False,
     quantize_encoder: bool = False,
     quantize_cross_kv: bool = False,
+    quantize_self_kv: bool = False,
     mel_center: bool = False,
     timestamps: bool = False,
     files: Optional[CheckpointFiles] = None,
@@ -348,6 +351,11 @@ def build_model(
                 load_safetensors(draft_files.weights, draft_cfg, dtype)
             )
         draft_params = jax.device_put(draft_params, jdev)
+        if quantize_self_kv:
+            raise ValueError(
+                "quantize_self_kv is not supported with speculative "
+                "decoding (the draft/verify cache paths keep bf16 self-KV)"
+            )
         engine = SpeculativeEngine(
             params, cfg, draft_params, draft_cfg, st,
             language_token_ids=lang_token_ids,
@@ -361,6 +369,7 @@ def build_model(
             language_token_ids=lang_token_ids,
             mel_center=mel_center,
             quantize_cross_kv=quantize_cross_kv,
+            quantize_self_kv=quantize_self_kv,
         )
     return WhisperModel(
         engine,

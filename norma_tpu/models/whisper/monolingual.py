@@ -116,6 +116,7 @@ class Definition(ModelDefinition):
         quantize_decoder: bool = False,
         quantize_encoder: bool = False,
         quantize_cross_kv: bool = False,
+        quantize_self_kv: bool = False,
         mel_center: bool = False,
         timestamps: bool = False,
         draft: Optional[str] = None,
@@ -151,6 +152,9 @@ class Definition(ModelDefinition):
         # int8 cross-attention K/V per window (decode-loop HBM lever at
         # batch; see model/whisper.py quantize_cross_kv).
         self.quantize_cross_kv = quantize_cross_kv
+        # int8 SELF-attention KV cache (per-step HBM lever at long
+        # max_target_positions; not combinable with draft= speculation).
+        self.quantize_self_kv = quantize_self_kv
         # OpenAI/HF centered STFT framing instead of the reference's
         # whisper.cpp convention (see frontend/mel.py).
         self.mel_center = mel_center
@@ -193,6 +197,7 @@ class Definition(ModelDefinition):
             quantize_decoder=self.quantize_decoder,
             quantize_encoder=self.quantize_encoder,
             quantize_cross_kv=self.quantize_cross_kv,
+            quantize_self_kv=self.quantize_self_kv,
             mel_center=self.mel_center,
             timestamps=self.timestamps,
             draft_repo_id=self.draft,

@@ -94,6 +94,7 @@ class Definition(ModelDefinition):
         quantize_decoder: bool = False,
         quantize_encoder: bool = False,
         quantize_cross_kv: bool = False,
+        quantize_self_kv: bool = False,
         mel_center: bool = False,
         timestamps: bool = False,
         draft: Optional[str] = None,
@@ -114,6 +115,9 @@ class Definition(ModelDefinition):
         # int8 cross-attention K/V per window (decode-loop HBM lever at
         # batch; see model/whisper.py quantize_cross_kv).
         self.quantize_cross_kv = quantize_cross_kv
+        # int8 SELF-attention KV cache (per-step HBM lever at long
+        # max_target_positions; not combinable with draft= speculation).
+        self.quantize_self_kv = quantize_self_kv
         # Speculative decoding: ``draft`` is an HF repo id of a shallow
         # same-vocab checkpoint, or "auto" to pair the official distil
         # draft (large-v2/v3 only).  See decode/speculative.py.
@@ -169,6 +173,7 @@ class Definition(ModelDefinition):
             quantize_decoder=self.quantize_decoder,
             quantize_encoder=self.quantize_encoder,
             quantize_cross_kv=self.quantize_cross_kv,
+            quantize_self_kv=self.quantize_self_kv,
             mel_center=self.mel_center,
             timestamps=self.timestamps,
             draft_repo_id=self.draft,

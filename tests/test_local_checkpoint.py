@@ -229,3 +229,29 @@ def test_speculative_auto_draft_mapping():
         monolingual.Definition(
             monolingual.ModelType.TINY_EN, SelectedDevice.cpu(), draft="auto"
         )
+
+
+def test_self_kv_rejected_with_speculative(tmp_path):
+    """quantize_self_kv + draft= must error clearly (the speculative
+    draft/verify cache paths keep bf16 self-KV)."""
+    import pytest
+
+    from checkpoint_fixture import make_checkpoint_dir
+    from norma_tpu.models import SelectedDevice
+    from norma_tpu.models.whisper import monolingual
+
+    d = str(tmp_path / "ckpt")
+    import os
+
+    os.makedirs(d)
+    make_checkpoint_dir(d)
+    defn = monolingual.Definition(
+        monolingual.ModelType.TINY_EN,
+        SelectedDevice.cpu(),
+        local_dir=d,
+        draft="x",  # any draft selects the speculative engine
+        draft_local_dir=d,
+        quantize_self_kv=True,
+    )
+    with pytest.raises(ValueError, match="quantize_self_kv"):
+        defn.blocking_try_to_model()

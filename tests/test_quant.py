@@ -619,3 +619,104 @@ def test_quantize_decoder_honors_int4_head():
 
     with __import__("pytest").raises(ValueError):
         quantize_decoder(params, logits="nope")
+
+
+# ---- int8 self-attention KV cache (quantize_self_kv) ----------------------
+
+
+def test_self_kv_quantization_roundtrip():
+    from norma_tpu.model.whisper import quantize_self_kv_cache
+
+    rng = np.random.default_rng(11)
+    cache = jnp.asarray(rng.standard_normal((2, 3, 10, 32)), jnp.float32)
+    cq = quantize_self_kv_cache(cache)
+    assert cq["q"].dtype == jnp.int8 and cq["q"].shape == cache.shape
+    assert cq["s"].shape == (2, 3, 10, 1)
+    deq = np.asarray(cq["q"], np.float32) * np.asarray(cq["s"])
+    # Per-row grid error: <= amax/254 per row.
+    amax = np.abs(np.asarray(cache)).max(axis=-1, keepdims=True)
+    assert (np.abs(deq - np.asarray(cache)) <= amax / 254 + 1e-7).all()
+
+
+def test_self_q8_attention_matches_dequantized_reference():
+    """The folded per-row-scale int8 self-attention must equal attention()
+    over the explicitly dequantized cache (scales commute exactly)."""
+    from norma_tpu.model.whisper import (
+        attention,
+        attention_self_q8,
+        quantize_self_kv_cache,
+    )
+
+    rng = np.random.default_rng(12)
+    B, Tk, D, H = 3, 9, 32, 4
+    q = jnp.asarray(rng.standard_normal((B, 1, D)), jnp.float32)
+    ck = jnp.asarray(rng.standard_normal((1, B, Tk, D)), jnp.float32)
+    cv = jnp.asarray(rng.standard_normal((1, B, Tk, D)), jnp.float32)
+    kq = quantize_self_kv_cache(ck)
+    vq = quantize_self_kv_cache(cv)
+    k_deq = (kq["q"].astype(jnp.float32) * kq["s"])[0]
+    v_deq = (vq["q"].astype(jnp.float32) * vq["s"])[0]
+    # Mask out the last two positions (the unwritten-cache-rows case).
+    mask = jnp.where(jnp.arange(Tk) < Tk - 2, 0.0, -jnp.inf)[None, None, None, :]
+
+    want = np.asarray(attention(q, k_deq, v_deq, H, mask))
+    got = np.asarray(
+        attention_self_q8(
+            q, {"q": kq["q"][0], "s": kq["s"][0]},
+            {"q": vq["q"][0], "s": vq["s"][0]}, H, mask,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_engine_quantize_self_kv_decodes_both_ladders():
+    """quantize_self_kv engines run the loop and the full fused window on
+    both ladder arms; on a peaked (confident) model the int8 cache rounding
+    is far inside the greedy margins, so transcripts equal the bf16
+    engine's."""
+    from helpers import confident_params, texty_config
+    from norma_tpu.decode.engine import DecodeEngine
+    from norma_tpu.frontend.mel import prepare_audio
+
+    cfg = texty_config()
+    params = confident_params(cfg)
+    e_ref = DecodeEngine(params, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS)
+    e_q = DecodeEngine(
+        params, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS,
+        quantize_self_kv=True,
+    )
+    assert e_q.quantize_self_kv
+
+    n_frames = 2 * cfg.max_source_positions
+    rng = np.random.default_rng(13)
+    win1 = prepare_audio(
+        (0.1 * rng.standard_normal(12_000)).astype(np.float32),
+        n_frames=n_frames,
+    )
+    # Speculative-rung arm (B=1) and sequential arm (B=4).
+    out_q1, _ = e_q.transcribe_window(
+        jnp.asarray(win1)[None], [TEST_LANG_IDS[0]], seed=0
+    )
+    out_r1, _ = e_ref.transcribe_window(
+        jnp.asarray(win1)[None], [TEST_LANG_IDS[0]], seed=0
+    )
+    assert out_q1[0] is not None and out_r1[0] is not None
+    assert out_q1[0].tokens == out_r1[0].tokens
+
+    win4 = jnp.asarray(np.stack([win1] * 4))
+    out_q4, _ = e_q.transcribe_window(win4, [TEST_LANG_IDS[0]] * 4, seed=0)
+    out_r4, _ = e_ref.transcribe_window(win4, [TEST_LANG_IDS[0]] * 4, seed=0)
+    for a, b in zip(out_q4, out_r4):
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert a.tokens == b.tokens
+
+    # Composes with int8 cross-KV.
+    e_qq = DecodeEngine(
+        params, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS,
+        quantize_self_kv=True, quantize_cross_kv=True,
+    )
+    out_qq, _ = e_qq.transcribe_window(
+        jnp.asarray(win1)[None], [TEST_LANG_IDS[0]], seed=0
+    )
+    assert out_qq[0] is not None and out_qq[0].tokens[0] == TEST_ST.sot

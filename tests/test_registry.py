@@ -197,6 +197,7 @@ def test_definition_roundtrip_preserves_extensions():
         dtype=jnp.bfloat16,
         quantize_decoder=True,
         quantize_cross_kv=True,
+        quantize_self_kv=True,
         timestamps=True,
         draft="distil-whisper/distil-small.en",
         spec_k="auto",
@@ -205,6 +206,7 @@ def test_definition_roundtrip_preserves_extensions():
     r = monolingual.Definition.from_dict(d.to_dict())
     assert r.dtype == jnp.bfloat16
     assert r.quantize_decoder and r.quantize_cross_kv and r.timestamps
+    assert r.quantize_self_kv
     assert r.draft == "distil-whisper/distil-small.en"
     assert r.spec_k == "auto"
     assert r.local_dir == "/tmp/ckpt"

@@ -24,7 +24,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TOKENS = 132
+# Forced decode length is cfg-dependent (max_target_positions - 4).
 
 
 def main() -> None:
@@ -55,14 +55,27 @@ def main() -> None:
     fused = fuse_qkv(raw)
     dev0 = jax.devices()[0]
 
+    # name -> (params, engine kwargs, cfg). The *448 arms run at the
+    # PRODUCTION max_target_positions, where the per-step self-KV stream
+    # is ~3.3x the benched mtp=136 — the regime quantize_self_kv targets.
+    cfg448 = PRESETS["distil-large-v3"].with_(max_target_positions=448)
     variants = {
-        "unfused": raw,
-        "fused": fused,
-        "fused_w8": quantize_decoder(fused),
-        "fused_w8h": quantize_logits_head(fused),
-        "fused_w4h": quantize_logits_head_int4(fused),
+        "unfused": (raw, {}, cfg),
+        "fused": (fused, {}, cfg),
+        "fused_w8": (quantize_decoder(fused), {}, cfg),
+        "fused_w8h": (quantize_logits_head(fused), {}, cfg),
+        "fused_w4h": (quantize_logits_head_int4(fused), {}, cfg),
+        "fused_skv": (fused, {"quantize_self_kv": True}, cfg),
+        "fused448": (fused, {}, cfg448),
+        "fused448_skv": (fused, {"quantize_self_kv": True}, cfg448),
+        "fused448_w8_skv": (
+            quantize_decoder(fused), {"quantize_self_kv": True}, cfg448
+        ),
     }
     pick = sys.argv[1:] or list(variants)
+    unknown = [n for n in pick if n not in variants]
+    if unknown:
+        sys.exit(f"unknown variant(s) {unknown}; known: {sorted(variants)}")
 
     rng = np.random.default_rng(0)
     a1 = jnp.asarray(
@@ -85,8 +98,10 @@ def main() -> None:
     assert rel < 0.03, "w4 pallas kernel diverges on hardware"
 
     for name in pick:
-        params = jax.device_put(variants[name], dev0)
-        engine = DecodeEngine(params, cfg, st)
+        vparams, ekw, vcfg = variants[name]
+        params = jax.device_put(vparams, dev0)
+        engine = DecodeEngine(params, vcfg, st, **ekw)
+        ntoks = vcfg.max_target_positions - 4  # forced decode length
         state = engine.prefill_window(a1, 50259)
         engine.run_loop(state, 0.0, seed=0)  # compile + warm
         walls = []
@@ -101,7 +116,7 @@ def main() -> None:
         print(json.dumps({
             name: {
                 "device_ms_per_loop": round(loop_ms, 2),
-                "device_us_per_step": round(loop_ms / TOKENS * 1e3, 1),
+                "device_us_per_step": round(loop_ms / ntoks * 1e3, 1),
                 "wall_ms": round(min(walls) * 1e3, 1),
                 "top_ops": top,
             }

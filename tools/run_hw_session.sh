@@ -35,6 +35,7 @@ run encoder_ab_w8a8 python tools/perf_encoder_ab.py xla jax_flash512 w8a8 w8a8_j
 run sample_kernel   python tools/verify_sample_kernel_tpu.py
 run spec_parity     python tools/verify_spec_parity_tpu.py
 run encoder_attn    python tools/verify_encoder_attn_tpu.py
+run decoder_skv     python tools/perf_decoder_ab.py fused448 fused448_skv fused448_w8_skv fused_skv fused
 run soak            python tools/soak_serving.py --minutes 3
 run bench           python bench.py
 
