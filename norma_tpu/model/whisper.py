@@ -588,10 +588,10 @@ def quantize_self_kv_cache(cache: jax.Array) -> Dict[str, jax.Array]:
     are masked out of the attention by the position mask regardless.
     Opt-in: ``DecodeEngine(quantize_self_kv=True)``.
     """
-    x = cache.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)  # [L,B,Tmax,1]
-    s = jnp.maximum(amax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+    # Same grid as the loop's per-row writes (quantize_kv_row is
+    # rank-agnostic): prefix rows and loop-written rows share one cache
+    # and MUST quantize bit-identically.
+    q, s = quantize_kv_row(cache)
     return {"q": q, "s": s}
 
 
@@ -706,7 +706,9 @@ def _decoder_incremental_layer(
     cross-attention is dispatched (``cross_attn``) — keeping one body means
     a fix to either path cannot silently diverge the speculative verify
     pass from the plain token loop.  An int8 self-KV cache (dict leaves,
-    quantize_self_kv) dispatches to the scale-folded attention.
+    quantize_self_kv) dispatches to the scale-folded attention —
+    supported by the decoder_step caller only (decoder_chunk rejects
+    dict caches up front).
     """
     h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
     q, k, v = qkv_proj(lp, h)
@@ -840,6 +842,12 @@ def decoder_chunk(
     """
     dec = params["decoder"]
     n_heads = cfg.decoder_attention_heads
+    if isinstance(cache_k, dict):
+        raise NotImplementedError(
+            "decoder_chunk does not support the int8 self-KV cache "
+            "(quantize_self_kv): the chunked verify path keeps bf16 "
+            "caches — see the loader's speculation guard"
+        )
     Tmax = cache_k.shape[2]
     dtype = dec["tok_emb"].dtype
     B, C = toks.shape

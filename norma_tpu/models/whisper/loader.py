@@ -333,6 +333,12 @@ def build_model(
         or draft_files is not None
         or draft_local_dir is not None
     ):
+        if quantize_self_kv:
+            raise ValueError(
+                "quantize_self_kv is not supported with speculative "
+                "decoding (the draft/verify cache paths keep bf16 "
+                "self-KV) — checked before any draft download/load"
+            )
         if draft_files is None:
             draft_files = resolve_files(
                 draft_repo_id, draft_revision, None, draft_local_dir
@@ -351,11 +357,6 @@ def build_model(
                 load_safetensors(draft_files.weights, draft_cfg, dtype)
             )
         draft_params = jax.device_put(draft_params, jdev)
-        if quantize_self_kv:
-            raise ValueError(
-                "quantize_self_kv is not supported with speculative "
-                "decoding (the draft/verify cache paths keep bf16 self-KV)"
-            )
         engine = SpeculativeEngine(
             params, cfg, draft_params, draft_cfg, st,
             language_token_ids=lang_token_ids,
