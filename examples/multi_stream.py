@@ -34,6 +34,7 @@ def main() -> None:
         #   quantize_decoder=True   (int8 decoder weights, -15% window)
         #   quantize_encoder=True   (int8-MXU encoder projections)
         #   quantize_cross_kv=True  (int8 cross-K/V; small-batch knob)
+        #   quantize_self_kv=True   (int8 self-KV cache; long-mtp knob)
         # and encoder_attn_impl="jax_flash" via the model config for the
         # batched encoder win.
     )
