@@ -20,7 +20,7 @@ from .errors import (
 from .runtime import JoinHandle, StringReceiver, Transcriber, TranscriberHandle
 from .runtime.batching import BatchedTranscriber
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "audio",
