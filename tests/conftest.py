@@ -15,6 +15,18 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+else:
+    # Bump an inherited smaller count (e.g. a stale =2 from a prior shell):
+    # merely detecting the substring would silently SKIP every mesh test.
+    import re
+
+    os.environ["XLA_FLAGS"] = re.sub(
+        r"--xla_force_host_platform_device_count=(\d+)",
+        lambda m: m.group(0)
+        if int(m.group(1)) >= 8
+        else "--xla_force_host_platform_device_count=8",
+        flags,
+    )
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402  (already preloaded by sitecustomize)
