@@ -201,6 +201,11 @@ class BatchedTranscriber:
         that bucket on a speculative engine — compiles mid-stream and
         stalls every live stream in the batch.
         """
+        # Rounds never take more than max_round_streams ready streams, so
+        # larger buckets would be compiled and never dispatched.
+        n_max = self.max_streams
+        if self.max_round_streams is not None:
+            n_max = min(n_max, self.max_round_streams)
         buckets = sorted(
             {
                 min(
@@ -208,7 +213,7 @@ class BatchedTranscriber:
                       // self._dp) * self._dp,
                     self.max_streams,
                 )
-                for n in range(1, self.max_streams + 1)
+                for n in range(1, n_max + 1)
             }
         )
         put = None

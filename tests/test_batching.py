@@ -383,6 +383,19 @@ def test_warmup_covers_scheduler_buckets(model):
     finally:
         bt.close()
 
+    # A round-size cap bounds the buckets warmup compiles: rounds never
+    # dispatch wider than max_round_streams.
+    import copy
+    model3 = copy.copy(model)
+    bt2 = BatchedTranscriber(model3, max_streams=8, max_round_streams=3)
+    try:
+        calls2 = []
+        model3.warmup = lambda batch=1, put=None: calls2.append(batch)
+        bt2.warmup()
+        assert calls2 == [1, 2, 4], calls2  # n<=3 -> buckets 1,2,4
+    finally:
+        bt2.close()
+
 
 def test_close_start_race_does_not_leak_scheduler():
     """close() marks closed under the lock before snapshotting, so a start
