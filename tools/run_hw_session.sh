@@ -39,6 +39,7 @@ run sample_kernel   2400 python tools/verify_sample_kernel_tpu.py
 run encoder_q8      3600 python tools/verify_encoder_q8_tpu.py
 run encoder_ab_w8a8 5400 python tools/perf_encoder_ab.py xla jax_flash512 w8a8 w8a8_jf w8a16_enc w8a8_pallas
 run decoder_skv     3600 python tools/perf_decoder_ab.py fused448 fused448_skv fused448_w8_skv fused_skv fused
+run spec_batch      5400 python tools/perf_spec_ab.py batch
 run spec_parity     3600 python tools/verify_spec_parity_tpu.py
 run encoder_attn    2400 python tools/verify_encoder_attn_tpu.py
 run soak            1800 python tools/soak_serving.py --minutes 3
