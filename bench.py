@@ -97,7 +97,13 @@ def main() -> None:
             )
         )
         import os
+        import sys
 
+        # os._exit skips io flushing; with stdout piped (tee in the hw
+        # runbook, the driver's capture) the buffered JSON line — the whole
+        # point of this branch — would be lost.
+        sys.stdout.flush()
+        sys.stderr.flush()
         os._exit(3)  # the probe thread may be wedged in native code
 
     import jax
@@ -297,12 +303,18 @@ def main() -> None:
         from norma_tpu.decode import SpeculativeEngine
 
         tcfg = PRESETS["large-v3"].with_(max_target_positions=136)
+        # fuse_qkv on BOTH models: every other bench arm and the production
+        # loader run fused-QKV params; unfused lv3 arms would bias the
+        # baseline and the speculative speedup (~15%/step per
+        # tools/perf_decoder_ab.py) and make the rows incomparable.
         tgt = jax.device_put(
-            init_params(tcfg, seed=0, dtype=jnp.bfloat16), jax.devices()[0]
+            fuse_qkv(init_params(tcfg, seed=0, dtype=jnp.bfloat16)),
+            jax.devices()[0],
         )
         # cfg here is distil-large-v3 dims == the official draft's dims.
         draft = jax.device_put(
-            init_params(cfg, seed=7, dtype=jnp.bfloat16), jax.devices()[0]
+            fuse_qkv(init_params(cfg, seed=7, dtype=jnp.bfloat16)),
+            jax.devices()[0],
         )
         wj1 = wj[:1]
 

@@ -68,23 +68,25 @@ def write_safetensors(
     if metadata:
         header["__metadata__"] = {k: str(v) for k, v in metadata.items()}
     offset = 0
-    blobs = []
     for name, arr in tensors.items():
-        arr = np.ascontiguousarray(arr)
-        blob = arr.tobytes()
+        # Offsets need only nbytes, so the header is complete before any
+        # tensor bytes are materialized; the write loop below then streams
+        # one tobytes() copy at a time instead of holding every blob
+        # concurrently (which would double peak host memory on multi-GB
+        # checkpoints — same concern read_safetensors fixes on the read
+        # side with zero-copy views).
         header[name] = {
             "dtype": _st_dtype(arr),
             "shape": list(arr.shape),
-            "data_offsets": [offset, offset + len(blob)],
+            "data_offsets": [offset, offset + arr.nbytes],
         }
-        blobs.append(blob)
-        offset += len(blob)
+        offset += arr.nbytes
     hj = json.dumps(header, separators=(",", ":")).encode("utf-8")
     with open(path, "wb") as f:
         f.write(struct.pack("<Q", len(hj)))
         f.write(hj)
-        for blob in blobs:
-            f.write(blob)
+        for arr in tensors.values():
+            f.write(np.ascontiguousarray(arr).tobytes())
 
 
 def flatten_params(params: Dict[str, Any]) -> Dict[str, np.ndarray]:

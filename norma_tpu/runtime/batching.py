@@ -206,16 +206,7 @@ class BatchedTranscriber:
         n_max = self.max_streams
         if self.max_round_streams is not None:
             n_max = min(n_max, self.max_round_streams)
-        buckets = sorted(
-            {
-                min(
-                    -(-max(self._batch_size(n, self.max_streams), self._dp)
-                      // self._dp) * self._dp,
-                    self.max_streams,
-                )
-                for n in range(1, n_max + 1)
-            }
-        )
+        buckets = sorted({self._round_batch(n) for n in range(1, n_max + 1)})
         put = None
         if self._batch_sharding is not None:
             import jax
@@ -306,6 +297,16 @@ class BatchedTranscriber:
             b *= 2
         return min(b, cap)
 
+    def _round_batch(self, n: int) -> int:
+        """The exact batch width a round with ``n`` ready streams dispatches:
+        power-of-two bucket, rounded up to a multiple of dp (which need not
+        be a power of two), capped at max_streams.  Single source of truth
+        for _decode_round AND warmup — a second inline copy of this formula
+        would let the two silently diverge, and warmup would pre-compile the
+        wrong bucket set."""
+        B = max(self._batch_size(n, self.max_streams), self._dp)
+        return min(-(-B // self._dp) * self._dp, self.max_streams)
+
     @instrument(
         fields={"n_ready": lambda a: len(a["ready"])}
     )
@@ -320,11 +321,9 @@ class BatchedTranscriber:
         extra encoder pass.
         """
         n = len(ready)
-        B = max(self._batch_size(n, self.max_streams), self._dp)
-        # The sharded batch axis must divide evenly over dp (which need not
-        # be a power of two); max_streams % dp == 0 is checked at
-        # construction, so rounding up stays within the cap.
-        B = min(-(-B // self._dp) * self._dp, self.max_streams)
+        # max_streams % dp == 0 is checked at construction, so the dp
+        # round-up inside _round_batch stays within the cap.
+        B = self._round_batch(n)
         lf0 = ready[0].state
         n_frames = lf0.n_frames
 
