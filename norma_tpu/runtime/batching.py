@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import logging
 import threading
+import time
 from typing import Dict, List
 
 import numpy as np
@@ -115,6 +116,9 @@ class BatchedTranscriber:
         self._language_tokens = model.longform.language_tokens
         self._streams: Dict[int, _Stream] = {}
         self._lock = threading.Lock()
+        # Signaled (under _lock) whenever a slot frees: retirement and
+        # close().  blocking_start(timeout=...) waits on it for admission.
+        self._slot_cond = threading.Condition(self._lock)
         self._next_sid = 0
         # Loss accounting for retired streams (live streams are added on
         # top in metrics()): the batched path's lossy sends are a
@@ -139,20 +143,33 @@ class BatchedTranscriber:
     # ------------------------------------------------------------------
 
     @instrument
-    def blocking_start(self, settings: Settings) -> BatchedStreamHandle:
+    def blocking_start(
+        self, settings: Settings, timeout: float = 0.0
+    ) -> BatchedStreamHandle:
+        """Admit a stream.  ``timeout`` bounds how long to wait for a free
+        slot: 0 (default, reference-shaped — lib.rs:649-661 rejects a busy
+        transcriber immediately) raises ``TooManyStreams`` at once; > 0
+        waits up to that many seconds for a retirement to free a slot
+        (streams retire asynchronously at round boundaries, so a serving
+        loop admitting at capacity should pass a small timeout)."""
         if settings.source is None:
             raise NormaError(
                 "BatchedTranscriber requires an injected AudioSource per "
                 "stream (microphone multiplexing is host-specific)"
             )
+        deadline = time.monotonic() + timeout
         with self._lock:
-            if self._closed.is_set():
-                # The scheduler thread is gone (close() or a fatal decode
-                # error): a stream admitted now would capture forever and
-                # its receiver would block forever.
-                raise NormaError("BatchedTranscriber is closed")
-            if len(self._streams) >= self.max_streams:
-                raise TooManyStreams(self.max_streams)
+            while True:
+                if self._closed.is_set():
+                    # The scheduler thread is gone (close() or a fatal decode
+                    # error): a stream admitted now would capture forever and
+                    # its receiver would block forever.
+                    raise NormaError("BatchedTranscriber is closed")
+                if len(self._streams) < self.max_streams:
+                    break
+                remaining = deadline - time.monotonic()
+                if remaining <= 0 or not self._slot_cond.wait(remaining):
+                    raise TooManyStreams(self.max_streams)
             sid = self._next_sid
             self._next_sid += 1
 
@@ -225,6 +242,9 @@ class BatchedTranscriber:
         # condition needs every source closed) would never exit.
         with self._lock:
             self._closed.set()
+            # Waiters in blocking_start must observe the close, not block
+            # out their full admission timeout.
+            self._slot_cond.notify_all()
             streams = list(self._streams.values())
         for s in streams:
             s.pipeline.stop()
@@ -382,6 +402,7 @@ class BatchedTranscriber:
             self._streams.pop(s.sid, None)
             self._retired_transcript_drops += s.schan.dropped
             self._retired_audio_drops += s.ring.dropped
+            self._slot_cond.notify_all()
 
     def metrics(self) -> Dict[str, int]:
         """Loss counters across retired and live streams.
@@ -432,6 +453,7 @@ class BatchedTranscriber:
                     logger.exception("batched decode round failed")
                     with self._lock:
                         self._closed.set()
+                        self._slot_cond.notify_all()
                         streams = list(self._streams.values())
                     for s in streams:
                         s.pipeline.stop()

@@ -43,7 +43,12 @@ def test_churn_waves_and_abandoned_receiver():
         for wave in range(3):
             handles = []
             for i in range(3):
-                h = bt.blocking_start(Settings(source=_source(total_started)))
+                # The abandoned stream from the previous wave retires
+                # asynchronously (the scheduler notices ReceiverClosed at a
+                # round boundary) — bounded-wait admission absorbs that.
+                h = bt.blocking_start(
+                    Settings(source=_source(total_started)), timeout=60.0
+                )
                 handles.append(h)
                 total_started += 1
             # Abandon one receiver immediately: the scheduler must drop the
@@ -99,6 +104,41 @@ def test_stop_mid_stream_releases_slot():
         assert out2
     finally:
         bt.close()
+
+
+def test_admission_timeout_semantics():
+    """timeout=0 rejects a full scheduler immediately (reference shape,
+    lib.rs:649-661); timeout>0 admits once an in-flight retirement frees
+    the slot; waiters see close() promptly instead of timing out."""
+    import pytest
+
+    from norma_tpu.runtime.batching import TooManyStreams
+
+    cfg = texty_config()
+    params = confident_params(cfg)
+    engine = DecodeEngine(params, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS)
+    model = WhisperModel(engine, ToyTokenizer(), LanguageState(const=TEST_LANG_IDS[0]))
+    bt = BatchedTranscriber(model, max_streams=1)
+    try:
+        h1 = bt.blocking_start(Settings(source=_source(0)))
+        with pytest.raises(TooManyStreams):
+            bt.blocking_start(Settings(source=_source(1)))  # timeout=0
+        # h1's source is finite and non-realtime: it retires as soon as the
+        # scheduler drains it, so a bounded wait must win the slot.
+        drained = threading.Thread(
+            target=lambda: list(h1.receiver), daemon=True
+        )
+        drained.start()
+        h2 = bt.blocking_start(Settings(source=_source(1)), timeout=60.0)
+        assert list(h2.receiver)
+        drained.join(timeout=60)
+    finally:
+        bt.close()
+    # A waiter behind a closed scheduler errors out promptly.
+    t0 = time.monotonic()
+    with pytest.raises(Exception, match="closed"):
+        bt.blocking_start(Settings(source=_source(2)), timeout=60.0)
+    assert time.monotonic() - t0 < 5.0
 
 
 def test_soak_tool_self_test(monkeypatch, capsys):
