@@ -889,7 +889,11 @@ def decoder_chunk(
         body,
         x,
         (dec["layers"], cache_k, cache_v, xk, xv),
-        unroll=_unroll_gate(cfg, B),
+        # The gate's VMEM calibration is in 1-token rows; a chunk row
+        # carries C tokens of activations, so the equivalent row count
+        # here is B*C (a [4, 13] verify chunk is the 8-row regression
+        # regime, not the 4-row win regime).
+        unroll=_unroll_gate(cfg, B * C),
     )
 
     x = layer_norm(x, dec["ln_g"], dec["ln_b"])

@@ -183,26 +183,50 @@ class BatchedTranscriber:
                 settings.source, self.model.SAMPLE_RATE, self.model.dtype, ring
             )
             lang = LanguageState(const=self._base_lang.const)
+            # No seed= here: the batched path never calls the decoder's own
+            # transcribe loop — the live per-stream seed is _Stream.seed,
+            # passed to engine.transcribe_window by _decode_round.
             state = LongFormDecoder(
                 self.engine,
                 self.tokenizer,
                 lang,
                 language_tokens=self._language_tokens,
-                seed=sid * 7919,
                 timestamps=self.model.longform.timestamps,
             )
             schan = StringChannel(8)
             stream = _Stream(sid, pipeline, ring, state, schan)
             self._streams[sid] = stream
-            try:
-                pipeline.start()
-            except Exception:
-                # A source that fails to start must not leak its slot: the
-                # caller gets no handle, so nothing could ever stop it and
-                # repeated failures would exhaust max_streams.
-                del self._streams[sid]
-                raise
-            return BatchedStreamHandle(self, sid, schan.receiver())
+        # Source start — arbitrary, possibly blocking user I/O — runs
+        # OUTSIDE the lock: the scheduler's drain/retire steps and close()
+        # need _lock, so a slow or hung start() under it would stall every
+        # live stream and wedge shutdown.  The slot above is already
+        # reserved, so capacity accounting stays correct meanwhile (the
+        # scheduler skips the empty-ring, want_decode=False stream).
+        try:
+            pipeline.start()
+        except Exception:
+            # A source that fails to start must not leak its slot (the
+            # caller gets no handle, so nothing could ever stop it and
+            # repeated failures would exhaust max_streams) — and a
+            # blocked admission waiter must see the freed slot.
+            with self._lock:
+                self._streams.pop(sid, None)
+                self._slot_cond.notify_all()
+            raise
+        closed_raced = False
+        with self._lock:
+            if self._closed.is_set():
+                # close() raced the unlocked start: its snapshot may have
+                # stopped the pipeline BEFORE start() ran (stop-then-start
+                # leaves the source's worker live behind a closed
+                # transcriber), so stop again — idempotent — outside the
+                # lock (it joins the worker thread).
+                closed_raced = True
+                self._streams.pop(sid, None)
+        if closed_raced:
+            pipeline.stop()
+            raise NormaError("BatchedTranscriber is closed")
+        return BatchedStreamHandle(self, sid, schan.receiver())
 
     def _stop_stream(self, sid: int) -> None:
         with self._lock:
@@ -370,11 +394,15 @@ class BatchedTranscriber:
         for s in ready:
             s.seed += len(TEMPERATURES)
 
-        audio_j = jnp.asarray(windows)
         if self._batch_sharding is not None:
             import jax
 
-            audio_j = jax.device_put(audio_j, self._batch_sharding)
+            # device_put straight from numpy does one per-shard transfer;
+            # jnp.asarray first would land the full batch on device 0 and
+            # pay a second resharding hop on the scheduler thread.
+            audio_j = jax.device_put(windows, self._batch_sharding)
+        else:
+            audio_j = jnp.asarray(windows)
         drs, info = self.engine.transcribe_window(
             audio_j, langs, seed=ready[0].seed, n_active=n
         )

@@ -141,6 +141,127 @@ def test_admission_timeout_semantics():
     assert time.monotonic() - t0 < 5.0
 
 
+class _GatedStartSource(SyntheticSource):
+    """start() blocks on an event first — models a slow/hung device open."""
+
+    def __init__(self, gate: threading.Event, fail: bool = False, **kw):
+        kw.setdefault("sample_rate", 16000)
+        kw.setdefault("channels", 1)
+        kw.setdefault("duration", 0.6)
+        kw.setdefault("realtime", False)
+        super().__init__(**kw)
+        self._gate = gate
+        self._fail = fail
+
+    def start(self, on_data, on_end=None):
+        assert self._gate.wait(timeout=30), "test gate never opened"
+        if self._fail:
+            raise RuntimeError("device open failed")
+        super().start(on_data, on_end)
+
+
+def _toy_bt(max_streams):
+    cfg = texty_config()
+    params = confident_params(cfg)
+    engine = DecodeEngine(params, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS)
+    model = WhisperModel(engine, ToyTokenizer(), LanguageState(const=TEST_LANG_IDS[0]))
+    return BatchedTranscriber(model, max_streams=max_streams)
+
+
+def test_failed_start_wakes_admission_waiter():
+    """A source whose start() raises frees its reserved slot AND signals a
+    blocked bounded-wait admitter — without the notify the waiter would
+    sleep out its whole timeout against a free slot."""
+    bt = _toy_bt(1)
+    try:
+        gate = threading.Event()
+        errs = []
+
+        def admit_failing():
+            try:
+                bt.blocking_start(Settings(source=_GatedStartSource(gate, fail=True)))
+            except RuntimeError as e:
+                errs.append(e)
+
+        a = threading.Thread(target=admit_failing, daemon=True)
+        a.start()
+        time.sleep(0.2)  # A holds the only slot, parked in start()
+        got = {}
+
+        def admit_waiting():
+            got["h"] = bt.blocking_start(Settings(source=_source(1)), timeout=30.0)
+
+        b = threading.Thread(target=admit_waiting, daemon=True)
+        b.start()
+        time.sleep(0.2)  # B is now waiting on the slot condition
+        t0 = time.monotonic()
+        gate.set()  # A's start() raises -> slot freed + notified
+        a.join(timeout=10)
+        b.join(timeout=10)
+        assert errs and "device open failed" in str(errs[0])
+        assert "h" in got, "waiter never admitted after failed-start freed the slot"
+        assert time.monotonic() - t0 < 5.0, "waiter woke only by timeout, not notify"
+        assert list(got["h"].receiver)
+    finally:
+        bt.close()
+
+
+def test_slow_source_start_does_not_stall_scheduler():
+    """pipeline.start() runs outside the scheduler lock: while one
+    admission is parked in a slow source start, live streams keep
+    decoding and retiring."""
+    bt = _toy_bt(2)
+    try:
+        h1 = bt.blocking_start(Settings(source=_source(0)))
+        gate = threading.Event()
+        got = {}
+        t = threading.Thread(
+            target=lambda: got.setdefault(
+                "h", bt.blocking_start(Settings(source=_GatedStartSource(gate)))
+            ),
+            daemon=True,
+        )
+        t.start()
+        time.sleep(0.2)  # admission parked inside start()
+        # Stream 1 must run to completion while the start is pending.
+        out1 = list(h1.receiver)
+        assert out1, "live stream starved while another admission was starting"
+        gate.set()
+        t.join(timeout=30)
+        assert "h" in got and list(got["h"].receiver)
+    finally:
+        bt.close()
+
+
+def test_close_races_inflight_start():
+    """close() during an in-flight source start must not wedge, and the
+    raced admission must come back closed with its source torn down (a
+    stop-then-start interleave would otherwise leave the worker live)."""
+    bt = _toy_bt(1)
+    gate = threading.Event()
+    src = _GatedStartSource(gate, duration=30.0)
+    errs = []
+
+    def admit():
+        try:
+            bt.blocking_start(Settings(source=src))
+        except Exception as e:
+            errs.append(e)
+
+    t = threading.Thread(target=admit, daemon=True)
+    t.start()
+    time.sleep(0.2)  # admission parked inside start()
+    t0 = time.monotonic()
+    bt.close()  # must not block on the parked start
+    assert time.monotonic() - t0 < 10.0
+    gate.set()
+    t.join(timeout=30)
+    assert errs and "closed" in str(errs[0])
+    assert src._thread is None or not src._thread.is_alive(), (
+        "source worker left running behind a closed transcriber"
+    )
+
+
 def test_soak_tool_self_test(monkeypatch, capsys):
     """tools/soak_serving.py --cpu is the hermetic self-test of the
     hardware soak; keep it green so run_hw_session.sh's soak step works."""
