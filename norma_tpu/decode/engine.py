@@ -574,6 +574,23 @@ class DecodeEngine:
     # Host-side orchestration
     # ------------------------------------------------------------------
 
+    def _window_inputs(self, audio, langs, n_active):
+        """Shared host preamble of every ``transcribe_window`` variant
+        (base ladder AND speculative): broadcast per-stream language
+        tokens, derive the detect flag (with the lang-ids guard), and mark
+        batch-padding rows inactive.  One copy so the two engines cannot
+        silently diverge."""
+        langs_arr = np.broadcast_to(
+            np.asarray(langs, np.int32).reshape(-1), (audio.shape[0],)
+        )
+        detect = bool((langs_arr < 0).any())
+        if detect and self._lang_ids is None:
+            raise ValueError("language detection requires language_token_ids")
+        active = np.ones(audio.shape[0], bool)
+        if n_active is not None:
+            active[n_active:] = False
+        return langs_arr, detect, active
+
     @decode_instrument(
         fields={
             "B": lambda a: int(a["audio"].shape[0]),
@@ -606,16 +623,7 @@ class DecodeEngine:
         logprob gate (model.rs:90-93).  info carries ``langs`` (resolved
         language token per stream) and ``lang_probs`` when detection ran.
         """
-        langs_arr = np.broadcast_to(
-            np.asarray(langs, np.int32).reshape(-1), (audio.shape[0],)
-        )
-        detect = bool((langs_arr < 0).any())
-        if detect and self._lang_ids is None:
-            raise ValueError("language detection requires language_token_ids")
-        B = audio.shape[0]
-        active = np.ones(B, bool)
-        if n_active is not None:
-            active[n_active:] = False
+        langs_arr, detect, active = self._window_inputs(audio, langs, n_active)
         fn = self._ladder_detect if detect else self._ladder
         packed = np.asarray(  # ONE device->host fetch for the whole window
             fn(

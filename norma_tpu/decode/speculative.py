@@ -491,7 +491,7 @@ class SpeculativeEngine(DecodeEngine):
             axis=1,
         )
 
-    def warmup_fallback(self, batch: int = 1) -> None:
+    def warmup_fallback(self, batch: int = 1, put=None) -> None:
         """Pre-compile the t>0 fallback-rungs program.
 
         ``transcribe_window`` on silence never reaches it (the no-speech
@@ -499,11 +499,18 @@ class SpeculativeEngine(DecodeEngine):
         leaves this program untraced and the FIRST live window failing the
         avg_logprob gate would stall its stream on a mid-utterance XLA
         compile.  Called by WhisperModel.warmup.
+
+        ``put``: placement hook for the warmup features (jit caches key on
+        input sharding too, so mesh serving must warm with the same dp
+        placement its live fallback dispatches will carry — the live
+        ``feats`` inherit the sharded window program's output placement).
         """
         feats = jnp.zeros(
             (batch, self.cfg.max_source_positions, self.cfg.d_model),
             self.params["decoder"]["tok_emb"].dtype,
         )
+        if put is not None:
+            feats = put(feats)
         langs = jnp.full((batch,), self.st.sot + 1, jnp.int32)
         self._fallback_rungs(
             self.params, feats, langs, jnp.uint32(0),
@@ -533,16 +540,8 @@ class SpeculativeEngine(DecodeEngine):
         device-resident features only for streams whose greedy decode
         failed the reference's avg_logprob gate.
         """
-        langs_arr = np.broadcast_to(
-            np.asarray(langs, np.int32).reshape(-1), (audio.shape[0],)
-        )
-        detect = bool((langs_arr < 0).any())
-        if detect and self._lang_ids is None:
-            raise ValueError("language detection requires language_token_ids")
+        langs_arr, detect, active = self._window_inputs(audio, langs, n_active)
         B = audio.shape[0]
-        active = np.ones(B, bool)
-        if n_active is not None:
-            active[n_active:] = False
         fn = self._spec_program(detect)
         self.last_spec_k = self.spec_k  # the K this window actually used
         packed_dev, feats = fn(

@@ -210,6 +210,15 @@ def build_model(
     model.rs:317-371); this is a TPU-native serving lever for the
     weight-bound deep decoders.
     """
+    # True/"int8" -> per-channel int8 head; "int4" -> blockwise int4.
+    # Validated up front so a bad value errors in EVERY flag combination —
+    # including the pre-quantized branch, which otherwise coerces a typo'd
+    # truthy string into a want-tier and merely warns.
+    if quantize_logits not in (None, False, True, "int8", "int4"):
+        raise ValueError(
+            f"quantize_logits={quantize_logits!r}: expected True,"
+            " False, 'int8' or 'int4'"
+        )
     if files is None:
         files = resolve_files(repo_id, revision, quantized_ext, local_dir)
     cfg = WhisperConfig.from_json(files.config)
@@ -240,10 +249,9 @@ def build_model(
             # time; the Definition's dtype= is not applied.  Surface a
             # mismatch instead of silently ignoring it.
             file_dt = _qmeta.get("dtype")
-            want_dt = (
-                "bf16" if dtype == jnp.bfloat16
-                else "f32" if dtype == jnp.float32 else str(dtype)
-            )
+            # Same name table the converter writes — an inline re-mapping
+            # here diverged for f16 once and warned on every correct load.
+            want_dt = _DTYPE_NAMES.get(dtype, str(dtype))
             if file_dt and file_dt != want_dt:
                 logger.warning(
                     "pre-quantized params file was converted at dtype=%s; "
@@ -283,14 +291,6 @@ def build_model(
         from ...model.load import fuse_qkv
 
         params = fuse_qkv(params)  # one fused QKV matmul in the hot path
-        # True/"int8" -> per-channel int8 head; "int4" -> blockwise int4
-        # (half the int8 head's weight stream again).  Validated up front
-        # so a bad value errors in every flag combination.
-        if quantize_logits not in (None, False, True, "int8", "int4"):
-            raise ValueError(
-                f"quantize_logits={quantize_logits!r}: expected True,"
-                " False, 'int8' or 'int4'"
-            )
         if quantize_decoder:
             from ...model.quant import quantize_decoder as _qd
 
@@ -387,13 +387,40 @@ async def build_model_async(**kwargs) -> WhisperModel:
     monolingual.rs:186-318): the three checkpoint files download
     concurrently with real await points, then the CPU/device-bound model
     construction runs off the event loop.  Two model loads awaited together
-    overlap their downloads."""
+    overlap their downloads — and a speculative build's draft checkpoint
+    downloads concurrently with its target, not serially inside
+    build_model."""
     import asyncio
 
-    files = await resolve_files_async(
+    target = resolve_files_async(
         kwargs["repo_id"],
         kwargs["revision"],
         kwargs["quantized_ext"],
         kwargs.get("local_dir"),
     )
+    draft_wanted = (
+        kwargs.get("draft_repo_id") is not None
+        or kwargs.get("draft_local_dir") is not None
+    ) and kwargs.get("draft_files") is None
+    if draft_wanted:
+        # Mirror build_model's pre-download guard: an invalid speculative
+        # flag combination must fail BEFORE any draft bytes move.
+        if kwargs.get("quantize_self_kv"):
+            raise ValueError(
+                "quantize_self_kv is not supported with speculative "
+                "decoding (the draft/verify cache paths keep bf16 "
+                "self-KV) — checked before any draft download/load"
+            )
+        files, draft_files = await asyncio.gather(
+            target,
+            resolve_files_async(
+                kwargs.get("draft_repo_id"),
+                kwargs.get("draft_revision", "main"),
+                None,
+                kwargs.get("draft_local_dir"),
+            ),
+        )
+        kwargs["draft_files"] = draft_files
+    else:
+        files = await target
     return await asyncio.to_thread(build_model, files=files, **kwargs)

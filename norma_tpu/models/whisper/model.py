@@ -92,5 +92,7 @@ class WhisperModel(Model):
             )
         if hasattr(self.engine, "warmup_fallback"):
             # Speculative engines have a second program (the t>0 fallback
-            # rungs) that silence can never reach: compile it here too.
-            self.engine.warmup_fallback(batch)
+            # rungs) that silence can never reach: compile it here too —
+            # with the same placement, or mesh serving still compiles it
+            # mid-stream on the first gate-failing window.
+            self.engine.warmup_fallback(batch, put=put)

@@ -102,6 +102,7 @@ class BatchedTranscriber:
         self.max_round_streams = max_round_streams
         self._round_rr = 0  # rotation cursor for capped rounds
         self._dp = 1
+        self._mesh = mesh
         self._batch_sharding = None
         if mesh is not None:
             from ..parallel.sharding import batch_sharding
@@ -249,13 +250,15 @@ class BatchedTranscriber:
             n_max = min(n_max, self.max_round_streams)
         buckets = sorted({self._round_batch(n) for n in range(1, n_max + 1)})
         put = None
-        if self._batch_sharding is not None:
-            import jax
+        if self._mesh is not None:
+            from ..parallel.sharding import shard_batch
 
             # Programs specialize on input sharding too: warm with the same
             # dp placement _decode_round uses, or the mesh path would still
-            # compile on the first live round.
-            put = lambda a: jax.device_put(a, self._batch_sharding)
+            # compile on the first live round.  Rank-generic (shard_batch,
+            # not the precomputed 2-D audio sharding): the speculative
+            # fallback warmup puts 3-D features through this hook.
+            put = lambda a: shard_batch(a, self._mesh)
         for b in buckets:
             self.model.warmup(batch=b, put=put)
 

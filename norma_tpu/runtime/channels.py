@@ -102,6 +102,14 @@ class RecycledRing:
         # the slot is exclusively ours until it re-enters a deque.
         slot[:length] = data[:length]
         with self._cond:
+            if self._closed:
+                # close() interleaved between slot claim and commit: a
+                # blocked receiver already saw empty+closed and returned
+                # None, so appending now would report success for a chunk
+                # nobody will ever read.  Count it as a drop instead.
+                self._free.append(slot)
+                self.dropped += 1
+                return False
             self._full.append(Chunk(slot, length))
             self._cond.notify()
         if self._wakeup is not None:
@@ -163,7 +171,18 @@ class StringReceiver:
         self._chan = chan
 
     def blocking_recv(self, timeout: Optional[float] = None) -> Optional[str]:
+        """Next segment, or None when the stream has ended — or, with a
+        ``timeout``, when it elapses on a live-but-silent stream.  The two
+        Nones are distinguished by :attr:`is_closed`."""
         return self._chan._recv(timeout)
+
+    @property
+    def is_closed(self) -> bool:
+        """True once no segment can ever arrive again (sender closed and
+        queue drained, or this receiver closed itself) — lets a
+        ``blocking_recv(timeout=...)`` caller tell end-of-stream None from
+        a timeout None."""
+        return self._chan._ended()
 
     async def recv(self) -> Optional[str]:
         import asyncio
@@ -256,6 +275,10 @@ class StringChannel:
                     remaining = deadline - time.monotonic()
                     if remaining <= 0 or not self._cond.wait(remaining):
                         return None
+
+    def _ended(self) -> bool:
+        with self._cond:
+            return self._receiver_closed or (self._sender_closed and not self._q)
 
     def receiver(self) -> StringReceiver:
         return StringReceiver(self)

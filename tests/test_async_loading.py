@@ -84,6 +84,55 @@ def test_two_model_loads_overlap(ckpt, monkeypatch):
     assert m1.engine is not None and m2.engine is not None
 
 
+def test_speculative_draft_downloads_overlap_target(ckpt, monkeypatch):
+    """A speculative build's draft checkpoint resolves CONCURRENTLY with the
+    target (6 files in one gather), not serially inside build_model."""
+    log = []
+    monkeypatch.setattr(loader_mod, "_hub_download", _fake_download(ckpt, log))
+
+    async def go():
+        return await loader_mod.build_model_async(
+            repo_id="target-repo",
+            revision="main",
+            quantized_ext=None,
+            device=SelectedDevice.cpu(),
+            const_language_token_str=None,
+            draft_repo_id="draft-repo",
+        )
+
+    model = asyncio.run(go())
+    starts = sorted(t for op, _, t in log if op == "start")
+    ends = sorted(t for op, _, t in log if op == "end")
+    assert len(starts) == 6, "expected 3 target + 3 draft downloads"
+    assert starts[3] < ends[0], "draft downloads ran serially after target"
+    dl_phase = ends[-1] - starts[0]
+    assert dl_phase < 4 * SLEEP, f"download phase {dl_phase:.3f}s vs serial 0.9s"
+    from norma_tpu.decode import SpeculativeEngine
+
+    assert isinstance(model.engine, SpeculativeEngine)
+
+
+def test_async_spec_flag_guard_fires_before_downloads(ckpt, monkeypatch):
+    """quantize_self_kv + speculation is invalid; the async path must raise
+    BEFORE any draft bytes move (same contract as build_model)."""
+    log = []
+    monkeypatch.setattr(loader_mod, "_hub_download", _fake_download(ckpt, log))
+
+    async def go():
+        return await loader_mod.build_model_async(
+            repo_id="target-repo",
+            revision="main",
+            quantized_ext=None,
+            device=SelectedDevice.cpu(),
+            draft_repo_id="draft-repo",
+            quantize_self_kv=True,
+        )
+
+    with pytest.raises(ValueError, match="quantize_self_kv"):
+        asyncio.run(go())
+    assert not log, "downloads started despite the invalid flag combination"
+
+
 def test_blocking_and_async_build_agree(ckpt):
     d = monolingual.Definition(
         monolingual.ModelType.TINY_EN, SelectedDevice.cpu(), local_dir=ckpt

@@ -149,6 +149,39 @@ def test_quantize_logits_rejects_unknown_string(ckpt):
     assert "quantize_logits" in str(ei.value)
 
 
+def test_quantize_logits_rejects_unknown_string_prequantized(ckpt, tmp_path):
+    """The same typo must raise on a PRE-QUANTIZED params file too — that
+    branch skips re-quantization, and before the up-front validation a bad
+    truthy value was coerced into a want-tier and merely warned."""
+    import os
+    import sys as _sys
+
+    _sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
+    import quantize_checkpoint
+
+    out = tmp_path / "pq"
+    argv_save = _sys.argv
+    _sys.argv = [
+        "quantize_checkpoint.py", ckpt, str(out), "--dtype", "f32",
+        "--decoder",
+    ]
+    try:
+        quantize_checkpoint.main()
+    finally:
+        _sys.argv = argv_save
+    d = monolingual.Definition(
+        monolingual.ModelType.TINY_EN,
+        SelectedDevice.cpu(),
+        local_dir=str(out),
+        quantize_logits="INT4",
+    )
+    with pytest.raises(Exception) as ei:
+        d.blocking_try_to_model()
+    assert "quantize_logits" in str(ei.value)
+
+
 def test_weights_without_model_prefix(tmp_path, ckpt):
     """Some exports drop the leading 'model.' on tensor names; the loader
     must resolve either convention."""

@@ -190,6 +190,57 @@ def test_receiver_close_still_drains_buffered():
     assert rx.blocking_recv(timeout=1) is None
 
 
+def test_is_closed_distinguishes_timeout_from_end_of_stream():
+    """blocking_recv(timeout) returns None both on a silent live stream and
+    at end of stream; is_closed is the disambiguator, so a polling consumer
+    doesn't mistake slowness for termination."""
+    from norma_tpu.runtime.channels import StringChannel
+
+    chan = StringChannel(4)
+    rx = chan.receiver()
+    # Silent but live: timeout None, NOT closed.
+    assert rx.blocking_recv(timeout=0.05) is None
+    assert not rx.is_closed
+    # Sender closed with one buffered segment: not ended until drained.
+    chan.send("tail")
+    chan.close_sender()
+    assert not rx.is_closed
+    assert rx.blocking_recv(timeout=1) == "tail"
+    assert rx.is_closed
+    assert rx.blocking_recv(timeout=0.05) is None
+
+
+def test_ring_send_racing_close_reports_drop():
+    """A try_send whose commit lands after close() must not claim success:
+    the blocked receiver already returned None, so the chunk is undeliverable
+    and must be counted as a drop (loss accounting feeds the churn soaks).
+
+    The interleave is made deterministic by closing the ring from inside the
+    data's __getitem__, which try_send invokes BETWEEN its slot-claim lock
+    and its commit lock."""
+    import numpy as np
+
+    from norma_tpu.runtime.channels import RecycledRing
+
+    ring = RecycledRing(2, 4)
+
+    class ClosesMidCopy:
+        def __init__(self, arr):
+            self.arr = arr
+
+        def __getitem__(self, idx):
+            ring.close()  # fires exactly in the claim->commit window
+            return self.arr[idx]
+
+    sent = ring.try_send(ClosesMidCopy(np.ones(4, np.float32)), 4)
+    assert sent is False, "commit after close must not report success"
+    assert ring.dropped == 1
+    # The claimed slot was recycled, not leaked.
+    assert len(ring._free) == 2
+    status, _ = ring.poll()
+    assert status == "closed"
+
+
 def test_abandoned_start_request_is_not_served():
     """A blocking_start that times out must not leave a zombie stream: the
     run loop either skips the queued request or tears the stream down if the
