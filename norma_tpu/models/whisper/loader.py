@@ -392,25 +392,26 @@ async def build_model_async(**kwargs) -> WhisperModel:
     build_model."""
     import asyncio
 
+    draft_wanted = (
+        kwargs.get("draft_repo_id") is not None
+        or kwargs.get("draft_local_dir") is not None
+    ) and kwargs.get("draft_files") is None
+    # Mirror build_model's pre-download guard: an invalid speculative flag
+    # combination must fail BEFORE any bytes move — and before any
+    # coroutine is created, or the raise leaks a never-awaited coroutine.
+    if draft_wanted and kwargs.get("quantize_self_kv"):
+        raise ValueError(
+            "quantize_self_kv is not supported with speculative "
+            "decoding (the draft/verify cache paths keep bf16 "
+            "self-KV) — checked before any draft download/load"
+        )
     target = resolve_files_async(
         kwargs["repo_id"],
         kwargs["revision"],
         kwargs["quantized_ext"],
         kwargs.get("local_dir"),
     )
-    draft_wanted = (
-        kwargs.get("draft_repo_id") is not None
-        or kwargs.get("draft_local_dir") is not None
-    ) and kwargs.get("draft_files") is None
     if draft_wanted:
-        # Mirror build_model's pre-download guard: an invalid speculative
-        # flag combination must fail BEFORE any draft bytes move.
-        if kwargs.get("quantize_self_kv"):
-            raise ValueError(
-                "quantize_self_kv is not supported with speculative "
-                "decoding (the draft/verify cache paths keep bf16 "
-                "self-KV) — checked before any draft download/load"
-            )
         files, draft_files = await asyncio.gather(
             target,
             resolve_files_async(

@@ -106,9 +106,13 @@ class RecycledRing:
                 # close() interleaved between slot claim and commit: a
                 # blocked receiver already saw empty+closed and returned
                 # None, so appending now would report success for a chunk
-                # nobody will ever read.  Count it as a drop instead.
+                # nobody will ever read.  Recycle the slot and fail the
+                # send — WITHOUT counting ``dropped``: that counter means
+                # lossy backpressure (ring full), and a send racing
+                # teardown is not a loss event (the first-check closed
+                # path doesn't count one either; the churn soaks assert
+                # dropped == 0 across nominal stop()s).
                 self._free.append(slot)
-                self.dropped += 1
                 return False
             self._full.append(Chunk(slot, length))
             self._cond.notify()
@@ -178,8 +182,8 @@ class StringReceiver:
 
     @property
     def is_closed(self) -> bool:
-        """True once no segment can ever arrive again (sender closed and
-        queue drained, or this receiver closed itself) — lets a
+        """True once no segment can ever be returned again (either half
+        closed AND the buffered queue drained) — lets a
         ``blocking_recv(timeout=...)`` caller tell end-of-stream None from
         a timeout None."""
         return self._chan._ended()
@@ -277,8 +281,15 @@ class StringChannel:
                         return None
 
     def _ended(self) -> bool:
+        # Buffered segments are still deliverable after EITHER half closes
+        # (_recv drains the queue before checking the closed flags), so the
+        # stream has only ended once a close flag is set AND the queue is
+        # empty — otherwise a `while not rx.is_closed` poller would exit
+        # early and silently lose the buffered tail.
         with self._cond:
-            return self._receiver_closed or (self._sender_closed and not self._q)
+            return (
+                self._receiver_closed or self._sender_closed
+            ) and not self._q
 
     def receiver(self) -> StringReceiver:
         return StringReceiver(self)

@@ -210,10 +210,13 @@ def test_is_closed_distinguishes_timeout_from_end_of_stream():
     assert rx.blocking_recv(timeout=0.05) is None
 
 
-def test_ring_send_racing_close_reports_drop():
+def test_ring_send_racing_close_fails_without_counting_a_drop():
     """A try_send whose commit lands after close() must not claim success:
-    the blocked receiver already returned None, so the chunk is undeliverable
-    and must be counted as a drop (loss accounting feeds the churn soaks).
+    the blocked receiver already returned None, so the chunk is
+    undeliverable.  It must NOT count in ``dropped`` either — that counter
+    means lossy backpressure (ring full), the first-check closed path does
+    not count one, and the churn soaks assert dropped == 0 across nominal
+    stop()s whose teardown can race an in-flight send.
 
     The interleave is made deterministic by closing the ring from inside the
     data's __getitem__, which try_send invokes BETWEEN its slot-claim lock
@@ -234,11 +237,28 @@ def test_ring_send_racing_close_reports_drop():
 
     sent = ring.try_send(ClosesMidCopy(np.ones(4, np.float32)), 4)
     assert sent is False, "commit after close must not report success"
-    assert ring.dropped == 1
+    assert ring.dropped == 0, "teardown race is not a backpressure drop"
     # The claimed slot was recycled, not leaked.
     assert len(ring._free) == 2
     status, _ = ring.poll()
     assert status == "closed"
+
+
+def test_is_closed_stays_false_while_buffered_tail_remains():
+    """After the RECEIVER closes its half, buffered segments are still
+    deliverable (_recv drains before checking flags) — so is_closed must
+    stay False until the tail is drained, or a `while not rx.is_closed`
+    poller exits early and silently loses it."""
+    from norma_tpu.runtime.channels import StringChannel
+
+    chan = StringChannel(4)
+    rx = chan.receiver()
+    chan.send("tail")
+    rx.close()
+    assert not rx.is_closed, "buffered tail still deliverable"
+    assert rx.blocking_recv(timeout=1) == "tail"
+    assert rx.is_closed
+    assert rx.blocking_recv(timeout=0.05) is None
 
 
 def test_abandoned_start_request_is_not_served():
