@@ -140,6 +140,12 @@ class SpeculativeEngine(DecodeEngine):
         # t>0 fallback reuses the inherited ladder over feats.
         self._spec_programs = {}
         self._fallback_rungs = jax.jit(self._fallback_rungs_impl)
+        # Placement hook remembered from warmup_fallback(put=...): the live
+        # fallback dispatch re-applies it to feats so warmup and live use
+        # the SAME input sharding by construction (jit caches key on input
+        # sharding; GSPMD's choice for the window program's feats output is
+        # not pinned, so matching it by assumption would be fragile).
+        self._fallback_put = None
 
     def _spec_program(self, detect: bool):
         key = (self.spec_k, detect)
@@ -500,11 +506,16 @@ class SpeculativeEngine(DecodeEngine):
         avg_logprob gate would stall its stream on a mid-utterance XLA
         compile.  Called by WhisperModel.warmup.
 
-        ``put``: placement hook for the warmup features (jit caches key on
-        input sharding too, so mesh serving must warm with the same dp
-        placement its live fallback dispatches will carry — the live
-        ``feats`` inherit the sharded window program's output placement).
+        ``put``: placement hook for the warmup features.  jit caches key
+        on input sharding too, so mesh serving must warm with the same
+        placement its live fallback dispatches carry; the hook is
+        REMEMBERED and re-applied to the live ``feats`` in
+        ``transcribe_window``, making the two agree by construction (the
+        window program's output sharding is GSPMD's choice, not pinned —
+        re-placing feats is a no-op when they already match and a cheap
+        reshard on the rare gate-failure window otherwise).
         """
+        self._fallback_put = put
         feats = jnp.zeros(
             (batch, self.cfg.max_source_positions, self.cfg.d_model),
             self.params["decoder"]["tok_emb"].dtype,
@@ -541,7 +552,6 @@ class SpeculativeEngine(DecodeEngine):
         failed the reference's avg_logprob gate.
         """
         langs_arr, detect, active = self._window_inputs(audio, langs, n_active)
-        B = audio.shape[0]
         fn = self._spec_program(detect)
         self.last_spec_k = self.spec_k  # the K this window actually used
         packed_dev, feats = fn(
@@ -589,6 +599,11 @@ class SpeculativeEngine(DecodeEngine):
             & (bavg < LOGPROB_THRESHOLD)
         )
         if need_fb.any():
+            if self._fallback_put is not None:
+                # Same placement the program was warmed with (see
+                # warmup_fallback): hit the compiled cache instead of
+                # recompiling mid-utterance on GSPMD's unpinned choice.
+                feats = self._fallback_put(feats)
             fb = np.asarray(
                 self._fallback_rungs(
                     self.params, feats, jnp.asarray(langs_out),

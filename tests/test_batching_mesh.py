@@ -167,3 +167,52 @@ def test_mesh_warmup_compiles_sharded_variants():
         assert list(h.receiver) is not None
     finally:
         bt.close()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4+ virtual devices")
+def test_spec_fallback_live_dispatch_hits_warmed_cache(monkeypatch):
+    """The speculative t>0 fallback program warmed with the mesh placement
+    must be the SAME compiled entry the live gate-failure dispatch hits:
+    warmup_fallback remembers its put hook and transcribe_window re-applies
+    it to feats, so the jit cache (keyed on input sharding) cannot miss on
+    GSPMD's unpinned choice for the window program's output placement."""
+    import norma_tpu.decode.speculative as spec_mod
+    from norma_tpu.decode import SpeculativeEngine
+    from norma_tpu.frontend.mel import prepare_audio
+    from norma_tpu.parallel.sharding import shard_batch
+
+    # Force the logprob gate to fail for every live row so the live
+    # fallback dispatch definitely runs.
+    monkeypatch.setattr(spec_mod, "LOGPROB_THRESHOLD", float("inf"))
+
+    cfg = tiny_config(
+        d_model=64, encoder_attention_heads=4, decoder_attention_heads=4
+    )
+    # Distil-style draft: same dims, shallow decoder.
+    dcfg = tiny_config(
+        d_model=64, encoder_attention_heads=4, decoder_attention_heads=4,
+        decoder_layers=1, encoder_layers=1,
+    )
+    mesh = make_mesh(dp=2, tp=2)
+    params = shard_params(init_params(cfg, seed=3), mesh)
+    dparams = shard_params(init_params(dcfg, seed=103), mesh)
+    engine = SpeculativeEngine(
+        params, cfg, dparams, dcfg, TEST_ST,
+        language_token_ids=TEST_LANG_IDS,
+    )
+    B = 2
+    put = lambda a: shard_batch(a, mesh)
+    engine.warmup_fallback(batch=B, put=put)
+    assert engine._fallback_rungs._cache_size() == 1
+
+    rng = np.random.default_rng(0)
+    win = prepare_audio(
+        (0.1 * rng.standard_normal(12_000)).astype(np.float32),
+        n_frames=2 * cfg.max_source_positions,
+    )
+    audio = shard_batch(np.stack([win] * B), mesh)
+    results, _ = engine.transcribe_window(audio, [TEST_LANG_IDS[0]] * B, seed=7)
+    assert any(r is not None for r in results)
+    # One compiled entry total: the live dispatch hit the warmed program
+    # instead of compiling a second specialization mid-utterance.
+    assert engine._fallback_rungs._cache_size() == 1
