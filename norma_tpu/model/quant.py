@@ -38,6 +38,10 @@ def quantize_logits_head(params: dict) -> dict:
     w = np.asarray(dec["tok_emb"], np.float32).T  # [D, V]
     q, s = quantize_per_channel(w)
     dec["tok_emb_q8"] = {"q": q, "s": s}
+    # Symmetric with the int4 variant's pop of tok_emb_q8: logits_head
+    # dispatches q4 first, so a leftover int4 head would silently override
+    # this explicit int8 request (and keep both copies resident).
+    dec.pop("tok_emb_q4", None)
     out = dict(params)
     out["decoder"] = dec
     return out

@@ -76,9 +76,7 @@ def ldense(lp: Params, name: str, x: jax.Array, bias: jax.Array | None = None) -
     return dense(x, lp[name], bias)
 
 
-def qkv_proj(
-    lp: Params, x: jax.Array, px: str = ""
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+def qkv_proj(lp: Params, x: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Self-attention Q/K/V projection with fused-weight dispatch.
 
     When the params carry a fused ``qkv_w`` [D, 3, D] (built by
@@ -90,21 +88,20 @@ def qkv_proj(
     separate ``q_w``/``k_w``/``v_w`` form (identical math: whisper's
     k_proj has no bias, so the fused bias carries zeros for K).
     """
-    key = f"{px}qkv_w"
-    if key + "_q" in lp:  # int8 fused (quantize_decoder after fuse_qkv)
-        w = lp[key + "_q"].astype(x.dtype)
+    if "qkv_w_q" in lp:  # int8 fused (quantize_decoder after fuse_qkv)
+        w = lp["qkv_w_q"].astype(x.dtype)
         y = jnp.einsum("...d,dce->...ce", x, w, preferred_element_type=jnp.float32)
-        y = y * lp[key + "_s"].astype(jnp.float32)
-        y = (y + lp[f"{px}qkv_b"].astype(jnp.float32)).astype(x.dtype)
-    elif key in lp:
+        y = y * lp["qkv_w_s"].astype(jnp.float32)
+        y = (y + lp["qkv_b"].astype(jnp.float32)).astype(x.dtype)
+    elif "qkv_w" in lp:
         y = jnp.einsum(
-            "...d,dce->...ce", x, lp[key], preferred_element_type=jnp.float32
+            "...d,dce->...ce", x, lp["qkv_w"], preferred_element_type=jnp.float32
         )
-        y = (y + lp[f"{px}qkv_b"].astype(jnp.float32)).astype(x.dtype)
+        y = (y + lp["qkv_b"].astype(jnp.float32)).astype(x.dtype)
     else:
-        q = ldense(lp, f"{px}q_w", x, lp[f"{px}q_b"])
-        k = ldense(lp, f"{px}k_w", x)  # whisper k_proj has no bias
-        v = ldense(lp, f"{px}v_w", x, lp[f"{px}v_b"])
+        q = ldense(lp, "q_w", x, lp["q_b"])
+        k = ldense(lp, "k_w", x)  # whisper k_proj has no bias
+        v = ldense(lp, "v_w", x, lp["v_b"])
         return q, k, v
     return y[..., 0, :], y[..., 1, :], y[..., 2, :]
 

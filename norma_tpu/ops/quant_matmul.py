@@ -104,7 +104,10 @@ def quantize_activations(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    # Floor like quantize_kv_row's: an all-subnormal row (amax < ~1.8e-43)
+    # would underflow amax/127 to 0.0 and turn x/scale into inf/NaN; with
+    # the floor such a row just quantizes to zeros.
+    scale = jnp.where(amax > 0, jnp.maximum(amax, 1e-8) / 127.0, 1.0)
     q = jnp.round(xf / scale).astype(jnp.int8)
     return q, scale
 
@@ -289,6 +292,10 @@ def w4_matmul_jnp(x: jax.Array, q: jax.Array, scale: jax.Array) -> jax.Array:
 
 def _w4_kernel(x_ref, qp_ref, s_ref, o_ref, *, block: int):
     # qp tile [IN/2, BLK] int8 -> two sign-extended nibble planes.
+    # NOTE: this inlines unpack_int4's split-half convention (hardware-
+    # verified kernel; left as-is rather than re-verified for a refactor)
+    # — any change to quantize_blockwise_int4's packing layout must update
+    # BOTH sites, pinned by tests/test_quant.py's kernel-vs-twin parity.
     v = qp_ref[:].astype(jnp.int32)
     lo = (jnp.left_shift(v, 28) >> 28).astype(jnp.bfloat16)
     hi = (jnp.left_shift(v, 24) >> 28).astype(jnp.bfloat16)

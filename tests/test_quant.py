@@ -621,6 +621,28 @@ def test_quantize_decoder_honors_int4_head():
         quantize_decoder(params, logits="nope")
 
 
+def test_int8_head_pops_existing_int4_head():
+    """Symmetric precedence: applying the int8 head to params that already
+    carry an int4 head must remove it — logits_head dispatches q4 first, so
+    a leftover int4 head would silently override the explicit int8 request
+    (and keep both [D, V] copies resident)."""
+    import jax.numpy as jnp
+
+    from norma_tpu.model import init_params
+    from norma_tpu.model.quant import (
+        quantize_logits_head,
+        quantize_logits_head_int4,
+    )
+    from helpers import tiny_config
+
+    params = init_params(tiny_config(), seed=0, dtype=jnp.bfloat16)
+    q = quantize_logits_head(quantize_logits_head_int4(params))
+    dec = q["decoder"]
+    assert "tok_emb_q8" in dec and "tok_emb_q4" not in dec, sorted(
+        k for k in dec if k != "layers"
+    )
+
+
 # ---- int8 self-attention KV cache (quantize_self_kv) ----------------------
 
 
