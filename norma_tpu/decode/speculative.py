@@ -239,10 +239,13 @@ class SpeculativeEngine(DecodeEngine):
         def grammar(ll, p1, p2, lts, step, temp):
             # step may be per-row here (rows of a verify chunk sit at
             # different depths); the kernel/jnp twin accept both.
+            # greedy_only: this loop is STATICALLY t=0 (zero_temp above),
+            # so the sampler's PRNG/Gumbel pipeline is compiled out.
             return _sample(
                 ll, self._m_suppress, self._m_non_ts, self._m_ts,
                 self._m_first, p1, p2, lts, step, temp, rng_arg,
                 eot=st.eot, no_timestamps=st.no_timestamps,
+                greedy_only=True,
             )
 
         def cond(c):

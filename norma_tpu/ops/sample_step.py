@@ -67,9 +67,15 @@ def sample_step_jnp(
     *,
     eot: int,
     no_timestamps: int,
+    greedy_only: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Reference implementation.  Returns (nxt [B] i32, prob_chosen [B] f32,
-    all_nan [B] bool)."""
+    all_nan [B] bool).
+
+    ``greedy_only``: trace-time promise that every row has temp == 0 —
+    skips the categorical draw entirely (the speculative draft/verify loop
+    is statically greedy and calls this every step; under jit the discarded
+    draw would otherwise still be computed)."""
     V = ll.shape[-1]
     ids = jnp.arange(V)
     probs = jax.nn.softmax(ll, axis=-1)
@@ -98,11 +104,6 @@ def sample_step_jnp(
     masked = jnp.where((step_b == 0)[:, None], probs + m_first[None], masked)
 
     greedy = jnp.argmax(masked, axis=-1).astype(jnp.int32)
-    temp_safe = jnp.maximum(temp, 1e-6)[:, None]
-    cat = jax.random.categorical(key, masked / temp_safe, axis=-1).astype(
-        jnp.int32
-    )
-    use_sampling = temp > 0.0
     # Grammar deadlock == no token has a finite weight: every entry -inf
     # (all suppressed — softmax(masked/t) would be all-NaN, the condition
     # the reference checks, model.rs:343-346) or a NaN present (which
@@ -114,8 +115,16 @@ def sample_step_jnp(
     # first.  Match the reference.  (Finite exact ties keep first-index —
     # unreachable on continuous softmax outputs.)
     greedy = jnp.where(deadlock, V - 1, greedy)
-    nxt = jnp.where(use_sampling, cat, greedy)
-    nxt = jnp.where(use_sampling & deadlock, eot, nxt)
+    if greedy_only:
+        nxt = greedy
+    else:
+        temp_safe = jnp.maximum(temp, 1e-6)[:, None]
+        cat = jax.random.categorical(
+            key, masked / temp_safe, axis=-1
+        ).astype(jnp.int32)
+        use_sampling = temp > 0.0
+        nxt = jnp.where(use_sampling, cat, greedy)
+        nxt = jnp.where(use_sampling & deadlock, eot, nxt)
     prob_chosen = jnp.sum(
         jnp.where(ids[None] == nxt[:, None], masked, 0.0), axis=-1
     )
@@ -135,7 +144,7 @@ def _first_index_of_max(x: jax.Array, ids: jax.Array, V: int) -> jax.Array:
     )
 
 
-def _make_kernel(V: int, eot: int, no_timestamps: int):
+def _make_kernel(V: int, eot: int, no_timestamps: int, greedy_only: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -198,28 +207,33 @@ def _make_kernel(V: int, eot: int, no_timestamps: int):
         # -inf maxima (highest vocab id); our argmax picks the first.
         greedy = jnp.where(deadlock, V - 1, greedy)
 
-        # Gumbel-max draw: argmax(masked/T + G), G ~ Gumbel(0,1) from the
-        # per-core PRNG seeded on (key, step, block) — rows inside a block
-        # draw from disjoint slices of one bit matrix.  The TPU accepts at
-        # most two seed words, so step/block are mixed in multiplicatively
-        # (odd constants => bijective mod 2^32).  The seed uses the block's
-        # FIRST row's step: every t>0 caller runs all rows at one shared
-        # step (per-row steps only occur in the greedy speculative verify,
-        # which never consumes the draw).
-        s0 = seed_ref[0, 0] + step[0, 0].astype(jnp.uint32) * jnp.uint32(
-            2654435761
-        )
-        s1 = seed_ref[0, 1] + jnp.uint32(blk) * jnp.uint32(0x9E3779B9)
-        pltpu.prng_seed(s0, s1)
-        bits = pltpu.prng_random_bits((R, VP))
-        u = uniform_from_bits(bits)[:, :V]
-        g = -jnp.log(-jnp.log(u))
-        z = masked / jnp.maximum(temp, 1e-6) + g
-        cat = _first_index_of_max(z, ids, V)
+        if greedy_only:
+            # Trace-time greedy promise (speculative draft/verify): the
+            # PRNG + Gumbel pipeline is compiled out entirely.
+            nxt = greedy
+        else:
+            # Gumbel-max draw: argmax(masked/T + G), G ~ Gumbel(0,1) from
+            # the per-core PRNG seeded on (key, step, block) — rows inside
+            # a block draw from disjoint slices of one bit matrix.  The TPU
+            # accepts at most two seed words, so step/block are mixed in
+            # multiplicatively (odd constants => bijective mod 2^32).  The
+            # seed uses the block's FIRST row's step: every t>0 caller runs
+            # all rows at one shared step (per-row steps only occur in the
+            # greedy speculative verify, which never consumes the draw).
+            s0 = seed_ref[0, 0] + step[0, 0].astype(jnp.uint32) * jnp.uint32(
+                2654435761
+            )
+            s1 = seed_ref[0, 1] + jnp.uint32(blk) * jnp.uint32(0x9E3779B9)
+            pltpu.prng_seed(s0, s1)
+            bits = pltpu.prng_random_bits((R, VP))
+            u = uniform_from_bits(bits)[:, :V]
+            g = -jnp.log(-jnp.log(u))
+            z = masked / jnp.maximum(temp, 1e-6) + g
+            cat = _first_index_of_max(z, ids, V)
 
-        use_sampling = temp > 0.0
-        nxt = jnp.where(use_sampling, cat, greedy)
-        nxt = jnp.where(use_sampling & deadlock, eot, nxt)
+            use_sampling = temp > 0.0
+            nxt = jnp.where(use_sampling, cat, greedy)
+            nxt = jnp.where(use_sampling & deadlock, eot, nxt)
         prob = jnp.sum(
             jnp.where(ids == nxt, masked, 0.0), axis=1, keepdims=True
         )
@@ -232,7 +246,8 @@ def _make_kernel(V: int, eot: int, no_timestamps: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("eot", "no_timestamps", "interpret")
+    jax.jit,
+    static_argnames=("eot", "no_timestamps", "greedy_only", "interpret"),
 )
 def sample_step_pallas(
     ll,
@@ -249,11 +264,14 @@ def sample_step_pallas(
     *,
     eot: int,
     no_timestamps: int,
+    greedy_only: bool = False,
     interpret: bool = False,
 ):
     """Fused kernel path.  Same contract as :func:`sample_step_jnp` except
     the t>0 draw comes from the TPU PRNG (same Gumbel-max law); ``step``
-    may be a shared scalar or per-row [B]."""
+    may be a shared scalar or per-row [B].  ``greedy_only`` compiles the
+    PRNG/Gumbel pipeline out for statically-greedy callers (the
+    speculative loop)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -271,7 +289,7 @@ def sample_step_pallas(
         last_ts = jnp.pad(last_ts, (0, pad))
         temp = jnp.pad(temp, (0, pad))
         step = jnp.pad(step, (0, pad))
-    kernel = _make_kernel(V, eot, no_timestamps)
+    kernel = _make_kernel(V, eot, no_timestamps, greedy_only)
 
     def smem_row(x):
         return x.reshape(BP, 1)

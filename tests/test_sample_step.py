@@ -157,3 +157,27 @@ def test_per_row_independent_draws():
         seed2=jnp.asarray([5, 6], jnp.uint32),
     )
     assert len(set(np.asarray(nk).tolist())) > 1
+
+
+@pytest.mark.parametrize("case", range(len(CASES)))
+def test_greedy_only_variant_matches_full_pipeline(case):
+    """greedy_only=True (the speculative loop's statically-greedy call)
+    must be bit-identical to the full pipeline at temp=0 — in the jnp twin
+    AND the Pallas kernel (whose PRNG/Gumbel section is compiled out)."""
+    p1, p2, lts, step = CASES[case]
+    rng = np.random.default_rng(1000 + case)
+    ll = rng.normal(0, 2, (2, CFG.vocab_size)).astype(np.float32)
+    for fn, kw in (
+        (sample_step_jnp, dict(key=jax.random.PRNGKey(0))),
+        (
+            sample_step_pallas,
+            dict(seed2=jnp.asarray([1, 2], jnp.uint32), interpret=_interp()),
+        ),
+    ):
+        full = _run(fn, ll, [p1] * 2, [p2] * 2, [lts] * 2, step, 0.0, **kw)
+        gonly = _run(
+            fn, ll, [p1] * 2, [p2] * 2, [lts] * 2, step, 0.0,
+            greedy_only=True, **kw,
+        )
+        for a, b in zip(full, gonly):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

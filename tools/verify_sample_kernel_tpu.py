@@ -91,6 +91,20 @@ def main() -> None:
         assert tok_eq and prob_close and nan_eq, (
             f"case {i}: tok_eq={tok_eq} prob_close={prob_close} nan_eq={nan_eq}"
         )
+        # greedy_only arm (the speculative loop's statically-greedy call):
+        # the PRNG/Gumbel-free compiled kernel must match the full one
+        # bit-for-bit at t=0 ON HARDWARE (interpret mode already pins it
+        # on CPU; Mosaic lowering differences are what this gate catches).
+        ng, pg, nang = sample_step_pallas(
+            *args, jnp.asarray([1, 2], jnp.uint32),
+            eot=st_real.eot, no_timestamps=st_real.no_timestamps,
+            greedy_only=True,
+        )
+        assert (
+            (np.asarray(ng) == np.asarray(nk)).all()
+            and (np.asarray(pg) == np.asarray(pk)).all()
+            and (np.asarray(nang) == np.asarray(nank)).all()
+        ), f"case {i}: greedy_only kernel diverged from full kernel"
         n_exact += 1
 
     # Uniformity of the kernel's EXACT u computation on real hardware.
