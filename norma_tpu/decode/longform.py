@@ -236,11 +236,17 @@ class LongFormDecoder:
 
             text = self.tokenizer.decode(tokens[1:-1], skip_special_tokens=True)
             if text and self.timestamps:
-                start = window_offset + s_timestamp * 0.02
+                # One tick == SAMPLES_PER_TIMESTAMP_TICK samples (20 ms at
+                # 16 kHz) — derived so drain accounting and emitted
+                # timestamps can never disagree.
+                tick_s = SAMPLES_PER_TIMESTAMP_TICK / float(SAMPLE_RATE)
+                start = window_offset + s_timestamp * tick_s
                 if e_token == st.eot:
                     end = window_offset + slice_len / float(SAMPLE_RATE)
                 else:
-                    end = window_offset + (e_token - st.no_timestamps - 1) * 0.02
+                    end = window_offset + (
+                        e_token - st.no_timestamps - 1
+                    ) * tick_s
                 text = f"[{start:.2f}s -> {end:.2f}s]{text}"
             if text:
                 self.pending_text.append(text)
@@ -265,8 +271,8 @@ class LongFormDecoder:
     def transcribe(self, data: np.ndarray, final_chunk: bool) -> str:
         """Feed one chunk; return any newly-final transcript text."""
         self.feed(data)
-        while self.next_window() is not None:
-            dr = self._decode_window(self.next_window())
+        while (window := self.next_window()) is not None:
+            dr = self._decode_window(window)
             if not self.apply_result(dr, final_chunk):
                 break
         return self.finish_call(final_chunk)
