@@ -6,9 +6,11 @@ monolingual.rs:231-235).  The quantized checkpoints the reference pins
 (``lmz/candle-whisper`` ``model-*-q80.gguf``) store q8_0 blocks: 32 weights
 as int8 with one f16 scale (34 bytes/block).
 
-Loading dequantizes to the requested compute dtype; the int8 payloads and
-scales are also exposed so the quantized matmul path (``quant.py``) can keep
-weights in int8 on-device.
+Loading dequantizes to the requested compute dtype.  The q8_0 per-32-block
+scale layout is NOT shape-compatible with the serving int8 path's
+per-out-channel scales (``quant.py``), so a direct int8->int8 reuse is
+deliberately absent: re-quantizing from the dequantized floats
+(``quantize_decoder``) is the supported route.
 """
 
 from __future__ import annotations
@@ -83,15 +85,6 @@ def dequant_q8_0(raw: bytes, n_elems: int) -> np.ndarray:
     scales = rec[:, :2].copy().view(np.float16).astype(np.float32)  # [nb,1]
     qs = rec[:, 2:].copy().view(np.int8).astype(np.float32)  # [nb,32]
     return (qs * scales).reshape(n_elems)
-
-
-def q8_0_payload(raw: bytes, n_elems: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Return (int8 values [n], f32 per-block scales [n//32]) without dequant."""
-    n_blocks = n_elems // 32
-    rec = np.frombuffer(raw, dtype=np.uint8).reshape(n_blocks, 34)
-    scales = rec[:, :2].copy().view(np.float16).astype(np.float32)[:, 0]
-    qs = rec[:, 2:].copy().view(np.int8).reshape(n_elems)
-    return qs, scales
 
 
 def read_gguf(path: str) -> Tuple[Dict[str, Any], Dict[str, np.ndarray]]:

@@ -34,12 +34,33 @@ _ST_DTYPES = {
 }
 
 
-def read_safetensors(path: str) -> Dict[str, np.ndarray]:
-    """Read a .safetensors file into a dict of numpy arrays (zero-copy mmap)."""
+def read_safetensors(path: str, *, _parsed=None) -> Dict[str, np.ndarray]:
+    """Read a .safetensors file into a dict of numpy arrays (zero-copy mmap).
+
+    ``_parsed``: optional ``(header_len, header)`` from a caller that
+    already parsed the JSON header (serialize.load_params_file) — parsing
+    the multi-thousand-entry header twice is measurable on large models.
+    """
     with open(path, "rb") as f:
         mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
-    (header_len,) = struct.unpack("<Q", mm[:8])
-    header = json.loads(mm[8 : 8 + header_len].decode("utf-8"))
+    if _parsed is not None:
+        header_len, header = _parsed
+    else:
+        if len(mm) < 8:
+            raise ValueError(f"{path}: too short to be a safetensors file")
+        (header_len,) = struct.unpack("<Q", mm[:8])
+        # Validate BEFORE slicing: the u64 from a non-safetensors file
+        # (e.g. GGUF magic+version decodes to ~14 GB) would otherwise
+        # materialize a giant bytes copy / MemoryError.
+        if header_len > len(mm) - 8:
+            raise ValueError(
+                f"{path}: not a safetensors file (header length "
+                f"{header_len} exceeds file size {len(mm)})"
+            )
+        try:
+            header = json.loads(mm[8 : 8 + header_len].decode("utf-8"))
+        except (UnicodeDecodeError, json.JSONDecodeError) as e:
+            raise ValueError(f"{path}: not a safetensors file ({e})") from e
     base = 8 + header_len
     out = {}
     for name, info in header.items():

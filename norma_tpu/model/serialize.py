@@ -96,7 +96,13 @@ def flatten_params(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
     def walk(prefix: str, node: Any) -> None:
         if isinstance(node, dict):
             for k, v in node.items():
-                assert "/" not in k, f"key {k!r} contains the separator"
+                if "/" in k:
+                    # Hard format invariant (unflatten splits on '/'); a
+                    # bare assert would vanish under -O and corrupt the
+                    # saved tree silently.
+                    raise ValueError(
+                        f"param key {k!r} contains the path separator '/'"
+                    )
                 walk(f"{prefix}/{k}" if prefix else k, v)
         else:
             out[prefix] = np.asarray(jax.device_get(node))
@@ -128,16 +134,34 @@ def save_params(
     write_safetensors(path, flatten_params(params), meta)
 
 
-def _read_header(path: str) -> Dict[str, Any]:
+def _read_header(path: str) -> Tuple[int, Dict[str, Any]]:
+    import os
+
+    size = os.path.getsize(path)
     with open(path, "rb") as f:
-        (header_len,) = struct.unpack("<Q", f.read(8))
-        return json.loads(f.read(header_len).decode("utf-8"))
+        raw = f.read(8)
+        if len(raw) < 8:
+            raise ValueError(f"{path}: too short to be a safetensors file")
+        (header_len,) = struct.unpack("<Q", raw)
+        # Validate BEFORE reading: the u64 from a non-safetensors file
+        # (e.g. GGUF magic+version decodes to ~14 GB) would otherwise
+        # drive a giant read/MemoryError instead of a clean error.
+        if header_len > size - 8:
+            raise ValueError(
+                f"{path}: not a safetensors file (header length "
+                f"{header_len} exceeds file size {size})"
+            )
+        try:
+            return header_len, json.loads(f.read(header_len).decode("utf-8"))
+        except (UnicodeDecodeError, json.JSONDecodeError) as e:
+            raise ValueError(f"{path}: not a safetensors file ({e})") from e
 
 
 def peek_format(path: str) -> Optional[Dict[str, str]]:
     """Return the file's ``__metadata__`` if it is a norma-tpu params file,
     else None (a plain HF checkpoint).  Reads only the JSON header."""
-    meta = _read_header(path).get("__metadata__") or {}
+    _, header = _read_header(path)
+    meta = header.get("__metadata__") or {}
     return meta if meta.get(FORMAT_KEY) else None
 
 
@@ -150,10 +174,10 @@ def load_params_file(path: str) -> Tuple[Dict[str, Any], Dict[str, str]]:
     """
     from .load import read_safetensors
 
-    # One header read serves both the format check and the BF16-tag lookup
-    # (quantized stacked-layer headers enumerate every tensor; parsing the
-    # JSON repeatedly is measurable on large models).
-    header = _read_header(path)
+    # One header read serves the format check, the BF16-tag lookup AND the
+    # tensor read below (quantized stacked-layer headers enumerate every
+    # tensor; parsing the JSON repeatedly is measurable on large models).
+    header_len, header = _read_header(path)
     meta = header.get("__metadata__") or {}
     if not meta.get(FORMAT_KEY):
         raise ValueError(
@@ -165,7 +189,9 @@ def load_params_file(path: str) -> Tuple[Dict[str, Any], Dict[str, str]]:
             f"{path}: unsupported {FORMAT_KEY}={meta[FORMAT_KEY]!r}"
         )
     flat = {}
-    for name, arr in read_safetensors(path).items():
+    for name, arr in read_safetensors(
+        path, _parsed=(header_len, header)
+    ).items():
         x = jnp.asarray(arr)
         if header[name]["dtype"] == "BF16":
             x = x.astype(jnp.bfloat16)

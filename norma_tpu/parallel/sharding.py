@@ -89,10 +89,22 @@ def param_shardings(params, mesh: Mesh):
             # q [D, V], s [V]
             return P(None, "tp") if keys[-1] == "q" else P("tp")
         if "tok_emb_q4" in keys:
-            # q nibble-packed [in//2, V], s [nb, V]: vocab axis over tp.
+            # REPLICATED: the int4 head runs as a Pallas (Mosaic) custom
+            # call on TPU, which GSPMD cannot partition — a sharded spec
+            # would force an all-gather of the packed head every step (or
+            # fail to compile).  int8 is the tp-recommended quantized head;
+            # int4 stays a single-chip memory lever.
+            return P()
+        if keys[-1] == "tok_emb":
+            # Row-parallel (Megatron) tied embedding, D axis over tp: the
+            # bf16 logits head is the single largest per-token weight read
+            # ([V, D], ~133 MB for large-v3), so each rank streams D/tp of
+            # it and GSPMD psums the [B, V] logits partials (~200 KB).
+            # The token-embedding gather needs no collective under this
+            # layout (every rank holds all V rows of its D slice).
             return P(None, "tp")
-        # conv weights, positional embeddings, embeddings, final LN:
-        # replicated (they are small relative to the layer stack).
+        # conv weights, positional embeddings, final LN: replicated (small
+        # relative to the layer stack).
         return P()
 
     return jax.tree_util.tree_map_with_path(

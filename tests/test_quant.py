@@ -228,7 +228,12 @@ def test_quantized_heads_checkpoint_behavior(tmp_path):
     assert isinstance(texts["int4"], str) and texts["int4"].strip()
 
 
-def test_int4_head_tp_shardable():
+def test_int4_head_mesh_spec_and_parity():
+    """The int4 head must be REPLICATED under tp: on TPU it dispatches to a
+    Pallas (Mosaic) custom call GSPMD cannot partition, so a sharded spec
+    would force a per-step all-gather of the packed head or fail to
+    compile.  (int8 is the tp-recommended quantized head.)  The sharded
+    model must still produce the same logits."""
     import jax
 
     from norma_tpu.model.quant import quantize_logits_head_int4
@@ -240,7 +245,7 @@ def test_int4_head_tp_shardable():
     mesh = make_mesh(dp=1, tp=4, devices=jax.devices()[:4])
     sh = param_shardings(params, mesh)
     q4 = sh["decoder"]["tok_emb_q4"]
-    assert q4["q"].spec[-1] == "tp" and q4["s"].spec[-1] == "tp"
+    assert q4["q"].spec == () and q4["s"].spec == ()
     sp = shard_params(params, mesh)
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.standard_normal((2, cfg.d_model)), jnp.float32)

@@ -248,3 +248,38 @@ def test_quantize_checkpoint_tool_end_to_end(tmp_path, monkeypatch):
     assert isinstance(m_spec.engine, SpeculativeEngine)
     t_spec = m_spec.transcribe(audio.copy(), final_chunk=True)
     assert t_spec == t_pre
+
+
+def test_non_safetensors_file_rejected_cleanly(tmp_path):
+    """A file whose first 8 bytes decode to a huge u64 (e.g. GGUF
+    magic+version ~= 14 GB) must raise a clean ValueError from both header
+    readers, not attempt a multi-gigabyte read / MemoryError."""
+    import struct
+
+    import pytest
+
+    from norma_tpu.model.gguf import GGUF_MAGIC
+    from norma_tpu.model.load import read_safetensors
+    from norma_tpu.model.serialize import load_params_file, peek_format
+
+    p = tmp_path / "weights.safetensors"
+    p.write_bytes(struct.pack("<II", GGUF_MAGIC, 3) + b"\x00" * 64)
+    for fn in (peek_format, load_params_file, read_safetensors):
+        with pytest.raises(ValueError, match="not a safetensors file"):
+            fn(str(p))
+    # Truncated file (< 8 bytes) is likewise a clean error.
+    q = tmp_path / "tiny.safetensors"
+    q.write_bytes(b"\x01")
+    with pytest.raises(ValueError, match="too short"):
+        peek_format(str(q))
+
+
+def test_flatten_rejects_separator_keys():
+    """'/' in a param key would corrupt the flat format on round-trip; it
+    must raise even under -O (ValueError, not assert)."""
+    import pytest
+
+    from norma_tpu.model.serialize import flatten_params
+
+    with pytest.raises(ValueError, match="separator"):
+        flatten_params({"decoder": {"bad/key": 1}})
