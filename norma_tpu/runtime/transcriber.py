@@ -29,6 +29,7 @@ from __future__ import annotations
 import logging
 import queue
 import threading
+import time
 from typing import Optional, Tuple
 
 from typing import TYPE_CHECKING
@@ -74,11 +75,27 @@ class JoinHandle:
 
 
 class _StreamState:
-    """Shared keepalive slot (reference: MicStreamState, lib.rs:292)."""
+    """Shared keepalive slot (reference: MicStreamState, lib.rs:292).
+
+    ``down`` is the Python stand-in for the reference's closed control
+    channel: tokio's mpsc errors a send the moment ``run()`` drops its
+    receiver (lib.rs:636,668), but ``queue.Queue`` cannot close — so
+    ``run()`` raises this event on every exit path and the handle checks
+    it to fail starts against a dead transcriber immediately instead of
+    hanging (or silently burning its whole timeout).
+    """
 
     def __init__(self) -> None:
         self.lock = threading.Lock()
         self.pipeline: Optional[StreamPipeline] = None
+        self.down = threading.Event()
+
+    def take(self) -> Optional["StreamPipeline"]:
+        """Atomically pop the keepalive pipeline (one source of truth for
+        the swap-and-clear protocol shared by stop()/teardown)."""
+        with self.lock:
+            pipeline, self.pipeline = self.pipeline, None
+        return pipeline
 
 
 class _StartReply:
@@ -110,12 +127,29 @@ class _StartReply:
         with self._lock:
             return self._abandoned
 
-    def wait(self, timeout: Optional[float]):
-        """Wait for the reply; marks the request abandoned on timeout."""
-        try:
-            return self._q.get(timeout=timeout)
-        except queue.Empty:
-            pass
+    def wait(self, timeout: Optional[float], down=None):
+        """Wait for the reply; marks the request abandoned on timeout.
+
+        ``down``: the transcriber-exited event.  The wait polls it so a
+        start against a transcriber that died mid-request fails promptly
+        (and a ``timeout=None`` wait cannot hang forever on a thread that
+        will never reply) — the reference gets this for free from its
+        dropped oneshot sender (lib.rs:670-672)."""
+        deadline = None if timeout is None else time.monotonic() + timeout
+        while True:
+            step = 0.1 if down is not None else timeout
+            if deadline is not None:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                step = remaining if step is None else min(step, remaining)
+            try:
+                return self._q.get(timeout=step)
+            except queue.Empty:
+                if down is not None and down.is_set():
+                    break  # final re-check under the lock below
+                if deadline is None and down is None:
+                    continue
         with self._lock:
             # A reply may have landed between the timeout and the lock.
             try:
@@ -234,6 +268,26 @@ class Transcriber:
 
     @instrument  # reference #[instrument], lib.rs:393
     def run(self) -> None:
+        try:
+            self._run()
+        finally:
+            # The Python stand-in for the reference's control channel
+            # closing on run-loop exit (lib.rs:494): mark the transcriber
+            # down, then fail every queued start so its waiter returns
+            # immediately instead of timing out (or hanging at
+            # timeout=None).  Order matters: down is visible BEFORE the
+            # drain, so a request enqueued after the drain sees the event
+            # from its polling wait.
+            self._stream_state.down.set()
+            while True:
+                try:
+                    stale = self._ctrl.get_nowait()
+                except queue.Empty:
+                    break
+                if stale is not None:
+                    stale[1].reply(TranscriberDown())
+
+    def _run(self) -> None:
         while True:
             msg = self._ctrl.get()
             if msg is None:  # handle dropped -> terminate (lib.rs:494)
@@ -308,11 +362,7 @@ class Transcriber:
             # loop back: wait for the next start request
 
     def _teardown_stream(self) -> None:
-        with self._stream_state.lock:
-            pipeline, self._stream_state.pipeline = (
-                self._stream_state.pipeline,
-                None,
-            )
+        pipeline = self._stream_state.take()
         if pipeline is not None:
             pipeline.stop()
 
@@ -339,12 +389,24 @@ class TranscriberHandle:
         if running:
             raise TranscriberRunning()
 
+        down = self._stream_state.down
+        if down.is_set():
+            raise TranscriberDown()
+        deadline = None if timeout is None else time.monotonic() + timeout
         res_q = _StartReply()
         try:
             self._ctrl.put((settings, res_q), timeout=timeout)
         except queue.Full:
-            raise TranscriberDown()
-        res = res_q.wait(timeout)  # raises TranscriberDown on timeout
+            # put can only time out while the run loop is alive and busy
+            # (a dead loop's exit drain frees the slot) — unless it died
+            # while we waited.  Report which.
+            raise TranscriberDown() if down.is_set() else TranscriberRunning()
+        # ONE deadline across enqueue + reply: put and wait each consuming
+        # the full timeout would let blocking_start(30) block ~60 s.
+        remaining = (
+            None if deadline is None else max(deadline - time.monotonic(), 0.0)
+        )
+        res = res_q.wait(remaining, down=down)  # TranscriberDown on timeout
         if isinstance(res, Exception):
             raise res
         return res
@@ -360,11 +422,7 @@ class TranscriberHandle:
     @instrument  # reference lib.rs:678
     def stop(self) -> None:
         """Stop the running stream (reference: stop(), lib.rs:678-694)."""
-        with self._stream_state.lock:
-            pipeline, self._stream_state.pipeline = (
-                self._stream_state.pipeline,
-                None,
-            )
+        pipeline = self._stream_state.take()
         if pipeline is None:
             raise NoStreamRunning()
         pipeline.stop()
@@ -394,7 +452,11 @@ class TranscriberHandle:
             except queue.Empty:
                 continue  # run() consumed the blocker; retry the sentinel
             if stale is None:
-                return  # another handle already signaled shutdown
+                # Another closer's sentinel: we just CONSUMED it, so
+                # returning here would leave no sentinel in the queue and
+                # the run loop alive forever — loop back and re-enqueue
+                # one (the slot we freed is available).
+                continue
             stale[1].reply(TranscriberDown())
 
     def __enter__(self) -> "TranscriberHandle":

@@ -70,14 +70,19 @@ def instrument(
                 try:
                     bound = sig.bind_partial(*args, **kwargs)
                     bound.apply_defaults()
-                    for k, fx in fields.items():
-                        # span() takes (name, level) positionally; a field
-                        # with either name would TypeError at the call —
-                        # the one failure extract()'s guard can't catch.
-                        key = k if k not in ("name", "level") else k + "_"
-                        fvals[key] = fx(bound.arguments)
                 except Exception:  # never let telemetry break the call
-                    pass
+                    return fvals
+                for k, fx in fields.items():
+                    # span() takes (name, level) positionally; a field
+                    # with either name would TypeError at the call —
+                    # the one failure the per-field guard can't catch.
+                    key = k if k not in ("name", "level") else k + "_"
+                    try:
+                        fvals[key] = fx(bound.arguments)
+                    except Exception:
+                        # One failing extractor must not discard the
+                        # healthy fields.
+                        pass
             return fvals
 
         # The enabled-check may skip the span's enter/exit records, but the
@@ -204,14 +209,22 @@ def device_time_report(trace_dir: str, line: str = "XLA Modules"):
 
 def device_time_report_multi(trace_dir: str, lines):
     """Like :func:`device_time_report` for several line names in ONE
-    proto-parsing pass: ``{line: {name: (total_ms, count)}}``."""
+    proto-parsing pass: ``{line: {name: (total_ms, count)}}``.
+
+    Multi-core traces (SPMD over a mesh) carry one TPU plane PER CORE, each
+    with its own copy of the same dispatch's events; the report takes the
+    per-name MAX across planes — the program's latency is the slowest
+    core's time, not the sum of concurrent cores (summing would inflate
+    "device ms per call" by the core count).  Single-core traces are
+    unaffected.
+    """
     import glob
 
     from tensorflow.tsl.profiler.protobuf.xplane_pb2 import XSpace  # type: ignore
 
     lines = tuple(lines)
-    totals: Dict[str, Dict[str, float]] = {ln: {} for ln in lines}
-    counts: Dict[str, Dict[str, int]] = {ln: {} for ln in lines}
+    # {line: {plane_key: ({name: total_ms}, {name: count})}}
+    per_plane: Dict[str, Dict[Any, tuple]] = {ln: {} for ln in lines}
     for path in glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True):
         xs = XSpace()
         with open(path, "rb") as f:
@@ -220,21 +233,21 @@ def device_time_report_multi(trace_dir: str, lines):
             if "TPU" not in plane.name:
                 continue
             for pl_line in plane.lines:
-                if pl_line.name not in totals:
+                if pl_line.name not in per_plane:
                     continue
-                t = totals[pl_line.name]
-                c = counts[pl_line.name]
+                key = (path, plane.name)
+                t, c = per_plane[pl_line.name].setdefault(key, ({}, {}))
                 for ev in pl_line.events:
                     md = plane.event_metadata[ev.metadata_id]
                     name = md.display_name or md.name
                     t[name] = t.get(name, 0.0) + ev.duration_ps / 1e9
                     c[name] = c.get(name, 0) + 1
-    return {
-        ln: dict(
-            sorted(
-                ((k, (v, counts[ln][k])) for k, v in totals[ln].items()),
-                key=lambda kv: -kv[1][0],
-            )
-        )
-        for ln in lines
-    }
+    out = {}
+    for ln in lines:
+        merged: Dict[str, tuple] = {}
+        for t, c in per_plane[ln].values():
+            for name, total in t.items():
+                if name not in merged or total > merged[name][0]:
+                    merged[name] = (total, c[name])
+        out[ln] = dict(sorted(merged.items(), key=lambda kv: -kv[1][0]))
+    return out

@@ -299,3 +299,60 @@ def test_close_lands_past_a_pending_start():
     assert isinstance(res, TranscriberDown)
     # ...and the shutdown sentinel landed.
     assert ctrl.get_nowait() is None
+
+
+def test_close_preserves_another_closers_sentinel():
+    """Two closers racing: the second pops the first's shutdown sentinel
+    off the 1-slot ctrl queue (to make room for its own) — it must put one
+    BACK, or the run loop never sees a sentinel and lives forever."""
+    import queue as _queue
+
+    from norma_tpu.runtime.transcriber import TranscriberHandle, _StreamState
+
+    ctrl = _queue.Queue(maxsize=1)
+    ctrl.put(None)  # closer A's sentinel already queued
+    h = TranscriberHandle(_StreamState(), ctrl)
+    h.close()  # closer B
+    assert ctrl.get_nowait() is None, "shutdown sentinel was consumed"
+    assert ctrl.empty()
+
+
+def test_start_against_dead_transcriber_fails_fast():
+    """After the run loop exits, blocking_start must raise TranscriberDown
+    promptly — even with timeout=None (the reference's closed control
+    channel errors the send immediately, lib.rs:636,668); previously
+    timeout=None hung forever and a finite timeout burned all of it."""
+    import time as _time
+
+    from norma_tpu.models.mock import MockDef
+    from norma_tpu.runtime import Transcriber
+    from norma_tpu.errors import TranscriberDown
+
+    jh, h = Transcriber.blocking_spawn(MockDef())
+    h.close()  # run loop exits
+    jh.join(timeout=5)
+    t0 = _time.monotonic()
+    with pytest.raises(TranscriberDown):
+        h.blocking_start(timeout=None)
+    assert _time.monotonic() - t0 < 2.0, "dead-transcriber start was not fast"
+
+
+def test_busy_ctrl_queue_times_out_as_running_not_down():
+    """A put that times out on a FULL ctrl queue means the transcriber is
+    alive and busy — the error must be TranscriberRunning, not
+    TranscriberDown (whose message tells the user to join(), which would
+    block forever on a healthy thread).  The total wait must also honor ONE
+    deadline, not timeout for the put plus timeout for the reply."""
+    import queue as _queue
+    import time as _time
+
+    from norma_tpu.runtime.transcriber import TranscriberHandle, _StreamState
+    from norma_tpu.errors import TranscriberRunning
+
+    ctrl = _queue.Queue(maxsize=1)
+    ctrl.put(("occupied", None))  # a pending start holds the slot
+    h = TranscriberHandle(_StreamState(), ctrl)
+    t0 = _time.monotonic()
+    with pytest.raises(TranscriberRunning):
+        h.blocking_start(timeout=0.3)
+    assert _time.monotonic() - t0 < 1.0
