@@ -86,6 +86,14 @@ class DecodeEngine:
         self.params = params
         self.cfg = cfg
         self.st = st
+        # Where the compiled programs will actually run.  Derived from the
+        # params' devices, NOT jax.default_backend(): in a mixed-backend
+        # process (TPU backend initialized, then a CPU-mesh program traced,
+        # as the multi-chip dryrun does) the global default would enable
+        # the TPU-only Pallas sampler in a CPU lowering.
+        from ..utils import params_platform
+
+        self._platform = params_platform(params)
         # Fused Pallas grammar+sampling step on TPU (ops/sample_step.py);
         # pass False to force the pure-XLA pipeline on any backend.  A
         # constructor argument (not a mutable attribute) because the value
@@ -256,7 +264,7 @@ class DecodeEngine:
         # program on TPU (~20 separate XLA ops cost ~0.5 ms/step in fixed
         # overhead alone, measured on v5e); the jnp twin is the semantics
         # oracle and the CPU path.
-        use_kernel = self.fused_sampler and jax.default_backend() == "tpu"
+        use_kernel = self.fused_sampler and self._platform == "tpu"
         seed2 = key0.reshape(-1)[:2].astype(jnp.uint32)
 
         def body(c):

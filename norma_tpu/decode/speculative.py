@@ -223,7 +223,7 @@ class SpeculativeEngine(DecodeEngine):
         ids_row = jnp.arange(Tmax)[None]  # [1, Tmax]
         jseq = jnp.arange(K + 1)
 
-        use_kernel = self.fused_sampler and jax.default_backend() == "tpu"
+        use_kernel = self.fused_sampler and self._platform == "tpu"
         if use_kernel:
             from ..ops.sample_step import sample_step_pallas as _sample
         else:

@@ -16,6 +16,29 @@ from typing import Callable, Iterator, List, Sequence, TypeVar
 T = TypeVar("T")
 
 
+def params_platform(params) -> str:
+    """Platform a computation over ``params`` will actually run on.
+
+    Returns the device platform of the first committed ``jax.Array`` leaf
+    (e.g. ``"tpu"``, ``"cpu"``), falling back to the process default
+    backend for host-side (numpy) pytrees.  TPU-only kernel gates must use
+    this rather than ``jax.default_backend()``: in a mixed-backend process
+    (a TPU-initialized session tracing a CPU-mesh program, as the
+    multi-chip dryrun does) the global default names the wrong platform
+    and a Pallas call would be lowered for a backend that cannot run it.
+    """
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(params):
+        devices = getattr(leaf, "devices", None)
+        if callable(devices):
+            try:
+                return next(iter(devices())).platform
+            except Exception:
+                continue
+    return jax.default_backend()
+
+
 def inclusive_segments(
     seq: Sequence[T], pred: Callable[[T], bool]
 ) -> Iterator[Sequence[T]]:

@@ -193,3 +193,28 @@ def test_fallback_ladder_returns(setup):
     if dr is not None:
         assert dr.tokens[0] == TEST_ST.sot
         assert np.isnan(dr.compression_ratio)
+
+
+def test_sampler_gate_follows_params_platform(monkeypatch):
+    """Mixed-backend process regression: the TPU-only fused sampler must be
+    gated on the PARAMS' platform, not jax.default_backend().
+
+    In a process whose default backend is TPU, tracing a CPU-placed
+    program (exactly what the multi-chip dryrun does after entry() has
+    initialized the TPU client) would otherwise select the Pallas sampler
+    in a CPU lowering and fail with "Only interpret mode is supported on
+    CPU backend"."""
+    import jax
+
+    cfg = tiny_config()
+    params = init_params(cfg, seed=3)
+    engine = DecodeEngine(params, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS)
+    assert engine._platform == "cpu"  # conftest forces the CPU platform
+
+    # Simulate the mixed-backend process: global default claims "tpu"
+    # while every array in the program lives on CPU.
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    feats = jnp.asarray(random_feats(cfg, B=1, T=16, seed=99))
+    state = engine.prefill(feats, TEST_LANG_IDS[0])
+    dr = engine.run_loop(state, 0.0, seed=0)[0]  # crashes without the fix
+    assert dr.tokens[0] == TEST_ST.sot
