@@ -55,21 +55,43 @@ def main() -> None:
     fused = fuse_qkv(raw)
     dev0 = jax.devices()[0]
 
-    # name -> (params, engine kwargs, cfg). The *448 arms run at the
-    # PRODUCTION max_target_positions, where the per-step self-KV stream
-    # is ~3.3x the benched mtp=136 — the regime quantize_self_kv targets.
+    # name -> thunk of (params, engine kwargs, cfg). Thunks so unpicked
+    # arms (especially the 1.55B-param lv3 ones) cost nothing to list.
+    # The *448 arms run at the PRODUCTION max_target_positions, where the
+    # per-step self-KV stream is ~3.3x the benched mtp=136 — the regime
+    # quantize_self_kv targets; the lv3_448 arms measure it at 32 decoder
+    # layers (16x the self-KV bytes of distil's 2).
     cfg448 = PRESETS["distil-large-v3"].with_(max_target_positions=448)
+    cfg_lv3 = PRESETS["large-v3"].with_(max_target_positions=448)
+    lv3_fused_cache = []
+
+    def lv3_fused():
+        if not lv3_fused_cache:
+            lv3_fused_cache.append(
+                fuse_qkv(init_params(cfg_lv3, seed=0, dtype=jnp.bfloat16))
+            )
+        return lv3_fused_cache[0]
+
     variants = {
-        "unfused": (raw, {}, cfg),
-        "fused": (fused, {}, cfg),
-        "fused_w8": (quantize_decoder(fused), {}, cfg),
-        "fused_w8h": (quantize_logits_head(fused), {}, cfg),
-        "fused_w4h": (quantize_logits_head_int4(fused), {}, cfg),
-        "fused_skv": (fused, {"quantize_self_kv": True}, cfg),
-        "fused448": (fused, {}, cfg448),
-        "fused448_skv": (fused, {"quantize_self_kv": True}, cfg448),
-        "fused448_w8_skv": (
+        "unfused": lambda: (raw, {}, cfg),
+        "fused": lambda: (fused, {}, cfg),
+        "fused_w8": lambda: (quantize_decoder(fused), {}, cfg),
+        "fused_w8h": lambda: (quantize_logits_head(fused), {}, cfg),
+        "fused_w4h": lambda: (quantize_logits_head_int4(fused), {}, cfg),
+        "fused_skv": lambda: (fused, {"quantize_self_kv": True}, cfg),
+        "fused448": lambda: (fused, {}, cfg448),
+        "fused448_skv": lambda: (fused, {"quantize_self_kv": True}, cfg448),
+        "fused448_w8": lambda: (quantize_decoder(fused), {}, cfg448),
+        "fused448_w8_skv": lambda: (
             quantize_decoder(fused), {"quantize_self_kv": True}, cfg448
+        ),
+        "lv3_448": lambda: (lv3_fused(), {}, cfg_lv3),
+        "lv3_448_skv": lambda: (
+            lv3_fused(), {"quantize_self_kv": True}, cfg_lv3
+        ),
+        "lv3_448_w8": lambda: (quantize_decoder(lv3_fused()), {}, cfg_lv3),
+        "lv3_448_w8_skv": lambda: (
+            quantize_decoder(lv3_fused()), {"quantize_self_kv": True}, cfg_lv3
         ),
     }
     pick = sys.argv[1:] or list(variants)
@@ -98,7 +120,7 @@ def main() -> None:
     assert rel < 0.03, "w4 pallas kernel diverges on hardware"
 
     for name in pick:
-        vparams, ekw, vcfg = variants[name]
+        vparams, ekw, vcfg = variants[name]()
         params = jax.device_put(vparams, dev0)
         engine = DecodeEngine(params, vcfg, st, **ekw)
         ntoks = vcfg.max_target_positions - 4  # forced decode length
