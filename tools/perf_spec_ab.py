@@ -183,6 +183,13 @@ def main() -> None:
              SpeculativeEngine(tgt_w8, tcfg, draft_rand, dcfg, st, spec_k=K),
              B),
         ]
+    elif scenario == "batch_w8":
+        # The follow-up the first batch run raised: at B=8 acceptance
+        # collapses to the min across rows (~1.75 tok/round), so most of
+        # spec+w8's win may be the w8 target alone.  Measure plain w8.
+        tgt_w8 = jax.device_put(quantize_decoder(tgt), dev)
+        B = 8
+        runs = [("lv3_b8_w8", DecodeEngine(tgt_w8, tcfg, st), B)]
     else:
         raise SystemExit(f"unknown scenario {scenario!r}")
 
