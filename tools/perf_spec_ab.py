@@ -28,7 +28,7 @@ acceptance on speech per the distil-whisper literature).  Measured
 results: PERF.md "speculative decoding" section (640.1 -> 245.5 ms B=1
 floor, 172.8 ceiling, 190.7 floor+w8; B=8 in the batch scenario).
 
-Run ON TPU:  python tools/perf_spec_ab.py [bracket|knobs|batch] [spec_k]
+Run ON TPU:  python tools/perf_spec_ab.py [bracket|knobs|batch|batch_w8|batch_stack] [spec_k]
 """
 
 import json
@@ -190,6 +190,16 @@ def main() -> None:
         tgt_w8 = jax.device_put(quantize_decoder(tgt), dev)
         B = 8
         runs = [("lv3_b8_w8", DecodeEngine(tgt_w8, tcfg, st), B)]
+    elif scenario == "batch_stack":
+        # Best plausible NON-speculative lv3 serving config: w8 decoder +
+        # jax_flash encoder (flash alone measured 1341 vs plain 1405;
+        # quantize_cross_kv is deliberately absent — it regresses +45% at
+        # lv3 B=8, PERF.md).  Run after batch/batch_w8 settle the decoder
+        # side so the flash delta is attributable.
+        fcfg = tcfg.with_(encoder_attn_impl="jax_flash")
+        tgt_w8f = jax.device_put(quantize_decoder(tgt), dev)
+        B = 8
+        runs = [("lv3_b8_w8_flash", DecodeEngine(tgt_w8f, fcfg, st), B)]
     else:
         raise SystemExit(f"unknown scenario {scenario!r}")
 
