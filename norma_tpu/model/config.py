@@ -103,6 +103,13 @@ class WhisperConfig:
     #             back to "w8a8").  Plan B if tools/perf_int8_mxu.py shows
     #             XLA's s8 lowering is not native on a backend.
     encoder_q8_mode: str = "w8a8"
+    # Unroll factor for the DECODER layer scan in the incremental token
+    # loop (0 = auto: shallow decoders fully unroll at small row counts,
+    # deep decoders stay rolled — see whisper._unroll_gate).  Exposed as
+    # a measurement knob for deep decoders, where per-iteration scan
+    # boundaries are a candidate for the ~45 us/layer of non-roofline
+    # step time (PERF.md "the decode loop").
+    decoder_scan_unroll: int = 0
 
     @property
     def head_dim(self) -> int:

@@ -694,27 +694,22 @@ def decoder_prefill(
 
 
 def _decoder_incremental_layer(
-    lp, x, ck, cv, lxk, lxv, n_heads, key_mask, write_kv, cross_attn, dtype
+    lp, x, cstate, lxk, lxv, self_attn, cross_attn
 ):
     """One decoder layer of the incremental path, shared by
     :func:`decoder_step` (single token, lockstep position) and
     :func:`decoder_chunk` (C tokens, per-row positions).  The two callers
-    differ ONLY in how K/V land in the cache (``write_kv``) and how the
-    cross-attention is dispatched (``cross_attn``) — keeping one body means
-    a fix to either path cannot silently diverge the speculative verify
-    pass from the plain token loop.  An int8 self-KV cache (dict leaves,
-    quantize_self_kv) dispatches to the scale-folded attention —
-    supported by the decoder_step caller only (decoder_chunk rejects
-    dict caches up front).
+    differ ONLY in how the self-attention K/V land in and read from the
+    cache (``self_attn`` owns the cache state ``cstate``: the FULL
+    [L, ...] caches + layer index for the step path, the per-layer slices
+    for the chunk path) and how the cross-attention is dispatched
+    (``cross_attn``) — keeping one body means a fix to either path cannot
+    silently diverge the speculative verify pass from the plain token
+    loop.
     """
     h = layer_norm(x, lp["attn_ln_g"], lp["attn_ln_b"])
     q, k, v = qkv_proj(lp, h)
-    ck = write_kv(ck, k.astype(dtype))
-    cv = write_kv(cv, v.astype(dtype))
-    if isinstance(ck, dict):  # int8 self-KV (quantize_self_kv)
-        a = attention_self_q8(q, ck, cv, n_heads, key_mask)
-    else:
-        a = attention(q, ck, cv, n_heads, key_mask)
+    a, cstate = self_attn(q, k, v, cstate)
     x = x + ldense(lp, "o_w", a, lp["o_b"])
 
     h = layer_norm(x, lp["xattn_ln_g"], lp["xattn_ln_b"])
@@ -723,7 +718,7 @@ def _decoder_incremental_layer(
 
     h = layer_norm(x, lp["mlp_ln_g"], lp["mlp_ln_b"])
     x = x + _mlp(lp, h)
-    return x, ck, cv
+    return x, cstate
 
 
 def _unroll_gate(cfg: WhisperConfig, rows: int) -> int:
@@ -734,8 +729,11 @@ def _unroll_gate(cfg: WhisperConfig, rows: int) -> int:
     90.8 -> 82.2 ms device at <= 6 rows, but a REGRESSION at 8 rows
     (349 -> 438 ms; the eager double prefetch pressures VMEM), hence
     the row-count gate.  Deep decoders keep a rolled scan for compile
-    time.
+    time.  ``cfg.decoder_scan_unroll`` > 0 overrides the gate (a
+    measurement knob for deep decoders).
     """
+    if cfg.decoder_scan_unroll > 0:
+        return cfg.decoder_scan_unroll
     return cfg.decoder_layers if cfg.decoder_layers <= 4 and rows <= 6 else 1
 
 
@@ -771,14 +769,45 @@ def decoder_step(
     key_mask = jnp.where(key_idx <= pos, 0.0, -jnp.inf).astype(jnp.float32)
     key_mask = key_mask[None, None, None, :]  # [1,1,1,Tmax]
 
-    def write_kv(c, k):
-        if isinstance(c, dict):  # int8 self-KV: quantize the new row
-            kq, ks = quantize_kv_row(k)
+    # The FULL caches ride the layer scan as CARRY (not xs/ys): each layer
+    # writes only its one new [B, 1, D] row in place and reads its own
+    # slice back.  The previous xs/ys form made the scan re-materialize
+    # the ENTIRE [L, B, Tmax, D] cache pair every token (stacking the ys
+    # is a full copy — large-v3 at mtp=448 rewrote ~73 MB/step of K/V it
+    # had only appended 160 KB to) and blocked XLA from aliasing the
+    # token loop's cache carry in place.
+    def write_row(c_all, row, li):
+        if isinstance(c_all, dict):  # int8 self-KV: quantize the new row
+            rq, rs = quantize_kv_row(row)
             return {
-                "q": jax.lax.dynamic_update_slice(c["q"], kq, (0, pos, 0)),
-                "s": jax.lax.dynamic_update_slice(c["s"], ks, (0, pos, 0)),
+                "q": jax.lax.dynamic_update_slice(
+                    c_all["q"], rq[None], (li, 0, pos, 0)
+                ),
+                "s": jax.lax.dynamic_update_slice(
+                    c_all["s"], rs[None], (li, 0, pos, 0)
+                ),
             }
-        return jax.lax.dynamic_update_slice(c, k, (0, pos, 0))
+        return jax.lax.dynamic_update_slice(
+            c_all, row[None].astype(dtype), (li, 0, pos, 0)
+        )
+
+    def read_layer(c_all, li):
+        return jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False),
+            c_all,
+        )
+
+    def self_attn(q, k, v, cstate):
+        ck_all, cv_all, li = cstate
+        ck_all = write_row(ck_all, k, li)
+        cv_all = write_row(cv_all, v, li)
+        ck = read_layer(ck_all, li)
+        cv = read_layer(cv_all, li)
+        if isinstance(ck, dict):  # int8 self-KV (quantize_self_kv)
+            a = attention_self_q8(q, ck, cv, n_heads, key_mask)
+        else:
+            a = attention(q, ck, cv, n_heads, key_mask)
+        return a, (ck_all, cv_all, li)
 
     def cross_attn(xq, lxk, lxv):
         if isinstance(lxk, dict):  # int8 cross-KV (quantize_cross_kv)
@@ -787,18 +816,19 @@ def decoder_step(
             return attention(xq, lxk, lxv, n_heads)
         return attention_grouped(xq, lxk, lxv, n_heads, n_rungs)
 
-    def body(x, layer_in):
-        lp, ck, cv, lxk, lxv = layer_in
-        x, ck, cv = _decoder_incremental_layer(
-            lp, x, ck, cv, lxk, lxv, n_heads, key_mask, write_kv, cross_attn,
-            dtype,
+    def body(carry, layer_in):
+        x, ck_all, cv_all = carry
+        lp, li, lxk, lxv = layer_in
+        x, (ck_all, cv_all, _) = _decoder_incremental_layer(
+            lp, x, (ck_all, cv_all, li), lxk, lxv, self_attn, cross_attn
         )
-        return x, (ck, cv)
+        return (x, ck_all, cv_all), None
 
-    x, (new_k, new_v) = jax.lax.scan(
+    n_layers = jax.tree.leaves(cache_k)[0].shape[0]
+    (x, new_k, new_v), _ = jax.lax.scan(
         body,
-        x,
-        (dec["layers"], cache_k, cache_v, xk, xv),
+        (x, cache_k, cache_v),
+        (dec["layers"], jnp.arange(n_layers), xk, xv),
         unroll=_unroll_gate(cfg, tok.shape[0]),
     )
 
@@ -866,8 +896,12 @@ def decoder_chunk(
         lambda c, k, p: jax.lax.dynamic_update_slice(c, k, (p, 0))
     )
 
-    def write_kv(c, k):
-        return write(c, k, pos)
+    def self_attn(q, k, v, cstate):
+        ck, cv = cstate
+        ck = write(ck, k.astype(dtype), pos)
+        cv = write(cv, v.astype(dtype), pos)
+        a = attention(q, ck, cv, n_heads, key_mask)
+        return a, (ck, cv)
 
     def cross_attn(xq, lxk, lxv):
         if isinstance(lxk, dict):  # int8 cross-KV (quantize_cross_kv)
@@ -876,9 +910,8 @@ def decoder_chunk(
 
     def body(x, layer_in):
         lp, ck, cv, lxk, lxv = layer_in
-        x, ck, cv = _decoder_incremental_layer(
-            lp, x, ck, cv, lxk, lxv, n_heads, key_mask, write_kv, cross_attn,
-            dtype,
+        x, (ck, cv) = _decoder_incremental_layer(
+            lp, x, (ck, cv), lxk, lxv, self_attn, cross_attn
         )
         return x, (ck, cv)
 
