@@ -93,6 +93,17 @@ def main() -> None:
         "lv3_448_w8_skv": lambda: (
             quantize_decoder(lv3_fused()), {"quantize_self_kv": True}, cfg_lv3
         ),
+        # Decoder-scan unroll sweep at lv3 (cfg.decoder_scan_unroll):
+        # does per-iteration scan boundary cost explain part of the
+        # ~45 us/layer non-roofline step time?
+        "lv3_448_w8_u4": lambda: (
+            quantize_decoder(lv3_fused()), {},
+            cfg_lv3.with_(decoder_scan_unroll=4),
+        ),
+        "lv3_448_w8_u8": lambda: (
+            quantize_decoder(lv3_fused()), {},
+            cfg_lv3.with_(decoder_scan_unroll=8),
+        ),
     }
     pick = sys.argv[1:] or list(variants)
     unknown = [n for n in pick if n not in variants]
