@@ -115,12 +115,14 @@ def main() -> None:
                 }
             )
         )
-        import os
         import sys
 
         # os._exit skips io flushing; with stdout piped (tee in the hw
         # runbook, the driver's capture) the buffered JSON line — the whole
-        # point of this branch — would be lost.
+        # point of this branch — would be lost.  NOTE: do not `import os`
+        # here — a function-local import shadows the module-level one for
+        # the WHOLE function, so the happy path's os.replace at the bottom
+        # would raise UnboundLocalError whenever this branch didn't run.
         sys.stdout.flush()
         sys.stderr.flush()
         os._exit(3)  # the probe thread may be wedged in native code
