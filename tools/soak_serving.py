@@ -114,9 +114,15 @@ def main() -> None:
             DecodeEngine(params, cfg, st), _NullTok(),
             LanguageState(const=50259),
         )
-        model.warmup()
 
     bt = BatchedTranscriber(model, max_streams=args.streams)
+    # Warm EVERY batch bucket the scheduler can dispatch (bt.warmup, not
+    # model.warmup): the first TPU soak warmed only B=1, so buckets 2/4/8
+    # compiled mid-wave through the tunnel (~minutes), realtime sources
+    # overflowed their rings (50 dropped chunks) and the wave-0 streams
+    # ended with no transcript — a warmup-coverage bug in this tool, not
+    # a scheduler one (drops were zero from wave 2 on).
+    bt.warmup()
     deadline = time.monotonic() + args.minutes * 60.0
     results = {}
     threads = []
