@@ -103,12 +103,13 @@ class WhisperConfig:
     #             back to "w8a8").  Plan B if tools/perf_int8_mxu.py shows
     #             XLA's s8 lowering is not native on a backend.
     encoder_q8_mode: str = "w8a8"
-    # Unroll factor for the DECODER layer scan in the incremental token
-    # loop (0 = auto: shallow decoders fully unroll at small row counts,
-    # deep decoders stay rolled — see whisper._unroll_gate).  Exposed as
-    # a measurement knob for deep decoders, where per-iteration scan
-    # boundaries are a candidate for the ~45 us/layer of non-roofline
-    # step time (PERF.md "the decode loop").
+    # Unroll factor for the DECODER layer scan in the single-token
+    # decode step ONLY (0 = auto: shallow decoders fully unroll at small
+    # row counts, deep decoders stay rolled — whisper._unroll_gate; the
+    # speculative verify chunk always keeps its own B*C-calibrated
+    # gate).  A measurement knob: the lv3 sweep showed 4/8 REGRESS
+    # (2868 -> 3946/5080 us/step, PERF.md), so scan boundaries are not
+    # the deep decoder's non-roofline cost — leave at 0.
     decoder_scan_unroll: int = 0
 
     @property

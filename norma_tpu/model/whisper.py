@@ -729,11 +729,10 @@ def _unroll_gate(cfg: WhisperConfig, rows: int) -> int:
     90.8 -> 82.2 ms device at <= 6 rows, but a REGRESSION at 8 rows
     (349 -> 438 ms; the eager double prefetch pressures VMEM), hence
     the row-count gate.  Deep decoders keep a rolled scan for compile
-    time.  ``cfg.decoder_scan_unroll`` > 0 overrides the gate (a
-    measurement knob for deep decoders).
+    time.  (``cfg.decoder_scan_unroll`` overrides this gate in
+    :func:`decoder_step` ONLY — the chunked verify pass keeps its B*C
+    VMEM calibration regardless of the knob.)
     """
-    if cfg.decoder_scan_unroll > 0:
-        return cfg.decoder_scan_unroll
     return cfg.decoder_layers if cfg.decoder_layers <= 4 and rows <= 6 else 1
 
 
@@ -824,12 +823,14 @@ def decoder_step(
         )
         return (x, ck_all, cv_all), None
 
-    n_layers = jax.tree.leaves(cache_k)[0].shape[0]
     (x, new_k, new_v), _ = jax.lax.scan(
         body,
         (x, cache_k, cache_v),
-        (dec["layers"], jnp.arange(n_layers), xk, xv),
-        unroll=_unroll_gate(cfg, tok.shape[0]),
+        (dec["layers"], jnp.arange(cfg.decoder_layers), xk, xv),
+        # decoder_scan_unroll overrides the gate HERE only (the token
+        # loop it was built to measure); decoder_chunk keeps its B*C
+        # VMEM-calibrated gate.  Measured at lv3: 4/8 REGRESS (PERF.md).
+        unroll=cfg.decoder_scan_unroll or _unroll_gate(cfg, tok.shape[0]),
     )
 
     x = layer_norm(x, dec["ln_g"], dec["ln_b"])
