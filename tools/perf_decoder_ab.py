@@ -93,6 +93,14 @@ def main() -> None:
         "lv3_448_w8_skv": lambda: (
             quantize_decoder(lv3_fused()), {"quantize_self_kv": True}, cfg_lv3
         ),
+        # The full lv3 single-stream quant stack: int8 weights + int8
+        # self-KV + int8 cross-KV (xkv measured -2.9% on lv3 B=1 windows
+        # pre-restructure; this measures the three stacked at the loop).
+        "lv3_448_w8_skv_xkv": lambda: (
+            quantize_decoder(lv3_fused()),
+            {"quantize_self_kv": True, "quantize_cross_kv": True},
+            cfg_lv3,
+        ),
         # Decoder-scan unroll sweep at lv3 (cfg.decoder_scan_unroll):
         # does per-iteration scan boundary cost explain part of the
         # ~45 us/layer non-roofline step time?

@@ -9,11 +9,13 @@
 #   1. bench.py first — the SCORED artifact; running it here also
 #      pre-warms the compile cache so the driver's round-end bench run is
 #      fast even if this session is interrupted.
-#   2. int8_mxu / sample_kernel — small programs, quick signal.
-#   3. encoder_q8 + encoder_ab — the w8a8 device A/B (VERDICT item).
-#   4. decoder_skv — int8 self-KV A/B at production mtp=448.
-#   5. spec_parity / encoder_attn — standing hardware gates.
-#   6. soak — 3-minute serving endurance.
+#   2. sample_kernel — small program, quick signal.
+#   3. decoder_core — the standing decoder-loop A/B set (post
+#      cache-as-carry baselines + the full lv3 quant stack).
+#   4. spec_parity / encoder_attn / encoder_q8 — standing hardware gates.
+#   5. spec_batch — the best-batched-lv3 arm (w8 + jax_flash).
+#   6. soak — 3-minute serving endurance (axon RSS envelope documented
+#      in PERF.md "axon transfer leak").
 #
 # Each step is timeboxed; a failure does not stop later steps.
 set -u
@@ -34,14 +36,12 @@ run() {
 # Generous timeouts: cold-cache compiles through the tunnel are slow and
 # killing a step mid-compile wastes the whole wait.
 run bench           7200 python bench.py
-run int8_mxu        1800 python tools/perf_int8_mxu.py
 run sample_kernel   2400 python tools/verify_sample_kernel_tpu.py
-run encoder_q8      3600 python tools/verify_encoder_q8_tpu.py
-run encoder_ab_w8a8 5400 python tools/perf_encoder_ab.py xla jax_flash512 w8a8 w8a8_jf w8a16_enc w8a8_pallas
-run decoder_skv     3600 python tools/perf_decoder_ab.py fused448 fused448_skv fused448_w8_skv fused_skv fused
-run spec_batch      5400 python tools/perf_spec_ab.py batch
+run decoder_core    5400 python tools/perf_decoder_ab.py fused fused_w8 fused448 fused448_w8 lv3_448_w8 lv3_448_w8_skv lv3_448_w8_skv_xkv
 run spec_parity     3600 python tools/verify_spec_parity_tpu.py
 run encoder_attn    2400 python tools/verify_encoder_attn_tpu.py
+run encoder_q8      3600 python tools/verify_encoder_q8_tpu.py
+run spec_batch      5400 python tools/perf_spec_ab.py batch_stack
 run soak            1800 python tools/soak_serving.py --minutes 3
 
 echo "All logs in $OUT/"
