@@ -38,6 +38,7 @@ run() {
 run bench           7200 python bench.py
 run sample_kernel   2400 python tools/verify_sample_kernel_tpu.py
 run decoder_core    5400 python tools/perf_decoder_ab.py fused fused_w8 fused448 fused448_w8 lv3_448_w8 lv3_448_w8_skv lv3_448_w8_skv_xkv
+run step_attr       3600 python tools/perf_step_attr.py lv3_w8_skv_xkv lv3_w8
 run spec_parity     3600 python tools/verify_spec_parity_tpu.py
 run encoder_attn    2400 python tools/verify_encoder_attn_tpu.py
 run encoder_q8      3600 python tools/verify_encoder_q8_tpu.py
