@@ -200,6 +200,35 @@ def main() -> None:
         tgt_w8f = jax.device_put(quantize_decoder(tgt), dev)
         B = 8
         runs = [("lv3_b8_w8_flash", DecodeEngine(tgt_w8f, fcfg, st), B)]
+    elif scenario == "batch_stack_skv":
+        # Self-KV bytes scale with batch (lv3 B=8 @ mtp=448: ~0.6 GB full
+        # cache, ~300 MB/step read at avg fill) while xkv regresses at
+        # batch — so skv is the one KV quant whose batched win should
+        # EXCEED its B=1 −3.7%.  Interleaved control in-process.
+        fcfg = tcfg.with_(encoder_attn_impl="jax_flash")
+        tgt_w8f = jax.device_put(quantize_decoder(tgt), dev)
+        B = 8
+        runs = [
+            ("lv3_b8_w8_flash", DecodeEngine(tgt_w8f, fcfg, st), B),
+            ("lv3_b8_w8_flash_skv",
+             DecodeEngine(tgt_w8f, fcfg, st, quantize_self_kv=True), B),
+        ]
+    elif scenario == "batch_stack_skv448":
+        # Same A/B at the PRODUCTION max_target_positions=448 (444-token
+        # decodes), where self-KV is ~3.3x the benched window's bytes —
+        # the regime skv targets; B=8 multiplies it by the batch.
+        cfg448 = tcfg.with_(
+            max_target_positions=448, encoder_attn_impl="jax_flash"
+        )
+        # Params are mtp-independent (the cache is runtime state) — reuse
+        # the already-initialized 1.55B-param target.
+        tgt448 = jax.device_put(quantize_decoder(tgt), dev)
+        B = 8
+        runs = [
+            ("lv3_b8_448_w8_flash", DecodeEngine(tgt448, cfg448, st), B),
+            ("lv3_b8_448_w8_flash_skv",
+             DecodeEngine(tgt448, cfg448, st, quantize_self_kv=True), B),
+        ]
     else:
         raise SystemExit(f"unknown scenario {scenario!r}")
 
