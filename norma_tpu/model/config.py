@@ -103,6 +103,26 @@ class WhisperConfig:
     #             back to "w8a8").  Plan B if tools/perf_int8_mxu.py shows
     #             XLA's s8 lowering is not native on a backend.
     encoder_q8_mode: str = "w8a8"
+    # Implementation of the int8 cross-attention used when the engine's
+    # ``quantize_cross_kv`` is on (ignored otherwise):
+    #   "einsum"  — dequantize K/V to the activation dtype and run the
+    #               plain batched einsum.  Fuses at B=1 (the measured −6%
+    #               single-stream window win) but on deep decoders at
+    #               batch XLA materializes the bf16 copy of the ~2 GB/step
+    #               large-v3 B=8 stream — the measured +45% regression
+    #               (PERF.md "quantize_cross_kv").
+    #   "chunked" — key-chunked online softmax: the dequant is bounded to
+    #               one [B, cross_kv_chunk, D] tile per unrolled step so
+    #               the convert+dot chain fuses and the HBM stream stays
+    #               int8.  Same numeric tier as "einsum" (reassociated
+    #               softmax reduction only).
+    #   "a8"      — fully-int8 QK/PV dots (q and softmax weights row-
+    #               quantized in-graph): the stream is GUARANTEED int8-
+    #               wide independent of fusion choices, at one numeric
+    #               tier more drift (~0.4%-of-row-max on q and w).
+    cross_kv_impl: str = "einsum"
+    # Key-chunk length for cross_kv_impl="chunked" (1500 = 3 chunks).
+    cross_kv_chunk: int = 500
     # Unroll factor for the DECODER layer scan in the single-token
     # decode step ONLY (0 = auto: shallow decoders fully unroll at small
     # row counts, deep decoders stay rolled — whisper._unroll_gate; the

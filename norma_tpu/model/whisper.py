@@ -568,6 +568,161 @@ def attention_cross_q8(
     return out.astype(q.dtype).reshape(gb, tq, d)
 
 
+def attention_cross_q8_chunked(
+    q: jax.Array,
+    kq: Dict[str, jax.Array],
+    vq: Dict[str, jax.Array],
+    n_heads: int,
+    n_groups: int = 1,
+    key_chunk: int = 500,
+) -> jax.Array:
+    """Key-chunked online-softmax form of :func:`attention_cross_q8`.
+
+    Identical folded-scale math, but the int8->bf16 dequantization of K/V
+    is bounded to one ``[B, key_chunk, D]`` tile per (Python-unrolled)
+    step.  Why: on deep decoders at batch the full-length form's dequant
+    lands OUTSIDE the attention fusion — XLA materializes a bf16 copy of
+    the ~2 GB/step large-v3 B=8 cross-K/V stream, doubling effective
+    traffic (the measured +45% window regression, PERF.md
+    "quantize_cross_kv").  Chunking gives XLA convert+dot chains small
+    enough to fuse, so the HBM stream stays int8.
+
+    The softmax is computed with a running (max, sum) pair across chunks
+    — the standard online-softmax reassociation — so outputs differ from
+    the full-length form only at float-rounding level.  Selected by
+    ``WhisperConfig.cross_kv_impl = "chunked"``.
+    """
+    gb, tq, d = q.shape
+    b = kq["q"].shape[0]
+    g = n_groups
+    dh = d // n_heads
+    ta = kq["q"].shape[1]
+    # Same q-side fold as the full-length form: both whisper dh**-0.25
+    # factors and the per-channel K scale, in f32 before the bf16 cast.
+    qf = (
+        q.astype(jnp.float32).reshape(g, b, tq, d)
+        * kq["s"][None, :, None, :]
+        * float(dh) ** -0.5
+    ).astype(q.dtype)
+    qh = qf.reshape(g, b, tq, n_heads, dh)
+
+    m = jnp.full((g, b, n_heads, tq), -jnp.inf, jnp.float32)
+    l = jnp.zeros((g, b, n_heads, tq), jnp.float32)
+    acc = jnp.zeros((g, b, tq, n_heads, dh), jnp.float32)
+    for c0 in range(0, ta, key_chunk):
+        ck = min(key_chunk, ta - c0)
+        kh = (
+            jax.lax.slice_in_dim(kq["q"], c0, c0 + ck, axis=1)
+            .astype(q.dtype)
+            .reshape(b, ck, n_heads, dh)
+        )
+        vh = (
+            jax.lax.slice_in_dim(vq["q"], c0, c0 + ck, axis=1)
+            .astype(q.dtype)
+            .reshape(b, ck, n_heads, dh)
+        )
+        lc = jnp.einsum(
+            "gbqhd,bkhd->gbhqk", qh, kh, preferred_element_type=jnp.float32
+        )
+        mn = jnp.maximum(m, jnp.max(lc, axis=-1))
+        p = jnp.exp(lc - mn[..., None])
+        corr = jnp.exp(m - mn)
+        l = l * corr + jnp.sum(p, axis=-1)
+        pv = jnp.einsum(
+            "gbhqk,bkhd->gbqhd",
+            p.astype(q.dtype),
+            vh,
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc * jnp.transpose(corr, (0, 1, 3, 2))[..., None] + pv
+        m = mn
+    out = acc / jnp.transpose(l, (0, 1, 3, 2))[..., None]
+    out = out.reshape(g, b, tq, d) * vq["s"][None, :, None, :]
+    return out.astype(q.dtype).reshape(gb, tq, d)
+
+
+def attention_cross_q8_a8(
+    q: jax.Array,
+    kq: Dict[str, jax.Array],
+    vq: Dict[str, jax.Array],
+    n_heads: int,
+    n_groups: int = 1,
+) -> jax.Array:
+    """Fully-int8 cross-attention: int8×int8→int32 QK and PV on the MXU.
+
+    Unlike :func:`attention_cross_q8` (which dequantizes K/V to bf16 and
+    relies on XLA fusing the convert into the dot), here K/V are only
+    ever touched as int8: q is dynamically per-row int8-quantized after
+    the K-scale fold, and the softmax weights are per-row int8-quantized
+    before PV, so both contractions run native s8 dots (2× the bf16 MXU
+    rate on v5e+, and — the point — the HBM stream is guaranteed to stay
+    at int8 width regardless of XLA's fusion choices.
+
+    Scale algebra stays exact (per-row scalars commute out of any
+    contraction; int32 accumulation cannot overflow: QK ≤ 64·127², PV ≤
+    1500·127² « 2³¹).  The int8 ROUNDING of q and of the softmax weights
+    adds ~0.4%-of-row-max error each on top of the K/V rounding — one
+    numeric tier below "chunked"/the full-length form.  Selected by
+    ``WhisperConfig.cross_kv_impl = "a8"``.
+    """
+    gb, tq, d = q.shape
+    b = kq["q"].shape[0]
+    g = n_groups
+    dh = d // n_heads
+    ta = kq["q"].shape[1]
+    qf = (
+        q.astype(jnp.float32).reshape(g, b, tq, d)
+        * kq["s"][None, :, None, :]
+        * float(dh) ** -0.5
+    )
+    sq = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1, keepdims=True), 1e-8) / 127.0
+    qi = (
+        jnp.clip(jnp.round(qf / sq), -127, 127)
+        .astype(jnp.int8)
+        .reshape(g, b, tq, n_heads, dh)
+    )
+    ki = kq["q"].reshape(b, ta, n_heads, dh)
+    vi = vq["q"].reshape(b, ta, n_heads, dh)
+    logits = jnp.einsum(
+        "gbqhd,bkhd->gbhqk", qi, ki, preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+    logits = logits * jnp.transpose(sq, (0, 1, 3, 2))[:, :, :, :, None]
+    w = jax.nn.softmax(logits, axis=-1)  # f32 [g,b,h,q,k]
+    # Softmax rows are in [0,1] with max 1 only when one key dominates;
+    # scale per row so flat distributions keep precision.
+    sw = jnp.maximum(jnp.max(w, axis=-1, keepdims=True), 1e-8) / 127.0
+    wi = jnp.clip(jnp.round(w / sw), -127, 127).astype(jnp.int8)
+    out = jnp.einsum(
+        "gbhqk,bkhd->gbqhd", wi, vi, preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+    out = out * jnp.transpose(sw[..., 0], (0, 1, 3, 2))[..., None]
+    out = out.reshape(g, b, tq, d) * vq["s"][None, :, None, :]
+    return out.astype(q.dtype).reshape(gb, tq, d)
+
+
+def cross_q8_attn(
+    cfg: WhisperConfig,
+    q: jax.Array,
+    kq: Dict[str, jax.Array],
+    vq: Dict[str, jax.Array],
+    n_heads: int,
+    n_groups: int = 1,
+) -> jax.Array:
+    """Dispatch the int8 cross-attention by ``cfg.cross_kv_impl``."""
+    impl = cfg.cross_kv_impl
+    if impl == "chunked":
+        return attention_cross_q8_chunked(
+            q, kq, vq, n_heads, n_groups, key_chunk=cfg.cross_kv_chunk
+        )
+    if impl == "a8":
+        return attention_cross_q8_a8(q, kq, vq, n_heads, n_groups)
+    if impl != "einsum":
+        raise ValueError(
+            f"cross_kv_impl must be 'einsum', 'chunked' or 'a8', got {impl!r}"
+        )
+    return attention_cross_q8(q, kq, vq, n_heads, n_groups)
+
+
 def quantize_self_kv_cache(cache: jax.Array) -> Dict[str, jax.Array]:
     """Per-written-row int8 quantization of a self-attention KV cache.
 
@@ -810,7 +965,7 @@ def decoder_step(
 
     def cross_attn(xq, lxk, lxv):
         if isinstance(lxk, dict):  # int8 cross-KV (quantize_cross_kv)
-            return attention_cross_q8(xq, lxk, lxv, n_heads, n_rungs)
+            return cross_q8_attn(cfg, xq, lxk, lxv, n_heads, n_rungs)
         if n_rungs == 1:
             return attention(xq, lxk, lxv, n_heads)
         return attention_grouped(xq, lxk, lxv, n_heads, n_rungs)
@@ -906,7 +1061,7 @@ def decoder_chunk(
 
     def cross_attn(xq, lxk, lxv):
         if isinstance(lxk, dict):  # int8 cross-KV (quantize_cross_kv)
-            return attention_cross_q8(xq, lxk, lxv, n_heads)
+            return cross_q8_attn(cfg, xq, lxk, lxv, n_heads)
         return attention(xq, lxk, lxv, n_heads)
 
     def body(x, layer_in):

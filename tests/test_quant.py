@@ -558,6 +558,145 @@ def test_cross_q8_attention_matches_dequantized_reference():
     np.testing.assert_allclose(got_g, want_g, rtol=1e-4, atol=1e-4)
 
 
+def test_cross_q8_chunked_matches_full_length():
+    """The key-chunked online-softmax form must reproduce the full-length
+    int8 cross-attention to float rounding (the softmax reduction is
+    reassociated, nothing else changes) — plain and grouped, including a
+    non-dividing chunk length (trailing partial chunk)."""
+    from norma_tpu.model.whisper import (
+        attention_cross_q8,
+        attention_cross_q8_chunked,
+        quantize_cross_kv,
+    )
+
+    rng = np.random.default_rng(11)
+    B, Tq, Tk, D, H = 2, 3, 13, 32, 4
+    q = jnp.asarray(rng.standard_normal((B, Tq, D)), jnp.float32)
+    xk = jnp.asarray(rng.standard_normal((1, B, Tk, D)), jnp.float32)
+    xv = jnp.asarray(rng.standard_normal((1, B, Tk, D)), jnp.float32)
+    kq, vq = quantize_cross_kv(xk, xv)
+    kq = {"q": kq["q"][0], "s": kq["s"][0]}
+    vq = {"q": vq["q"][0], "s": vq["s"][0]}
+
+    want = np.asarray(attention_cross_q8(q, kq, vq, H))
+    for chunk in (4, 5, 13, 64):  # 13 % 4 != 0: partial trailing chunk
+        got = np.asarray(
+            attention_cross_q8_chunked(q, kq, vq, H, key_chunk=chunk)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # Grouped form (speculative ladder rows share one K/V stream).
+    G = 3
+    qg = jnp.asarray(rng.standard_normal((G * B, 1, D)), jnp.float32)
+    want_g = np.asarray(attention_cross_q8(qg, kq, vq, H, n_groups=G))
+    got_g = np.asarray(
+        attention_cross_q8_chunked(qg, kq, vq, H, n_groups=G, key_chunk=5)
+    )
+    np.testing.assert_allclose(got_g, want_g, rtol=1e-5, atol=1e-5)
+
+
+def test_cross_q8_a8_matches_explicit_quant_twin():
+    """The fully-int8 QK/PV form must equal an explicit dequantize-then-
+    attend twin of the SAME quantization decisions (pins the scale folding
+    exactly), and stay within the documented drift tier of the bf16-dequant
+    reference."""
+    from norma_tpu.model.whisper import (
+        attention_cross_q8,
+        attention_cross_q8_a8,
+        quantize_cross_kv,
+    )
+
+    rng = np.random.default_rng(12)
+    B, Tq, Tk, D, H = 2, 1, 12, 32, 4
+    dh = D // H
+    q = jnp.asarray(rng.standard_normal((B, Tq, D)), jnp.float32)
+    xk = jnp.asarray(rng.standard_normal((1, B, Tk, D)), jnp.float32)
+    xv = jnp.asarray(rng.standard_normal((1, B, Tk, D)), jnp.float32)
+    kq, vq = quantize_cross_kv(xk, xv)
+    kq = {"q": kq["q"][0], "s": kq["s"][0]}
+    vq = {"q": vq["q"][0], "s": vq["s"][0]}
+
+    got = np.asarray(attention_cross_q8_a8(q, kq, vq, H))
+
+    # Twin: replicate the row quantization of q and w explicitly in f32.
+    qf = np.asarray(q, np.float64) * np.asarray(kq["s"], np.float64)[:, None, :]
+    qf = qf * float(dh) ** -0.5
+    sq = np.maximum(np.max(np.abs(qf), axis=-1, keepdims=True), 1e-8) / 127.0
+    qi = np.clip(np.round(qf / sq), -127, 127)
+    qh = (qi * sq).reshape(B, Tq, H, dh)
+    kh = np.asarray(kq["q"], np.float64).reshape(B, Tk, H, dh)
+    vh = np.asarray(vq["q"], np.float64).reshape(B, Tk, H, dh)
+    logits = np.einsum("bqhd,bkhd->bhqk", qh, kh)
+    w = np.exp(logits - logits.max(-1, keepdims=True))
+    w /= w.sum(-1, keepdims=True)
+    sw = np.maximum(w.max(-1, keepdims=True), 1e-8) / 127.0
+    wq = np.clip(np.round(w / sw), -127, 127) * sw
+    out = np.einsum("bhqk,bkhd->bqhd", wq, vh).reshape(B, Tq, D)
+    want = out * np.asarray(vq["s"], np.float64)[:, None, :]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    # Whole-path drift vs the bf16-dequant reference stays in its tier.
+    ref = np.asarray(attention_cross_q8(q, kq, vq, H))
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.05, rel
+
+
+def test_cross_kv_impl_dispatch():
+    """cross_q8_attn honors WhisperConfig.cross_kv_impl and rejects
+    unknown values; engines built with each impl decode a window."""
+    import pytest
+
+    from norma_tpu.model.whisper import cross_q8_attn, quantize_cross_kv
+
+    cfg = tiny_config()
+    rng = np.random.default_rng(13)
+    B, Tk, D, H = 1, 8, 32, 4
+    q = jnp.asarray(rng.standard_normal((B, 1, D)), jnp.float32)
+    xk = jnp.asarray(rng.standard_normal((1, B, Tk, D)), jnp.float32)
+    kq, vq = quantize_cross_kv(xk, xk)
+    kq = {"q": kq["q"][0], "s": kq["s"][0]}
+    vq = {"q": vq["q"][0], "s": vq["s"][0]}
+
+    base = np.asarray(cross_q8_attn(cfg, q, kq, vq, H))
+    ch = np.asarray(
+        cross_q8_attn(cfg.with_(cross_kv_impl="chunked", cross_kv_chunk=3),
+                      q, kq, vq, H)
+    )
+    np.testing.assert_allclose(ch, base, rtol=1e-5, atol=1e-5)
+    a8 = np.asarray(cross_q8_attn(cfg.with_(cross_kv_impl="a8"), q, kq, vq, H))
+    assert np.isfinite(a8).all()
+    with pytest.raises(ValueError):
+        cross_q8_attn(cfg.with_(cross_kv_impl="nope"), q, kq, vq, H)
+
+
+def test_engine_cross_kv_impls_transcribe_windows():
+    """DecodeEngine runs the fused window under every cross_kv_impl on
+    both ladder strategies (B=1 speculative, B=4 sequential)."""
+    from norma_tpu.decode.engine import DecodeEngine
+    from norma_tpu.frontend.mel import prepare_audio
+
+    n_frames_cfg = tiny_config()
+    rng = np.random.default_rng(14)
+    win = prepare_audio(
+        (0.1 * rng.standard_normal(12_000)).astype(np.float32),
+        n_frames=2 * n_frames_cfg.max_source_positions,
+    )
+    for impl in ("chunked", "a8"):
+        cfg = tiny_config().with_(cross_kv_impl=impl, cross_kv_chunk=7)
+        params = init_params(cfg, seed=2)
+        e = DecodeEngine(
+            params, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS,
+            quantize_cross_kv=True,
+        )
+        out1, _ = e.transcribe_window(
+            jnp.asarray(win)[None], [TEST_LANG_IDS[0]], seed=0
+        )
+        assert out1[0] is None or out1[0].tokens[0] == TEST_ST.sot
+        win4 = jnp.asarray(np.stack([win] * 4))
+        out4, _ = e.transcribe_window(win4, [TEST_LANG_IDS[0]] * 4, seed=0)
+        assert len(out4) == 4
+
+
 def test_engine_quantize_cross_kv_decodes_both_ladders():
     """quantize_cross_kv engines run the full fused window on both ladder
     strategies (speculative B=1, sequential B>2) and stay close to the

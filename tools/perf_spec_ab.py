@@ -28,7 +28,9 @@ acceptance on speech per the distil-whisper literature).  Measured
 results: PERF.md "speculative decoding" section (640.1 -> 245.5 ms B=1
 floor, 172.8 ceiling, 190.7 floor+w8; B=8 in the batch scenario).
 
-Run ON TPU:  python tools/perf_spec_ab.py [bracket|knobs|batch|batch_w8|batch_stack] [spec_k]
+Run ON TPU:  python tools/perf_spec_ab.py [bracket|knobs|batch|batch_w8|
+    batch_stack|batch_stack_skv|batch_stack_skv448|xkv_impl|xkv_impl_b1|
+    xkv_impl_dstack] [spec_k]
 """
 
 import json
@@ -228,6 +230,71 @@ def main() -> None:
             ("lv3_b8_448_w8_flash", DecodeEngine(tgt448, cfg448, st), B),
             ("lv3_b8_448_w8_flash_skv",
              DecodeEngine(tgt448, cfg448, st, quantize_self_kv=True), B),
+        ]
+    elif scenario == "xkv_impl":
+        # The cross-K/V stream is lv3 B=8's LARGEST per-step read (~2 GB
+        # bf16 vs ~0.85 GB w8 weights) and the einsum xkv form regresses
+        # +45% there (the int8->bf16 dequant materializes outside the
+        # attention fusion).  A/B the two fixes (model/whisper.py):
+        # "chunked" bounds the dequant to fusable tiles, "a8" keeps the
+        # stream int8 all the way into the MXU.
+        fcfg = tcfg.with_(encoder_attn_impl="jax_flash")
+        tgt_w8f = jax.device_put(quantize_decoder(tgt), dev)
+        B = 8
+        runs = [
+            ("lv3_b8_w8_flash", DecodeEngine(tgt_w8f, fcfg, st), B),
+            ("lv3_b8_w8_flash_xkv_einsum",
+             DecodeEngine(tgt_w8f, fcfg, st, quantize_cross_kv=True), B),
+            ("lv3_b8_w8_flash_xkv_chunked",
+             DecodeEngine(
+                 tgt_w8f, fcfg.with_(cross_kv_impl="chunked"), st,
+                 quantize_cross_kv=True,
+             ), B),
+            ("lv3_b8_w8_flash_xkv_a8",
+             DecodeEngine(
+                 tgt_w8f, fcfg.with_(cross_kv_impl="a8"), st,
+                 quantize_cross_kv=True,
+             ), B),
+        ]
+    elif scenario == "xkv_impl_b1":
+        # Single-stream control: einsum xkv WINS at B=1 (−2.9% on lv3+w8,
+        # PERF.md) — the new impls must not regress the case that works.
+        tgt_w8 = jax.device_put(quantize_decoder(tgt), dev)
+        runs = [
+            ("lv3_b1_w8", DecodeEngine(tgt_w8, tcfg, st), 1),
+            ("lv3_b1_w8_xkv_einsum",
+             DecodeEngine(tgt_w8, tcfg, st, quantize_cross_kv=True), 1),
+            ("lv3_b1_w8_xkv_chunked",
+             DecodeEngine(
+                 tgt_w8, tcfg.with_(cross_kv_impl="chunked"), st,
+                 quantize_cross_kv=True,
+             ), 1),
+            ("lv3_b1_w8_xkv_a8",
+             DecodeEngine(
+                 tgt_w8, tcfg.with_(cross_kv_impl="a8"), st,
+                 quantize_cross_kv=True,
+             ), 1),
+        ]
+    elif scenario == "xkv_impl_dstack":
+        # The benched distil serving stack (flash + w8 + xkv): does a
+        # fused xkv impl add anything at 2 decoder layers (~123 MB/step
+        # cross-K/V at B=8)?  Uses the distil-dims params (draft_rand).
+        fdcfg = dcfg.with_(encoder_attn_impl="jax_flash")
+        d_w8 = jax.device_put(quantize_decoder(draft_rand), dev)
+        B = 8
+        runs = [
+            ("d_b8_stack_einsum",
+             DecodeEngine(d_w8, fdcfg, st, quantize_cross_kv=True), B),
+            ("d_b8_stack_chunked",
+             DecodeEngine(
+                 d_w8, fdcfg.with_(cross_kv_impl="chunked"), st,
+                 quantize_cross_kv=True,
+             ), B),
+            ("d_b8_stack_a8",
+             DecodeEngine(
+                 d_w8, fdcfg.with_(cross_kv_impl="a8"), st,
+                 quantize_cross_kv=True,
+             ), B),
         ]
     else:
         raise SystemExit(f"unknown scenario {scenario!r}")
