@@ -35,8 +35,9 @@ def main() -> None:
         #   quantize_encoder=True   (int8-MXU encoder projections)
         #   quantize_cross_kv=True  (int8 cross-K/V; small-batch knob)
         #   quantize_self_kv=True   (int8 self-KV cache; long-mtp knob)
-        # and encoder_attn_impl="jax_flash" via the model config for the
-        # batched encoder win.
+        #   config_overrides={"encoder_attn_impl": "jax_flash"}
+        #                           (batched encoder win; the hook for
+        #                           every WhisperConfig-level knob)
     )
     model = definition.blocking_try_to_model()
 

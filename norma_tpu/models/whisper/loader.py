@@ -10,6 +10,7 @@ config's suppress list, mirroring monolingual.rs:252-296).
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import os
 from dataclasses import dataclass
@@ -56,6 +57,8 @@ def definition_ext_to_dict(defn) -> dict:
         "timestamps": defn.timestamps,
         "spec_k": defn.spec_k,
     }
+    if getattr(defn, "config_overrides", None):
+        d["config_overrides"] = dict(defn.config_overrides)
     # Optional fields only when set (keeps old payloads readable).
     if defn.local_dir:
         d["local_dir"] = defn.local_dir
@@ -83,6 +86,7 @@ def apply_definition_ext(defn, d: dict) -> None:
     defn.local_dir = d.get("local_dir")
     defn.draft = d.get("draft")
     defn.draft_local_dir = d.get("draft_local_dir")
+    defn.config_overrides = d.get("config_overrides")
 from . import token_id
 from .languages import ALL_LANGUAGES
 from .model import WhisperModel
@@ -185,6 +189,7 @@ def build_model(
     quantize_self_kv: bool = False,
     mel_center: bool = False,
     timestamps: bool = False,
+    config_overrides: Optional[dict] = None,
     files: Optional[CheckpointFiles] = None,
     draft_repo_id: Optional[str] = None,
     draft_revision: str = "main",
@@ -222,6 +227,21 @@ def build_model(
     if files is None:
         files = resolve_files(repo_id, revision, quantized_ext, local_dir)
     cfg = WhisperConfig.from_json(files.config)
+    if config_overrides:
+        # Serving/perf knobs the checkpoint's config.json cannot carry
+        # (encoder_attn_impl, cross_kv_impl, max_target_positions, ...) —
+        # without this hook the documented levers are unreachable from
+        # the public Definition path.  Applied to the TARGET config only
+        # (a speculative draft keeps checkpoint defaults: it decodes at
+        # B=1-per-stream where the defaults are the measured winners).
+        valid = {f.name for f in dataclasses.fields(WhisperConfig)}
+        unknown = set(config_overrides) - valid
+        if unknown:
+            raise ValueError(
+                f"unknown WhisperConfig field(s) in config_overrides: "
+                f"{sorted(unknown)}; valid fields: {sorted(valid)}"
+            )
+        cfg = cfg.with_(**config_overrides)
     if cfg.num_mel_bins not in (80, 128):
         raise MelBinsError(cfg.num_mel_bins)
     tokenizer = WhisperTokenizer.from_file(files.tokenizer)

@@ -122,10 +122,16 @@ class Definition(ModelDefinition):
         draft: Optional[str] = None,
         draft_local_dir: Optional[str] = None,
         spec_k: "int | str" = 4,
+        config_overrides: Optional[dict] = None,
     ) -> None:
         self.model = model
         self.device = device
         self.local_dir = local_dir
+        # WhisperConfig knobs a checkpoint's config.json cannot carry —
+        # the serving/perf levers (e.g. {"encoder_attn_impl": "jax_flash",
+        # "cross_kv_impl": "chunked", "max_target_positions": 448}).
+        # Validated against the config's fields at build time.
+        self.config_overrides = dict(config_overrides) if config_overrides else None
         # Speculative decoding: ``draft`` is an HF repo id of a shallow
         # same-vocab checkpoint, or "auto" to pair the official distil
         # draft (medium.en only — the distil-large-en drafts ARE already
@@ -203,6 +209,7 @@ class Definition(ModelDefinition):
             draft_repo_id=self.draft,
             draft_local_dir=self.draft_local_dir,
             spec_k=self.spec_k,
+            config_overrides=self.config_overrides,
         )
 
     def blocking_try_to_model(self) -> WhisperModel:

@@ -100,11 +100,17 @@ class Definition(ModelDefinition):
         draft: Optional[str] = None,
         draft_local_dir: Optional[str] = None,
         spec_k: "int | str" = 4,
+        config_overrides: Optional[dict] = None,
     ) -> None:
         self.model = model
         self.device = device
         self.task = task
         self.local_dir = local_dir
+        # WhisperConfig knobs a checkpoint's config.json cannot carry —
+        # the serving/perf levers (e.g. {"encoder_attn_impl": "jax_flash",
+        # "cross_kv_impl": "chunked", "max_target_positions": 448}).
+        # Validated against the config's fields at build time.
+        self.config_overrides = dict(config_overrides) if config_overrides else None
         self.dtype = dtype
         self.quantize_logits = quantize_logits
         # Full int8 decoder weights (implies quantize_logits).
@@ -179,6 +185,7 @@ class Definition(ModelDefinition):
             draft_repo_id=self.draft,
             draft_local_dir=self.draft_local_dir,
             spec_k=self.spec_k,
+            config_overrides=self.config_overrides,
         )
 
     def blocking_try_to_model(self) -> WhisperModel:

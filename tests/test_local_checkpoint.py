@@ -136,6 +136,46 @@ def test_quantize_logits_flag(ckpt):
     assert isinstance(out, str)
 
 
+def test_config_overrides_reach_the_engine(ckpt):
+    """config_overrides is the public path to the WhisperConfig-level
+    serving knobs (encoder_attn_impl, cross_kv_impl, max_target_positions
+    — docs/serving.md recommends them but config.json can't carry them);
+    it must land on the built engine's config and be validated."""
+    d = monolingual.Definition(
+        monolingual.ModelType.TINY_EN,
+        SelectedDevice.cpu(),
+        local_dir=ckpt,
+        quantize_cross_kv=True,
+        config_overrides={
+            "cross_kv_impl": "chunked",
+            "cross_kv_chunk": 7,
+            "max_target_positions": 64,
+        },
+    )
+    model = d.blocking_try_to_model()
+    cfg = model.engine.cfg
+    assert cfg.cross_kv_impl == "chunked"
+    assert cfg.cross_kv_chunk == 7
+    assert cfg.max_target_positions == 64  # cache rows follow the override
+    out = model.transcribe(
+        (0.2 * np.random.default_rng(3).standard_normal(12_000)).astype(
+            np.float32
+        ),
+        final_chunk=True,
+    )
+    assert isinstance(out, str)
+
+    bad = monolingual.Definition(
+        monolingual.ModelType.TINY_EN,
+        SelectedDevice.cpu(),
+        local_dir=ckpt,
+        config_overrides={"encoder_atn_impl": "jax_flash"},  # typo'd field
+    )
+    with pytest.raises(ValueError) as ei:
+        bad.blocking_try_to_model()
+    assert "encoder_atn_impl" in str(ei.value)
+
+
 def test_quantize_logits_rejects_unknown_string(ckpt):
     """A typo'd quantization name must raise, not silently select int8."""
     d = monolingual.Definition(

@@ -202,8 +202,12 @@ def test_definition_roundtrip_preserves_extensions():
         draft="distil-whisper/distil-small.en",
         spec_k="auto",
         local_dir="/tmp/ckpt",
+        config_overrides={"encoder_attn_impl": "jax_flash",
+                          "cross_kv_impl": "chunked"},
     )
     r = monolingual.Definition.from_dict(d.to_dict())
+    assert r.config_overrides == {"encoder_attn_impl": "jax_flash",
+                                  "cross_kv_impl": "chunked"}
     assert r.dtype == jnp.bfloat16
     assert r.quantize_decoder and r.quantize_cross_kv and r.timestamps
     assert r.quantize_self_kv
@@ -231,6 +235,7 @@ def test_definition_roundtrip_preserves_extensions():
     }
     r3 = monolingual.Definition.from_dict(legacy)
     assert not r3.quantize_decoder and r3.spec_k == 4 and r3.draft is None
+    assert r3.config_overrides is None
 
 
 def test_common_model_params_defaults_construct():
