@@ -308,6 +308,35 @@ def test_spec_quantize_cross_kv_runs():
     assert out[0] is None or out[0].tokens[0] == TEST_ST.sot
 
 
+def test_spec_cross_kv_impls_match_einsum():
+    """SpeculativeEngine under cross_kv_impl="chunked" must commit the
+    SAME tokens as the einsum form (identical int8 rounding, only the
+    softmax reduction reassociated — decoder_chunk's verify pass and the
+    draft loop both route through cross_q8_attn); "a8" must run the full
+    draft/verify window."""
+    from norma_tpu.decode import SpeculativeEngine
+    from norma_tpu.model import init_params
+
+    cfg0 = tiny_config()
+    params = init_params(cfg0, seed=4)
+    dcfg0 = _draft_cfg()
+    dparams = init_params(dcfg0, seed=104)
+    audio = _window(96, cfg0)
+
+    outs = {}
+    for impl in ("einsum", "chunked", "a8"):
+        cfg = cfg0.with_(cross_kv_impl=impl, cross_kv_chunk=5)
+        dcfg = dcfg0.with_(cross_kv_impl=impl, cross_kv_chunk=5)
+        spec = SpeculativeEngine(
+            params, cfg, dparams, dcfg, TEST_ST,
+            language_token_ids=TEST_LANG_IDS, quantize_cross_kv=True,
+        )
+        out, _ = spec.transcribe_window(audio, [TEST_LANG_IDS[0]], seed=0)
+        outs[impl] = out[0]
+        assert out[0] is None or out[0].tokens[0] == TEST_ST.sot
+    _cmp_results(outs["chunked"], outs["einsum"])
+
+
 def test_spec_quantized_draft():
     """An int8-quantized draft works (the draft streams the same-size
     logits head as the target on every sequential step — quantizing it
