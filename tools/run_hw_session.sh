@@ -43,6 +43,12 @@ run spec_parity     3600 python tools/verify_spec_parity_tpu.py
 run encoder_attn    2400 python tools/verify_encoder_attn_tpu.py
 run encoder_q8      3600 python tools/verify_encoder_q8_tpu.py
 run spec_batch      5400 python tools/perf_spec_ab.py batch_stack
+# The standing round-3 question: do the fused int8 cross-attention impls
+# (cross_kv_impl="chunked"/"a8") recover the lv3 B=8 xkv regression and
+# add anything at B=1 / on the distil stack?
+run xkv_impl        7200 python tools/perf_spec_ab.py xkv_impl
+run xkv_impl_b1     5400 python tools/perf_spec_ab.py xkv_impl_b1
+run xkv_impl_dstack 5400 python tools/perf_spec_ab.py xkv_impl_dstack
 run soak            1800 python tools/soak_serving.py --minutes 3
 
 echo "All logs in $OUT/"
