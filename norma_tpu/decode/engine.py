@@ -149,6 +149,21 @@ class DecodeEngine:
         """mel [B, n_mels, T] -> audio features [B, T//2, D]."""
         return self._encode(self.params, mel)
 
+    def _quantize_xkv(self, xk, xv):
+        """Window-time int8 quantization of the loop's cross-K/V, in the
+        form ``cfg.cross_kv_impl`` needs: the "paged" kernel wants its
+        page layout built here (TPU only — elsewhere the plain dict is
+        built and the einsum form applies, same quantization grid)."""
+        kq, vq = quantize_cross_kv(xk, xv)
+        if self.cfg.cross_kv_impl == "paged" and self._platform == "tpu":
+            from ..ops.paged_cross import paginate_cross_kv
+
+            return paginate_cross_kv(
+                kq, vq, self.cfg.decoder_attention_heads,
+                page_size=self.cfg.cross_kv_chunk,
+            )
+        return kq, vq
+
     def _prefill_impl(self, params, feats, prefix_tokens):
         """feats [B, Ta, D]; prefix_tokens [B, P] -> prefill state.
 
@@ -161,7 +176,7 @@ class DecodeEngine:
             params, self.cfg, prefix_tokens, xk, xv
         )
         if self.quantize_cross_kv:  # loop-side only; prefill above is bf16
-            xk, xv = quantize_cross_kv(xk, xv)
+            xk, xv = self._quantize_xkv(xk, xv)
         if self.quantize_self_kv:  # ditto: the prefill pass itself is bf16
             cache_k = quantize_self_kv_cache(cache_k)
             cache_v = quantize_self_kv_cache(cache_v)
@@ -424,7 +439,7 @@ class DecodeEngine:
         )
         logits, cache_k, cache_v = decoder_prefill(params, cfg, prefix, xk, xv)
         if self.quantize_cross_kv:  # loop-side only; prefill/detect are bf16
-            xk, xv = quantize_cross_kv(xk, xv)
+            xk, xv = self._quantize_xkv(xk, xv)
         if self.quantize_self_kv:
             cache_k = quantize_self_kv_cache(cache_k)
             cache_v = quantize_self_kv_cache(cache_v)

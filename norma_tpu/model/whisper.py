@@ -708,7 +708,17 @@ def cross_q8_attn(
     n_heads: int,
     n_groups: int = 1,
 ) -> jax.Array:
-    """Dispatch the int8 cross-attention by ``cfg.cross_kv_impl``."""
+    """Dispatch the int8 cross-attention by ``cfg.cross_kv_impl``.
+
+    The quantized form itself selects "paged": the engine only builds the
+    page-layout dict (``ops.paged_cross.paginate_cross_kv``) on TPU under
+    ``cross_kv_impl="paged"``; everywhere else the plain per-channel dict
+    arrives and the string impls below apply.
+    """
+    if "pages" in kq:  # kernel page layout (TPU-only; built by the engine)
+        from ..ops.paged_cross import paged_cross_attention
+
+        return paged_cross_attention(q, kq, vq, n_heads, n_groups)
     impl = cfg.cross_kv_impl
     if impl == "chunked":
         return attention_cross_q8_chunked(
@@ -716,9 +726,10 @@ def cross_q8_attn(
         )
     if impl == "a8":
         return attention_cross_q8_a8(q, kq, vq, n_heads, n_groups)
-    if impl != "einsum":
+    if impl not in ("einsum", "paged"):
         raise ValueError(
-            f"cross_kv_impl must be 'einsum', 'chunked' or 'a8', got {impl!r}"
+            "cross_kv_impl must be 'einsum', 'chunked', 'a8' or 'paged', "
+            f"got {impl!r}"
         )
     return attention_cross_q8(q, kq, vq, n_heads, n_groups)
 

@@ -669,6 +669,84 @@ def test_cross_kv_impl_dispatch():
         cross_q8_attn(cfg.with_(cross_kv_impl="nope"), q, kq, vq, H)
 
 
+def test_paginate_cross_kv_layout_roundtrip():
+    """The kernel page layout must be a pure relayout of the per-channel
+    quantized codes: regrouping pages by (stream, position, head) must
+    reproduce the original code tensor exactly, and the page indices must
+    point each stream at its own contiguous block."""
+    from norma_tpu.model.whisper import quantize_cross_kv
+    from norma_tpu.ops.paged_cross import paginate_cross_kv
+
+    rng = np.random.default_rng(15)
+    L, B, Ta, D, H = 2, 3, 12, 24, 4
+    ps = 4  # 3 pages per stream
+    xk = jnp.asarray(rng.standard_normal((L, B, Ta, D)), jnp.float32)
+    xv = jnp.asarray(rng.standard_normal((L, B, Ta, D)), jnp.float32)
+    kq, vq = quantize_cross_kv(xk, xv)
+    kp, vp = paginate_cross_kv(kq, vq, H, page_size=ps)
+
+    assert kp["pages"].shape == (L, H, B * (Ta // ps), ps, D // H)
+    assert kp["pages"].dtype == jnp.int8
+    # Regroup: [L,H,B*pages,ps,dh] -> [L,B,Ta,H,dh] -> [L,B,Ta,D].
+    back = np.asarray(kp["pages"]).reshape(L, H, B, Ta, D // H)
+    back = back.transpose(0, 2, 3, 1, 4).reshape(L, B, Ta, D)
+    np.testing.assert_array_equal(back, np.asarray(kq["q"]))
+    np.testing.assert_array_equal(np.asarray(kp["s"]), np.asarray(kq["s"]))
+    idx = np.asarray(kp["idx"])
+    assert idx.shape == (L, B, Ta // ps)
+    np.testing.assert_array_equal(
+        idx[0], np.arange(B * (Ta // ps)).reshape(B, Ta // ps)
+    )
+
+    with pytest.raises(ValueError, match="divisible"):
+        paginate_cross_kv(kq, vq, H, page_size=5)
+
+
+def test_engine_paged_impl_falls_back_off_tpu():
+    """cross_kv_impl="paged" on a non-TPU backend must build the PLAIN
+    quantized dict (the kernel is TPU-only) and decode via the einsum
+    form — same quantization grid, so transcripts match einsum exactly."""
+    from norma_tpu.decode.engine import DecodeEngine
+    from norma_tpu.frontend.mel import prepare_audio
+
+    cfg0 = tiny_config()
+    params = init_params(cfg0, seed=2)
+    win = prepare_audio(
+        (0.1 * np.random.default_rng(16).standard_normal(12_000)).astype(
+            np.float32
+        ),
+        n_frames=2 * cfg0.max_source_positions,
+    )
+    outs = {}
+    for impl in ("einsum", "paged"):
+        e = DecodeEngine(
+            params, cfg0.with_(cross_kv_impl=impl), TEST_ST,
+            language_token_ids=TEST_LANG_IDS, quantize_cross_kv=True,
+        )
+        out, _ = e.transcribe_window(
+            jnp.asarray(win)[None], [TEST_LANG_IDS[0]], seed=0
+        )
+        outs[impl] = out[0]
+    assert (outs["paged"] is None) == (outs["einsum"] is None)
+    if outs["paged"] is not None:
+        assert outs["paged"].tokens == outs["einsum"].tokens
+
+
+def test_speculative_rejects_paged_impl():
+    from norma_tpu.decode import SpeculativeEngine
+
+    cfg = tiny_config().with_(cross_kv_impl="paged")
+    dcfg = cfg.with_(decoder_layers=1, encoder_layers=1)
+    params = init_params(cfg, seed=0)
+    dparams = init_params(dcfg, seed=1)
+    with pytest.raises(ValueError, match="paged"):
+        SpeculativeEngine(
+            params, cfg, dparams, dcfg, TEST_ST, quantize_cross_kv=True
+        )
+    # Without quantize_cross_kv the impl string is inert: allowed.
+    SpeculativeEngine(params, cfg, dparams, dcfg, TEST_ST)
+
+
 def test_engine_cross_kv_impls_transcribe_windows():
     """DecodeEngine runs the fused window under every cross_kv_impl on
     both ladder strategies (B=1 speculative, B=4 sequential)."""

@@ -275,6 +275,30 @@ def main() -> None:
                  quantize_cross_kv=True,
              ), 1),
         ]
+    elif scenario == "xkv_paged":
+        # The kernel answer to the structural XLA loss (PERF.md
+        # "cross_kv_impl"): int8 pages DMA compactly and dequantize in
+        # VMEM (ops/paged_cross.py).  Interleaved controls: the bf16
+        # baseline and the einsum regression.
+        fcfg = tcfg.with_(encoder_attn_impl="jax_flash")
+        pcfg = fcfg.with_(cross_kv_impl="paged")
+        tgt_w8f = jax.device_put(quantize_decoder(tgt), dev)
+        B = 8
+        runs = [
+            ("lv3_b8_w8_flash", DecodeEngine(tgt_w8f, fcfg, st), B),
+            ("lv3_b8_w8_flash_xkv_paged",
+             DecodeEngine(tgt_w8f, pcfg, st, quantize_cross_kv=True), B),
+            ("lv3_b1_w8_xkv_paged",
+             DecodeEngine(tgt_w8f, tcfg.with_(cross_kv_impl="paged"), st,
+                          quantize_cross_kv=True), 1),
+            ("d_b8_stack_paged",
+             DecodeEngine(
+                 jax.device_put(quantize_decoder(draft_rand), dev),
+                 dcfg.with_(encoder_attn_impl="jax_flash",
+                            cross_kv_impl="paged"),
+                 st, quantize_cross_kv=True,
+             ), B),
+        ]
     elif scenario == "xkv_impl_dstack":
         # The benched distil serving stack (flash + w8 + xkv): does a
         # fused xkv impl add anything at 2 decoder layers (~123 MB/step
