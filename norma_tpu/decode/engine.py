@@ -151,16 +151,16 @@ class DecodeEngine:
 
     def _quantize_xkv(self, xk, xv):
         """Window-time int8 quantization of the loop's cross-K/V, in the
-        form ``cfg.cross_kv_impl`` needs: the "paged" kernel wants its
-        page layout built here (TPU only — elsewhere the plain dict is
-        built and the einsum form applies, same quantization grid)."""
+        form ``cfg.cross_kv_impl`` needs: the "kernel" impl wants its
+        transposed layout built here (TPU only — elsewhere the plain
+        dict is built and the einsum form applies, same quantization
+        grid)."""
         kq, vq = quantize_cross_kv(xk, xv)
-        if self.cfg.cross_kv_impl == "paged" and self._platform == "tpu":
-            from ..ops.paged_cross import paginate_cross_kv
+        if self.cfg.cross_kv_impl == "kernel" and self._platform == "tpu":
+            from ..ops.paged_cross import prep_cross_kv_kernel
 
-            return paginate_cross_kv(
-                kq, vq, self.cfg.decoder_attention_heads,
-                page_size=self.cfg.cross_kv_chunk,
+            return prep_cross_kv_kernel(
+                kq, vq, self.cfg.decoder_attention_heads
             )
         return kq, vq
 

@@ -111,12 +111,12 @@ class SpeculativeEngine(DecodeEngine):
                 "draft max_target_positions must match the target's (both "
                 "decoders share the round's position bookkeeping)"
             )
-        if quantize_cross_kv and cfg.cross_kv_impl == "paged":
+        if quantize_cross_kv and cfg.cross_kv_impl == "kernel":
             raise ValueError(
-                'cross_kv_impl="paged" is not supported with speculative '
+                'cross_kv_impl="kernel" is not supported with speculative '
                 "decoding: the verify pass scores multi-token chunks and "
-                "the paged kernel is single-query — use the einsum or "
-                "chunked impl (or drop quantize_cross_kv)"
+                "the cross-decode kernel is single-query — use the einsum "
+                "or chunked impl (or drop quantize_cross_kv)"
             )
         super().__init__(
             params, cfg, st,

@@ -123,18 +123,20 @@ class WhisperConfig:
     #               Measured: BOTH XLA fixes still regress at lv3 B=8
     #               (PERF.md "cross_kv_impl") — XLA materializes dot
     #               operands at MXU-shaped batches.
-    #   "paged"   — the paged-attention Pallas kernel with plain int8
-    #               pages (TPU-only; ops/paged_cross.py): the int8 codes
-    #               DMA compactly and dequantize in VMEM, the per-channel
-    #               scales fold onto q / the output outside the kernel.
-    #               The only form whose HBM stream is int8 by
-    #               construction.  f32 online-softmax numerics (same
-    #               reassociation tier as "chunked"); plain token loop
+    #   "kernel"  — a purpose-built Pallas decode kernel (TPU-only;
+    #               ops/paged_cross.py): int8 codes DMA compactly in a
+    #               transposed [dh, Ta] layout and dequantize in VMEM;
+    #               the per-channel scales fold onto q / the output
+    #               outside the kernel.  The only form whose HBM stream
+    #               is int8 by construction.  bf16-operand/f32-accum
+    #               numerics (the flash-encoder tier); plain token loop
     #               only (not combinable with draft= speculation).  On
-    #               non-TPU backends it falls back to "einsum".
+    #               non-TPU backends it falls back to "einsum".  (The
+    #               stock paged-attention kernel is unusable here: it
+    #               streams scales broadcast to head_dim width and
+    #               rejects whisper's head_dim=64 — see the module doc.)
     cross_kv_impl: str = "einsum"
-    # Key-chunk length for cross_kv_impl="chunked", and the page size for
-    # "paged" (must divide the 1500-frame cross length; 500 = 3 pages).
+    # Key-chunk length for cross_kv_impl="chunked" (1500 = 3 chunks).
     cross_kv_chunk: int = 500
     # Unroll factor for the DECODER layer scan in the single-token
     # decode step ONLY (0 = auto: shallow decoders fully unroll at small

@@ -710,15 +710,15 @@ def cross_q8_attn(
 ) -> jax.Array:
     """Dispatch the int8 cross-attention by ``cfg.cross_kv_impl``.
 
-    The quantized form itself selects "paged": the engine only builds the
-    page-layout dict (``ops.paged_cross.paginate_cross_kv``) on TPU under
-    ``cross_kv_impl="paged"``; everywhere else the plain per-channel dict
-    arrives and the string impls below apply.
+    The quantized form itself selects "kernel": the engine only builds
+    the transposed kernel layout (``ops.paged_cross.prep_cross_kv_kernel``)
+    on TPU under ``cross_kv_impl="kernel"``; everywhere else the plain
+    per-channel dict arrives and the string impls below apply.
     """
-    if "pages" in kq:  # kernel page layout (TPU-only; built by the engine)
-        from ..ops.paged_cross import paged_cross_attention
+    if "kT" in kq:  # transposed kernel layout (TPU-only; engine-built)
+        from ..ops.paged_cross import cross_attention_q8_kernel
 
-        return paged_cross_attention(q, kq, vq, n_heads, n_groups)
+        return cross_attention_q8_kernel(q, kq, vq, n_heads, n_groups)
     impl = cfg.cross_kv_impl
     if impl == "chunked":
         return attention_cross_q8_chunked(
@@ -726,9 +726,9 @@ def cross_q8_attn(
         )
     if impl == "a8":
         return attention_cross_q8_a8(q, kq, vq, n_heads, n_groups)
-    if impl not in ("einsum", "paged"):
+    if impl not in ("einsum", "kernel"):
         raise ValueError(
-            "cross_kv_impl must be 'einsum', 'chunked', 'a8' or 'paged', "
+            "cross_kv_impl must be 'einsum', 'chunked', 'a8' or 'kernel', "
             f"got {impl!r}"
         )
     return attention_cross_q8(q, kq, vq, n_heads, n_groups)

@@ -1,137 +1,168 @@
-"""int8 cross-attention K/V via the TPU paged-attention kernel.
+"""int8 cross-attention K/V via a purpose-built Pallas decode kernel.
 
 Why a kernel: every XLA-level int8 cross-attention form loses at batch on
 deep decoders — at MXU-shaped batches XLA materializes dot operands, so
 the int8->bf16 dequant (or an s8-dot emulation) costs more than the
 halved HBM stream saves (measured: lv3 B=8 einsum +50%, chunked +32%,
-a8 +53% vs bf16 cross-K/V; PERF.md "cross_kv_impl").  The paged-attention
-kernel (jax.experimental.pallas.ops.tpu.paged_attention) DMAs the int8
-pages compactly from HBM and converts them to f32 **in VMEM**
-(``MultiPageAsyncCopyDescriptor.wait_and_get_loaded``), which is the only
-way the stream actually stays int8-wide.
+a8 +53% vs bf16 cross-K/V; PERF.md "cross_kv_impl").  Only a kernel that
+DMAs the int8 codes and converts them **in VMEM** keeps the HBM stream
+int8-wide by construction.
 
-Scale handling: the stock kernel's ``QuantizedTensor`` path broadcasts
-per-row scales to head_dim width before the kernel — a bf16 scales
-stream as large as the int8 codes, defeating the bandwidth purpose.  We
-avoid it entirely: K/V are quantized PER CHANNEL (the same grid as
-:func:`norma_tpu.model.whisper.quantize_cross_kv`), so the K scale folds
-exactly onto q before the kernel and the V scale onto the output row
-after it, and the kernel sees plain int8 pages with no scales at all.
+Why purpose-built and not the stock paged-attention kernel
+(jax.experimental.pallas.ops.tpu.paged_attention) — two disqualifiers,
+both verified on hardware:
+  1. its QuantizedTensor path broadcasts per-row scales to head_dim
+     width before the kernel — a scales stream as large as the int8
+     codes, defeating the bandwidth purpose; and
+  2. its m/l output block specs carry head_dim as the minor block dim,
+     which Mosaic rejects unless head_dim % 128 == 0 — whisper's
+     head_dim is 64 in every checkpoint.
 
-Numerics: same int8 rounding as the einsum form; attention math runs in
-f32 with a per-page-block online softmax (reassociation tier — like
-``cross_kv_impl="chunked"``).  TPU-only: other platforms fall back to
-the einsum form (the engine builds the plain quantized dict there).
+The decode problem here is also strictly simpler than paged attention:
+cross-K/V has a FIXED length (1500 mel-frame positions) shared by all
+streams, contiguous per stream — no page tables, no per-row lengths.
+
+Design (grid cell = one (stream, head)):
+  - K/V are stored TRANSPOSED per head: [L, H, B, dh, Ta] int8.  That
+    puts Ta (1500) on the lane dim — lane-aligned, ~2.4% physical tile
+    pad — and dh=64 on sublanes, so one whole-sequence [dh, Ta] block
+    per cell satisfies Mosaic's (8, 128)-divisible-or-exact rule and
+    DMAs compactly (96 KB int8 per tensor per cell).
+  - QK contracts over the sublane dim (the MXU-native rhs layout) and
+    PV runs as dot_general((1,), (1,)) against the same transposed V —
+    no in-kernel transposes.
+  - The whole 1500-length softmax happens in one block: no online
+    max/sum pass, and padded lanes never exist (block == array dims).
+  - Per-channel scales never enter the kernel: the K scale folds onto q
+    before, the V scale onto the output row after (exact — the same
+    algebra as attention_cross_q8), so the kernel sees plain int8 codes.
+
+Numerics: same int8 rounding as the einsum form; in-kernel math is bf16
+operands with f32 accumulation (the flash-encoder tier).  TPU-only:
+other platforms fall back to the einsum form (the engine builds the
+plain quantized dict there).  Single-query decode only (the plain token
+loop and the grouped temperature ladder); the speculative verify pass
+keeps the einsum form.
 
 Reference behavioral contract: the cross-attention of the reference's
-decoder (candle whisper ``model.rs:168``-adjacent attention); this file
-is a serving-path acceleration with no reference equivalent.
+decoder (candle whisper model.rs:168-adjacent attention); this file is
+a serving-path acceleration with no reference equivalent.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 
 
-def paginate_cross_kv(
+def prep_cross_kv_kernel(
     kq: Dict[str, jax.Array],
     vq: Dict[str, jax.Array],
     n_heads: int,
-    page_size: int = 500,
 ) -> Tuple[Dict[str, jax.Array], Dict[str, jax.Array]]:
-    """Reshape per-channel-quantized cross K/V into kernel page layout.
+    """Transpose per-channel-quantized cross K/V into kernel layout.
 
     kq/vq: ``quantize_cross_kv`` output — {"q": [L, B, Ta, D] int8,
-    "s": [L, B, D] f32}.  Returns dicts whose leaves all carry the
-    leading L so they ride the decoder layer scan as xs:
-
-      {"pages": [L, H, B*Ta/ps, ps, dh] int8,   # kernel K/V pages
-       "s":     [L, B, D] f32,                  # folded outside the kernel
-       "idx":   [L, B, Ta/ps] int32}            # row b -> its page block
-
-    Done once per window (the transpose is ~0.5 GB at lv3 B=8 — ~1 ms —
-    against ~2 GB/step of loop reads it halves).
+    "s": [L, B, D] f32}.  Returns {"kT": [L, H, B, dh, Ta] int8,
+    "s": [L, B, D] f32} dicts whose leaves all carry the leading L so
+    they ride the decoder layer scan as xs.  One transpose per window
+    (~0.5 GB at lv3 B=8, ~1 ms) against ~2 GB/step of loop reads it
+    halves.
     """
     L, B, Ta, D = kq["q"].shape
-    if Ta % page_size:
-        raise ValueError(
-            f"cross-attention length {Ta} is not divisible by the page "
-            f"size {page_size} (cross_kv_chunk)"
-        )
-    pages = Ta // page_size
     dh = D // n_heads
 
-    def to_pages(codes):
+    def to_t(codes):
         x = codes.reshape(L, B, Ta, n_heads, dh)
-        x = jnp.transpose(x, (0, 3, 1, 2, 4))  # [L, H, B, Ta, dh]
-        return x.reshape(L, n_heads, B * pages, page_size, dh)
+        return jnp.transpose(x, (0, 3, 1, 4, 2))  # [L, H, B, dh, Ta]
 
-    idx = jnp.broadcast_to(
-        jnp.arange(B * pages, dtype=jnp.int32).reshape(1, B, pages),
-        (L, B, pages),
+    return (
+        {"kT": to_t(kq["q"]), "s": kq["s"]},
+        {"kT": to_t(vq["q"]), "s": vq["s"]},
     )
-    kp = {"pages": to_pages(kq["q"]), "s": kq["s"], "idx": idx}
-    vp = {"pages": to_pages(vq["q"]), "s": vq["s"], "idx": idx}
-    return kp, vp
 
 
-def paged_cross_attention(
+def _cross_decode_kernel(q_ref, k_ref, v_ref, o_ref):
+    """One (stream, head) cell: q [G, dh] × int8 K/V [dh, Ta] -> [G, dh].
+
+    K/V convert int8 -> bf16 in VMEM (the entire point: HBM saw int8);
+    both dots accumulate in f32 on the MXU; softmax in f32.
+    """
+    q = q_ref[...]  # [G, dh] bf16 (scales already folded)
+    k = k_ref[...].astype(jnp.bfloat16)  # [dh, Ta]
+    logits = jnp.dot(q, k, preferred_element_type=jnp.float32)  # [G, Ta]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    v = v_ref[...].astype(jnp.bfloat16)  # [dh, Ta]
+    o = jax.lax.dot_general(
+        p.astype(jnp.bfloat16),
+        v,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [G, dh]
+    o_ref[...] = (o / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "n_groups", "interpret"))
+def cross_attention_q8_kernel(
     q: jax.Array,
     kp: Dict[str, jax.Array],
     vp: Dict[str, jax.Array],
     n_heads: int,
     n_groups: int = 1,
+    interpret: bool = False,
 ) -> jax.Array:
-    """One decode step's cross-attention over int8 K/V pages.
+    """One decode step's cross-attention over transposed int8 K/V.
 
-    q: [G*B, 1, D]; kp/vp: per-layer slices of :func:`paginate_cross_kv`
-    output — pages [H, B*pages, ps, dh] int8, s [B, D] f32, idx
-    [B, pages] int32.  ``n_groups`` G > 1 (the speculative temperature
-    ladder) shares stream b's pages across its G rungs by tiling the page
-    indices — the K/V stream is read once per stream, not per rung.
+    q: [G*B, 1, D]; kp/vp: per-layer slices of
+    :func:`prep_cross_kv_kernel` output — kT [H, B, dh, Ta] int8,
+    s [B, D] f32.  ``n_groups`` G > 1 (the grouped temperature ladder)
+    shares stream b's K/V block across its G rungs: the G query rows
+    ride one grid cell, so the int8 stream is read once per stream per
+    layer, not once per rung.
     """
-    from jax.experimental.pallas.ops.tpu.paged_attention import (
-        paged_attention,
-    )
+    from jax.experimental import pallas as pl
 
     gb, tq, d = q.shape
     if tq != 1:
         raise NotImplementedError(
-            "paged cross-attention is single-query (the plain token "
+            "the cross-decode kernel is single-query (the plain token "
             "loop); the chunked verify path uses the einsum form"
         )
     b = kp["s"].shape[0]
     g = n_groups
     dh = d // n_heads
-    pages = kp["idx"].shape[1]
-    ps = kp["pages"].shape[2]
+    ta = kp["kT"].shape[-1]
 
     # Fold the per-channel K scale and both whisper dh**-0.25 factors onto
-    # q in f32 (one [G*B, D] elementwise) — the kernel then runs unscaled
-    # int8 codes against it.
+    # q in f32 (one [G*B, D] elementwise), then lay q out per grid cell:
+    # rows are r*B + b (group-major), the cell wants [B, H, G, dh].
     qf = (
-        q.astype(jnp.float32).reshape(g, b, 1, d)
-        * kp["s"][None, :, None, :]
+        q.astype(jnp.float32).reshape(g, b, d)
+        * kp["s"][None, :, :]
         * float(dh) ** -0.5
     )
-    qh = qf.reshape(gb, n_heads, dh).astype(jnp.float32)
+    qh = jnp.transpose(
+        qf.reshape(g, b, n_heads, dh), (1, 2, 0, 3)
+    ).astype(jnp.bfloat16)  # [B, H, G, dh]
 
-    idx = kp["idx"]
-    if g > 1:
-        idx = jnp.tile(idx, (g, 1))
-    lengths = jnp.full((gb,), pages * ps, jnp.int32)
+    out = pl.pallas_call(
+        _cross_decode_kernel,
+        grid=(b, n_heads),
+        in_specs=[
+            pl.BlockSpec((None, None, g, dh), lambda i, h: (i, h, 0, 0)),
+            pl.BlockSpec((None, None, dh, ta), lambda i, h: (h, i, 0, 0)),
+            pl.BlockSpec((None, None, dh, ta), lambda i, h: (h, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, None, g, dh), lambda i, h: (i, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_heads, g, dh), jnp.float32),
+        interpret=interpret,
+    )(qh, kp["kT"], vp["kT"])  # [B, H, G, dh] f32
 
-    out = paged_attention(
-        qh,
-        kp["pages"],
-        vp["pages"],
-        lengths,
-        idx,
-        pages_per_compute_block=pages,
-    )  # [G*B, H, dh]
-
-    out = out.astype(jnp.float32).reshape(g, b, 1, d) * vp["s"][None, :, None, :]
+    out = jnp.transpose(out, (2, 0, 1, 3)).reshape(g, b, 1, d)
+    out = out * vp["s"][None, :, None, :]
     return out.astype(q.dtype).reshape(gb, 1, d)

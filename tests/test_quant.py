@@ -669,41 +669,70 @@ def test_cross_kv_impl_dispatch():
         cross_q8_attn(cfg.with_(cross_kv_impl="nope"), q, kq, vq, H)
 
 
-def test_paginate_cross_kv_layout_roundtrip():
-    """The kernel page layout must be a pure relayout of the per-channel
-    quantized codes: regrouping pages by (stream, position, head) must
-    reproduce the original code tensor exactly, and the page indices must
-    point each stream at its own contiguous block."""
+def test_prep_cross_kv_kernel_layout_roundtrip():
+    """The kernel layout must be a pure relayout of the per-channel
+    quantized codes: un-transposing [L,H,B,dh,Ta] must reproduce the
+    original [L,B,Ta,D] code tensor exactly."""
     from norma_tpu.model.whisper import quantize_cross_kv
-    from norma_tpu.ops.paged_cross import paginate_cross_kv
+    from norma_tpu.ops.paged_cross import prep_cross_kv_kernel
 
     rng = np.random.default_rng(15)
     L, B, Ta, D, H = 2, 3, 12, 24, 4
-    ps = 4  # 3 pages per stream
     xk = jnp.asarray(rng.standard_normal((L, B, Ta, D)), jnp.float32)
     xv = jnp.asarray(rng.standard_normal((L, B, Ta, D)), jnp.float32)
     kq, vq = quantize_cross_kv(xk, xv)
-    kp, vp = paginate_cross_kv(kq, vq, H, page_size=ps)
+    kp, vp = prep_cross_kv_kernel(kq, vq, H)
 
-    assert kp["pages"].shape == (L, H, B * (Ta // ps), ps, D // H)
-    assert kp["pages"].dtype == jnp.int8
-    # Regroup: [L,H,B*pages,ps,dh] -> [L,B,Ta,H,dh] -> [L,B,Ta,D].
-    back = np.asarray(kp["pages"]).reshape(L, H, B, Ta, D // H)
-    back = back.transpose(0, 2, 3, 1, 4).reshape(L, B, Ta, D)
+    assert kp["kT"].shape == (L, H, B, D // H, Ta)
+    assert kp["kT"].dtype == jnp.int8
+    back = np.asarray(kp["kT"]).transpose(0, 2, 4, 1, 3).reshape(L, B, Ta, D)
     np.testing.assert_array_equal(back, np.asarray(kq["q"]))
     np.testing.assert_array_equal(np.asarray(kp["s"]), np.asarray(kq["s"]))
-    idx = np.asarray(kp["idx"])
-    assert idx.shape == (L, B, Ta // ps)
-    np.testing.assert_array_equal(
-        idx[0], np.arange(B * (Ta // ps)).reshape(B, Ta // ps)
+    back_v = np.asarray(vp["kT"]).transpose(0, 2, 4, 1, 3).reshape(L, B, Ta, D)
+    np.testing.assert_array_equal(back_v, np.asarray(vq["q"]))
+
+
+def test_cross_kernel_interpret_matches_einsum():
+    """The Pallas cross-decode kernel (interpret mode — the math, not the
+    Mosaic lowering, which tools/verify_paged_cross_tpu.py gates on real
+    hardware) must match the einsum form on the same int8 codes, plain
+    and grouped, to bf16-operand tolerance."""
+    from norma_tpu.model.whisper import attention_cross_q8, quantize_cross_kv
+    from norma_tpu.ops.paged_cross import (
+        cross_attention_q8_kernel,
+        prep_cross_kv_kernel,
     )
 
-    with pytest.raises(ValueError, match="divisible"):
-        paginate_cross_kv(kq, vq, H, page_size=5)
+    rng = np.random.default_rng(17)
+    B, Ta, D, H = 2, 16, 32, 4
+    xk = jnp.asarray(rng.standard_normal((1, B, Ta, D)), jnp.float32)
+    xv = jnp.asarray(rng.standard_normal((1, B, Ta, D)), jnp.float32)
+    kq, vq = quantize_cross_kv(xk, xv)
+    kp, vp = prep_cross_kv_kernel(kq, vq, H)
+    kq1 = {"q": kq["q"][0], "s": kq["s"][0]}
+    vq1 = {"q": vq["q"][0], "s": vq["s"][0]}
+    kp1 = {k: v[0] for k, v in kp.items()}
+    vp1 = {k: v[0] for k, v in vp.items()}
+
+    q = jnp.asarray(rng.standard_normal((B, 1, D)), jnp.float32)
+    ref = np.asarray(attention_cross_q8(q, kq1, vq1, H))
+    got = np.asarray(
+        cross_attention_q8_kernel(q, kp1, vp1, H, interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+    # Grouped rungs share one stream's K/V block.
+    G = 3
+    qg = jnp.asarray(rng.standard_normal((G * B, 1, D)), jnp.float32)
+    ref_g = np.asarray(attention_cross_q8(qg, kq1, vq1, H, n_groups=G))
+    got_g = np.asarray(
+        cross_attention_q8_kernel(qg, kp1, vp1, H, n_groups=G, interpret=True)
+    )
+    np.testing.assert_allclose(got_g, ref_g, rtol=2e-2, atol=2e-2)
 
 
-def test_engine_paged_impl_falls_back_off_tpu():
-    """cross_kv_impl="paged" on a non-TPU backend must build the PLAIN
+def test_engine_kernel_impl_falls_back_off_tpu():
+    """cross_kv_impl="kernel" on a non-TPU backend must build the PLAIN
     quantized dict (the kernel is TPU-only) and decode via the einsum
     form — same quantization grid, so transcripts match einsum exactly."""
     from norma_tpu.decode.engine import DecodeEngine
@@ -718,7 +747,7 @@ def test_engine_paged_impl_falls_back_off_tpu():
         n_frames=2 * cfg0.max_source_positions,
     )
     outs = {}
-    for impl in ("einsum", "paged"):
+    for impl in ("einsum", "kernel"):
         e = DecodeEngine(
             params, cfg0.with_(cross_kv_impl=impl), TEST_ST,
             language_token_ids=TEST_LANG_IDS, quantize_cross_kv=True,
@@ -727,19 +756,19 @@ def test_engine_paged_impl_falls_back_off_tpu():
             jnp.asarray(win)[None], [TEST_LANG_IDS[0]], seed=0
         )
         outs[impl] = out[0]
-    assert (outs["paged"] is None) == (outs["einsum"] is None)
-    if outs["paged"] is not None:
-        assert outs["paged"].tokens == outs["einsum"].tokens
+    assert (outs["kernel"] is None) == (outs["einsum"] is None)
+    if outs["kernel"] is not None:
+        assert outs["kernel"].tokens == outs["einsum"].tokens
 
 
-def test_speculative_rejects_paged_impl():
+def test_speculative_rejects_kernel_impl():
     from norma_tpu.decode import SpeculativeEngine
 
-    cfg = tiny_config().with_(cross_kv_impl="paged")
+    cfg = tiny_config().with_(cross_kv_impl="kernel")
     dcfg = cfg.with_(decoder_layers=1, encoder_layers=1)
     params = init_params(cfg, seed=0)
     dparams = init_params(dcfg, seed=1)
-    with pytest.raises(ValueError, match="paged"):
+    with pytest.raises(ValueError, match="kernel"):
         SpeculativeEngine(
             params, cfg, dparams, dcfg, TEST_ST, quantize_cross_kv=True
         )

@@ -277,25 +277,25 @@ def main() -> None:
         ]
     elif scenario == "xkv_paged":
         # The kernel answer to the structural XLA loss (PERF.md
-        # "cross_kv_impl"): int8 pages DMA compactly and dequantize in
-        # VMEM (ops/paged_cross.py).  Interleaved controls: the bf16
-        # baseline and the einsum regression.
+        # "cross_kv_impl"): int8 codes DMA compactly in a transposed
+        # layout and dequantize in VMEM (ops/paged_cross.py).
+        # Interleaved control: the bf16 baseline.
         fcfg = tcfg.with_(encoder_attn_impl="jax_flash")
-        pcfg = fcfg.with_(cross_kv_impl="paged")
+        pcfg = fcfg.with_(cross_kv_impl="kernel")
         tgt_w8f = jax.device_put(quantize_decoder(tgt), dev)
         B = 8
         runs = [
             ("lv3_b8_w8_flash", DecodeEngine(tgt_w8f, fcfg, st), B),
-            ("lv3_b8_w8_flash_xkv_paged",
+            ("lv3_b8_w8_flash_xkv_kernel",
              DecodeEngine(tgt_w8f, pcfg, st, quantize_cross_kv=True), B),
-            ("lv3_b1_w8_xkv_paged",
-             DecodeEngine(tgt_w8f, tcfg.with_(cross_kv_impl="paged"), st,
+            ("lv3_b1_w8_xkv_kernel",
+             DecodeEngine(tgt_w8f, tcfg.with_(cross_kv_impl="kernel"), st,
                           quantize_cross_kv=True), 1),
-            ("d_b8_stack_paged",
+            ("d_b8_stack_kernel",
              DecodeEngine(
                  jax.device_put(quantize_decoder(draft_rand), dev),
                  dcfg.with_(encoder_attn_impl="jax_flash",
-                            cross_kv_impl="paged"),
+                            cross_kv_impl="kernel"),
                  st, quantize_cross_kv=True,
              ), B),
         ]

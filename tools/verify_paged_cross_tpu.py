@@ -1,16 +1,17 @@
-"""Hardware gate for cross_kv_impl="paged" (ops/paged_cross.py).
+"""Hardware gate for cross_kv_impl="kernel" (ops/paged_cross.py).
 
 Pallas kernels MUST be verified on hardware (interpret mode has hidden
 Mosaic issues every time — PERF.md methodology).  Three checks:
 
-1. op-level: paged_cross_attention vs the einsum form on random tensors
-   at production dims (same int8 codes, so the only difference is the
-   kernel's f32 online softmax vs XLA's bf16-operand einsum — expect
-   ~1e-2 rel-RMS, the bf16-vs-f32 tier), plain and grouped.
-2. engine-level: transcribe_window under cross_kv_impl="paged" vs
-   "einsum" on a seeded checkpoint — token parity expected on peaked
-   models (both read identical int8 codes).
-3. the B=1 speculative-ladder path (grouped page sharing) runs.
+1. op-level: cross_attention_q8_kernel vs the einsum form on random
+   tensors at production dims (same int8 codes, so the only difference
+   is the kernel's bf16-operand/f32-accum math vs XLA's einsum — expect
+   ~1e-2 rel-RMS, the flash-encoder tier), plain and grouped.
+2. engine-level: transcribe_window under cross_kv_impl="kernel" vs
+   "einsum" on a seeded checkpoint — B=4 sequential ladder and B=1
+   grouped ladder (the page-sharing path).
+3. divergence triage: on knife-edge random weights token flips mid-
+   sequence are rounding; a flip in the first tokens is a layout bug.
 
 Run ON TPU:  python tools/verify_paged_cross_tpu.py
 """
@@ -32,8 +33,8 @@ def main() -> None:
 
     from norma_tpu.model.whisper import attention_cross_q8, quantize_cross_kv
     from norma_tpu.ops.paged_cross import (
-        paged_cross_attention,
-        paginate_cross_kv,
+        cross_attention_q8_kernel,
+        prep_cross_kv_kernel,
     )
 
     dev = jax.devices()[0]
@@ -50,7 +51,7 @@ def main() -> None:
     kq, vq = quantize_cross_kv(xk, xv)
     kq1 = {"q": kq["q"][0], "s": kq["s"][0]}
     vq1 = {"q": vq["q"][0], "s": vq["s"][0]}
-    kp, vp = paginate_cross_kv(kq, vq, H, page_size=500)
+    kp, vp = prep_cross_kv_kernel(kq, vq, H)
     kp1 = {k: v[0] for k, v in kp.items()}
     vp1 = {k: v[0] for k, v in vp.items()}
 
@@ -59,26 +60,23 @@ def main() -> None:
         np.float32,
     )
     got = np.asarray(
-        jax.jit(lambda *a: paged_cross_attention(*a, H))(q, kp1, vp1),
-        np.float32,
+        cross_attention_q8_kernel(q, kp1, vp1, H), np.float32
     )
     rel = float(
         np.sqrt(((got - ref) ** 2).mean()) / (np.sqrt((ref**2).mean()) + 1e-9)
     )
-    print(f"op-level rel-RMS paged vs einsum (B=8): {rel:.2e}")
+    print(f"op-level rel-RMS kernel vs einsum (B=8): {rel:.2e}")
     if rel > 3e-2:
-        print("FAIL: op-level drift above the bf16-vs-f32 tier")
+        print("FAIL: op-level drift above the bf16-operand tier")
         fails += 1
 
-    # Grouped (speculative temperature ladder: G rungs share B' streams).
+    # Grouped (speculative temperature ladder: G rungs share B'=1 stream).
     G, Bp = 6, 1
     qg = jnp.asarray(rng.standard_normal((G * Bp, 1, D)) * 0.1, jnp.bfloat16)
     kqg = {"q": kq["q"][0, :Bp], "s": kq["s"][0, :Bp]}
     vqg = {"q": vq["q"][0, :Bp], "s": vq["s"][0, :Bp]}
-    kpg = {k: (v[0, :, : Bp * 3] if k == "pages" else v[0, :Bp])
-           for k, v in kp.items()}
-    vpg = {k: (v[0, :, : Bp * 3] if k == "pages" else v[0, :Bp])
-           for k, v in vp.items()}
+    kpg = {"kT": kp["kT"][0][:, :Bp], "s": kp["s"][0, :Bp]}
+    vpg = {"kT": vp["kT"][0][:, :Bp], "s": vp["s"][0, :Bp]}
     ref_g = np.asarray(
         jax.jit(lambda *a: attention_cross_q8(*a, H, n_groups=G))(
             qg, kqg, vqg
@@ -86,10 +84,7 @@ def main() -> None:
         np.float32,
     )
     got_g = np.asarray(
-        jax.jit(lambda *a: paged_cross_attention(*a, H, n_groups=G))(
-            qg, kpg, vpg
-        ),
-        np.float32,
+        cross_attention_q8_kernel(qg, kpg, vpg, H, n_groups=G), np.float32
     )
     rel_g = float(
         np.sqrt(((got_g - ref_g) ** 2).mean())
@@ -101,6 +96,7 @@ def main() -> None:
         fails += 1
 
     # --- 2./3. engine-level transcript parity + B=1 ladder ---
+    from norma_tpu.constants import N_SAMPLES
     from norma_tpu.decode import DecodeEngine
     from norma_tpu.decode.masks import SpecialTokens
     from norma_tpu.frontend.mel import prepare_audio
@@ -114,8 +110,6 @@ def main() -> None:
     params = jax.device_put(
         fuse_qkv(init_params(cfg, seed=0, dtype=jnp.bfloat16)), dev
     )
-    from norma_tpu.constants import N_SAMPLES
-
     wins = jnp.asarray(
         np.stack(
             [
@@ -127,7 +121,7 @@ def main() -> None:
         )
     )
     toks = {}
-    for impl in ("einsum", "paged"):
+    for impl in ("einsum", "kernel"):
         e = DecodeEngine(
             params, cfg.with_(cross_kv_impl=impl), st,
             quantize_cross_kv=True,
@@ -138,23 +132,32 @@ def main() -> None:
             [None if r is None else r.tokens for r in out4],
             None if out1[0] is None else out1[0].tokens,
         )
-    same4 = toks["paged"][0] == toks["einsum"][0]
-    same1 = toks["paged"][1] == toks["einsum"][1]
+    same4 = toks["kernel"][0] == toks["einsum"][0]
+    same1 = toks["kernel"][1] == toks["einsum"][1]
     print(f"engine token parity: B=4 {same4}, B=1-ladder {same1}")
-    if not same1:
-        # Random-weight models are knife-edge; report but only fail if the
-        # sequences diverge from the first token (layout bug, not rounding).
-        a, b = toks["paged"][1], toks["einsum"][1]
-        pre = 0
-        if a and b:
-            while pre < min(len(a), len(b)) and a[pre] == b[pre]:
+    for name, same, a, b in (
+        ("B=4", same4, toks["kernel"][0], toks["einsum"][0]),
+        ("B=1", same1, [toks["kernel"][1]], [toks["einsum"][1]]),
+    ):
+        if same:
+            continue
+        # Random-weight models are knife-edge; only fail when sequences
+        # diverge from the first tokens (layout bug, not rounding).
+        for ra, rb in zip(a, b):
+            ra, rb = ra or [], rb or []
+            pre = 0
+            while pre < min(len(ra), len(rb)) and ra[pre] == rb[pre]:
                 pre += 1
-        print(f"  common prefix {pre} ({a and a[:6]} vs {b and b[:6]})")
-        if pre < 4:
-            print("FAIL: divergence at the prefix — not a rounding artifact")
-            fails += 1
+            if pre < 4 and (ra or rb):
+                print(
+                    f"FAIL: {name} diverges at prefix {pre}: "
+                    f"{ra[:6]} vs {rb[:6]}"
+                )
+                fails += 1
+            elif ra != rb:
+                print(f"  {name} mid-sequence flip at {pre} (rounding tier)")
 
-    print("PAGED CROSS GATE:", "FAIL" if fails else "PASS")
+    print("CROSS KERNEL GATE:", "FAIL" if fails else "PASS")
     sys.exit(1 if fails else 0)
 
 
