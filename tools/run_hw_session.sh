@@ -43,12 +43,12 @@ run spec_parity     3600 python tools/verify_spec_parity_tpu.py
 run encoder_attn    2400 python tools/verify_encoder_attn_tpu.py
 run encoder_q8      3600 python tools/verify_encoder_q8_tpu.py
 run spec_batch      5400 python tools/perf_spec_ab.py batch_stack
-# The standing round-3 question: do the fused int8 cross-attention impls
-# (cross_kv_impl="chunked"/"a8") recover the lv3 B=8 xkv regression and
-# add anything at B=1 / on the distil stack?
-run xkv_impl        7200 python tools/perf_spec_ab.py xkv_impl
-run xkv_impl_b1     5400 python tools/perf_spec_ab.py xkv_impl_b1
-run xkv_impl_dstack 5400 python tools/perf_spec_ab.py xkv_impl_dstack
+# The XLA-level xkv impls (einsum/chunked/a8) are harvested — all lose
+# at lv3 B=8 (PERF.md "cross_kv_impl").  The standing question is the
+# purpose-built Pallas kernel (cross_kv_impl="kernel"): gate its Mosaic
+# lowering + token parity, then A/B it at lv3 B=8 / B=1 / distil stack.
+run xkv_kernel_gate 3600 python tools/verify_paged_cross_tpu.py
+run xkv_paged       7200 python tools/perf_spec_ab.py xkv_paged
 run soak            1800 python tools/soak_serving.py --minutes 3
 
 echo "All logs in $OUT/"
