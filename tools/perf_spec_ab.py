@@ -30,7 +30,7 @@ floor, 172.8 ceiling, 190.7 floor+w8; B=8 in the batch scenario).
 
 Run ON TPU:  python tools/perf_spec_ab.py [bracket|knobs|batch|batch_w8|
     batch_stack|batch_stack_skv|batch_stack_skv448|xkv_impl|xkv_impl_b1|
-    xkv_impl_dstack] [spec_k]
+    xkv_impl_dstack|xkv_paged|spec_xkv] [spec_k]
 """
 
 import json
@@ -298,6 +298,24 @@ def main() -> None:
                             cross_kv_impl="kernel"),
                  st, quantize_cross_kv=True,
              ), B),
+        ]
+    elif scenario == "spec_xkv":
+        # The two proven lv3 B=1 levers compose?  spec+w8 is the best
+        # measured B=1 config (190.7 ms) and xkv einsum wins −3.5% on the
+        # plain w8 loop; the verify pass scores K+1-wide chunks where the
+        # int8 dequant may or may not fuse like the GEMV case does.
+        # Interleaved control in-process.
+        tgt_w8 = jax.device_put(quantize_decoder(tgt), dev)
+        runs = [
+            (f"lv3_spec_k{K}_w8",
+             SpeculativeEngine(tgt_w8, tcfg, draft_rand, dcfg, st, spec_k=K),
+             1),
+            (f"lv3_spec_k{K}_w8_xkv",
+             SpeculativeEngine(
+                 tgt_w8, tcfg, draft_rand, dcfg, st, spec_k=K,
+                 quantize_cross_kv=True,
+             ),
+             1),
         ]
     elif scenario == "xkv_impl_dstack":
         # The benched distil serving stack (flash + w8 + xkv): does a
