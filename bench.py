@@ -372,7 +372,41 @@ def main() -> None:
             ),
             "lv3_spec_tokens_per_round": e_spec.last_tokens_per_round,
         }
-        del e_lv3, e_spec, tgt, draft
+        del e_lv3, e_spec
+
+        # Batched lv3 SERVING stack — the deep-decoder operating point:
+        # w8 decoder + jax_flash encoder + xkv via the Pallas kernel
+        # (cross_kv_impl="kernel" is the only int8 cross-K/V form that
+        # wins at lv3 B=8; PERF.md "cross_kv_impl").  Measured best:
+        # 1027.1 ms device / 233 streams/chip (xkv_paged A/B).
+        e_lv3s = DecodeEngine(
+            jax.device_put(quantize_decoder(tgt), jax.devices()[0]),
+            tcfg.with_(
+                encoder_attn_impl="jax_flash", cross_kv_impl="kernel"
+            ),
+            st, quantize_cross_kv=True,
+        )
+
+        def run_lv3_serving8():
+            t0 = time.perf_counter()
+            e_lv3s.transcribe_window(wj, [50259] * B, seed=0)
+            return time.perf_counter() - t0
+
+        run_lv3_serving8()  # warmup/compile
+        t_l8 = min(run_lv3_serving8() for _ in range(3))
+        d_l8 = device_ms_per_window(run_lv3_serving8, 2, "lv3_8_serving")
+        lv3_spec.update(
+            {
+                "t_window_lv3_8_serving_ms": round(t_l8 * 1e3, 1),
+                "t_window_lv3_8_serving_device_ms": (
+                    None if d_l8 is None else round(d_l8, 1)
+                ),
+                "rtf_per_stream_lv3_8_serving_device": (
+                    None if d_l8 is None else round(d_l8 / 1e3 / 30.0 / B, 6)
+                ),
+            }
+        )
+        del e_lv3s, tgt, draft
     except (TypeError, AttributeError, NameError, KeyError):
         raise  # programming error, not an environment failure
     except Exception as e:  # pragma: no cover - environment-dependent

@@ -18,6 +18,9 @@ numbers from perf_decoder_ab.py as the ground truth totals.
 
 Run ON TPU:  python tools/perf_step_attr.py [variant ...]
 Variants: lv3_bf16 lv3_w8 lv3_w8_skv_xkv distil_w8
+          lv3_b8_w8 lv3_b8_w8_xkv lv3_b8_w8_xkv_kernel  (the batched
+          regime where the xkv kernel wins — locates the remaining
+          gap to the −15% perfect-kernel ceiling)
 """
 
 import json
@@ -65,11 +68,16 @@ def main() -> None:
     cfg_d = PRESETS["distil-large-v3"].with_(max_target_positions=448)
 
     variants = {
-        # name -> (cfg, quantize_params, skv, xkv)
-        "lv3_bf16": (cfg_lv3, False, False, False),
-        "lv3_w8": (cfg_lv3, True, False, False),
-        "lv3_w8_skv_xkv": (cfg_lv3, True, True, True),
-        "distil_w8": (cfg_d, True, False, False),
+        # name -> (cfg, quantize_params, skv, xkv, B)
+        # xkv: False | "einsum" | "kernel" (the Pallas cross-decode
+        # kernel layout, ops/paged_cross.py — the B=8 winner)
+        "lv3_bf16": (cfg_lv3, False, False, False, 1),
+        "lv3_w8": (cfg_lv3, True, False, False, 1),
+        "lv3_w8_skv_xkv": (cfg_lv3, True, True, "einsum", 1),
+        "distil_w8": (cfg_d, True, False, False, 1),
+        "lv3_b8_w8": (cfg_lv3, True, False, False, 8),
+        "lv3_b8_w8_xkv": (cfg_lv3, True, False, "einsum", 8),
+        "lv3_b8_w8_xkv_kernel": (cfg_lv3, True, False, "kernel", 8),
     }
     pick = sys.argv[1:] or ["lv3_w8_skv_xkv", "lv3_w8"]
     unknown = [n for n in pick if n not in variants]
@@ -77,9 +85,16 @@ def main() -> None:
         sys.exit(f"unknown variant(s) {unknown}; known: {sorted(variants)}")
 
     rng = np.random.default_rng(0)
-    a1 = jnp.asarray(
-        prepare_audio((0.1 * rng.standard_normal(N_SAMPLES)).astype(np.float32))
-    )[None]
+    aud = jnp.asarray(
+        np.stack(
+            [
+                prepare_audio(
+                    (0.1 * rng.standard_normal(N_SAMPLES)).astype(np.float32)
+                )
+                for _ in range(8)
+            ]
+        )
+    )
     dev0 = jax.devices()[0]
 
     # v5e HBM streaming bandwidth (datasheet ~819 GB/s); the roofline is
@@ -88,7 +103,7 @@ def main() -> None:
 
     params_cache = {}
     for name in pick:
-        cfg, w8, skv, xkv = variants[name]
+        cfg, w8, skv, xkv, B = variants[name]
         key = (cfg.d_model, cfg.decoder_layers, w8)
         if key not in params_cache:
             p = fuse_qkv(init_params(cfg, seed=0, dtype=jnp.bfloat16))
@@ -97,11 +112,17 @@ def main() -> None:
             )
         params = params_cache[key]
         engine = DecodeEngine(params, cfg, st)
-        state = engine.prefill_window(a1, 50259)
+        state = engine.prefill_window(aud[:B], 50259)
         xk, xv = state["xk"], state["xv"]
         ck, cv = state["cache_k"], state["cache_v"]
         if xkv:
             xk, xv = quantize_cross_kv(xk, xv)
+            if xkv == "kernel":
+                from norma_tpu.ops.paged_cross import prep_cross_kv_kernel
+
+                xk, xv = prep_cross_kv_kernel(
+                    xk, xv, cfg.decoder_attention_heads
+                )
         if skv:
             ck, cv = quantize_self_kv_cache(ck), quantize_self_kv_cache(cv)
 
@@ -111,7 +132,7 @@ def main() -> None:
             ),
             donate_argnums=(3, 4),
         )
-        tok = jnp.full((1,), 1000, jnp.int32)
+        tok = jnp.full((B,), 1000, jnp.int32)
         pos = jnp.int32(FILL)
 
         def run(n=64):

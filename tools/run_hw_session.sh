@@ -39,6 +39,7 @@ run bench           7200 python bench.py
 run sample_kernel   2400 python tools/verify_sample_kernel_tpu.py
 run decoder_core    5400 python tools/perf_decoder_ab.py fused fused_w8 fused448 fused448_w8 lv3_448_w8 lv3_448_w8_skv lv3_448_w8_skv_xkv
 run step_attr       3600 python tools/perf_step_attr.py lv3_w8_skv_xkv lv3_w8
+run step_attr_b8    3600 python tools/perf_step_attr.py lv3_b8_w8 lv3_b8_w8_xkv lv3_b8_w8_xkv_kernel
 run spec_parity     3600 python tools/verify_spec_parity_tpu.py
 run encoder_attn    2400 python tools/verify_encoder_attn_tpu.py
 run encoder_q8      3600 python tools/verify_encoder_q8_tpu.py
@@ -49,6 +50,8 @@ run spec_batch      5400 python tools/perf_spec_ab.py batch_stack
 # lowering + token parity, then A/B it at lv3 B=8 / B=1 / distil stack.
 run xkv_kernel_gate 3600 python tools/verify_paged_cross_tpu.py
 run xkv_paged       7200 python tools/perf_spec_ab.py xkv_paged
+# Do the two proven lv3 B=1 levers compose? (spec+w8 ± xkv einsum)
+run spec_xkv        5400 python tools/perf_spec_ab.py spec_xkv
 run soak            1800 python tools/soak_serving.py --minutes 3
 
 echo "All logs in $OUT/"
