@@ -138,6 +138,11 @@ class WhisperConfig:
     cross_kv_impl: str = "einsum"
     # Key-chunk length for cross_kv_impl="chunked" (1500 = 3 chunks).
     cross_kv_chunk: int = 500
+    # Head-tile size for cross_kv_impl="kernel": how many heads ride one
+    # grid cell (must divide decoder_attention_heads).  Identical math;
+    # a DMA-granularity knob (96 KB/head at whisper dims) to sweep on
+    # hardware like the flash-encoder's block size.
+    cross_kv_kernel_hpc: int = 1
     # Unroll factor for the DECODER layer scan in the single-token
     # decode step ONLY (0 = auto: shallow decoders fully unroll at small
     # row counts, deep decoders stay rolled — whisper._unroll_gate; the

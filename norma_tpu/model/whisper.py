@@ -718,7 +718,10 @@ def cross_q8_attn(
     if "kT" in kq:  # transposed kernel layout (TPU-only; engine-built)
         from ..ops.paged_cross import cross_attention_q8_kernel
 
-        return cross_attention_q8_kernel(q, kq, vq, n_heads, n_groups)
+        return cross_attention_q8_kernel(
+            q, kq, vq, n_heads, n_groups,
+            heads_per_cell=cfg.cross_kv_kernel_hpc,
+        )
     impl = cfg.cross_kv_impl
     if impl == "chunked":
         return attention_cross_q8_chunked(

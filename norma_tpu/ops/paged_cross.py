@@ -86,34 +86,44 @@ def prep_cross_kv_kernel(
 
 
 def _cross_decode_kernel(q_ref, k_ref, v_ref, o_ref):
-    """One (stream, head) cell: q [G, dh] × int8 K/V [dh, Ta] -> [G, dh].
+    """One (stream, head-tile) cell: per local head, q [G, dh] × int8
+    K/V [dh, Ta] -> [G, dh].
 
     K/V convert int8 -> bf16 in VMEM (the entire point: HBM saw int8);
-    both dots accumulate in f32 on the MXU; softmax in f32.
+    both dots accumulate in f32 on the MXU; softmax in f32.  The head
+    tile (``heads_per_cell``) is a DMA-granularity knob: the per-head
+    math is independent, so the static loop below unrolls over however
+    many heads ride this cell's block.
     """
-    q = q_ref[...]  # [G, dh] bf16 (scales already folded)
-    k = k_ref[...].astype(jnp.bfloat16)  # [dh, Ta]
-    logits = jnp.dot(q, k, preferred_element_type=jnp.float32)  # [G, Ta]
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    v = v_ref[...].astype(jnp.bfloat16)  # [dh, Ta]
-    o = jax.lax.dot_general(
-        p.astype(jnp.bfloat16),
-        v,
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [G, dh]
-    o_ref[...] = (o / l).astype(o_ref.dtype)
+    hpc = q_ref.shape[0]
+    for j in range(hpc):  # static — Mosaic unrolls
+        q = q_ref[j]  # [G, dh] bf16 (scales already folded)
+        k = k_ref[j].astype(jnp.bfloat16)  # [dh, Ta]
+        logits = jnp.dot(q, k, preferred_element_type=jnp.float32)  # [G, Ta]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[j].astype(jnp.bfloat16)  # [dh, Ta]
+        o = jax.lax.dot_general(
+            p.astype(jnp.bfloat16),
+            v,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [G, dh]
+        o_ref[j] = (o / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n_heads", "n_groups", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_heads", "n_groups", "heads_per_cell", "interpret"),
+)
 def cross_attention_q8_kernel(
     q: jax.Array,
     kp: Dict[str, jax.Array],
     vp: Dict[str, jax.Array],
     n_heads: int,
     n_groups: int = 1,
+    heads_per_cell: int = 1,
     interpret: bool = False,
 ) -> jax.Array:
     """One decode step's cross-attention over transposed int8 K/V.
@@ -123,7 +133,10 @@ def cross_attention_q8_kernel(
     s [B, D] f32.  ``n_groups`` G > 1 (the grouped temperature ladder)
     shares stream b's K/V block across its G rungs: the G query rows
     ride one grid cell, so the int8 stream is read once per stream per
-    layer, not once per rung.
+    layer, not once per rung.  ``heads_per_cell`` tiles that many heads
+    into one grid cell — identical math, bigger DMA blocks (96 KB/head
+    at whisper dims; the full-head tile is ~1.9 MB) — a perf knob to
+    sweep on hardware, like the flash-encoder's block size.
     """
     from jax.experimental import pallas as pl
 
@@ -137,6 +150,11 @@ def cross_attention_q8_kernel(
     g = n_groups
     dh = d // n_heads
     ta = kp["kT"].shape[-1]
+    hpc = heads_per_cell
+    if n_heads % hpc:
+        raise ValueError(
+            f"heads_per_cell {hpc} must divide n_heads {n_heads}"
+        )
 
     # Fold the per-channel K scale and both whisper dh**-0.25 factors onto
     # q in f32 (one [G*B, D] elementwise), then lay q out per grid cell:
@@ -152,13 +170,13 @@ def cross_attention_q8_kernel(
 
     out = pl.pallas_call(
         _cross_decode_kernel,
-        grid=(b, n_heads),
+        grid=(b, n_heads // hpc),
         in_specs=[
-            pl.BlockSpec((None, None, g, dh), lambda i, h: (i, h, 0, 0)),
-            pl.BlockSpec((None, None, dh, ta), lambda i, h: (h, i, 0, 0)),
-            pl.BlockSpec((None, None, dh, ta), lambda i, h: (h, i, 0, 0)),
+            pl.BlockSpec((None, hpc, g, dh), lambda i, h: (i, h, 0, 0)),
+            pl.BlockSpec((hpc, None, dh, ta), lambda i, h: (h, i, 0, 0)),
+            pl.BlockSpec((hpc, None, dh, ta), lambda i, h: (h, i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((None, None, g, dh), lambda i, h: (i, h, 0, 0)),
+        out_specs=pl.BlockSpec((None, hpc, g, dh), lambda i, h: (i, h, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n_heads, g, dh), jnp.float32),
         interpret=interpret,
     )(qh, kp["kT"], vp["kT"])  # [B, H, G, dh] f32

@@ -730,6 +730,22 @@ def test_cross_kernel_interpret_matches_einsum():
     )
     np.testing.assert_allclose(got_g, ref_g, rtol=2e-2, atol=2e-2)
 
+    # Head tiling is a pure DMA-granularity knob — identical outputs.
+    base = np.asarray(
+        cross_attention_q8_kernel(q, kp1, vp1, H, interpret=True)
+    )
+    for hpc in (2, 4):
+        tiled = np.asarray(
+            cross_attention_q8_kernel(
+                q, kp1, vp1, H, heads_per_cell=hpc, interpret=True
+            )
+        )
+        np.testing.assert_allclose(tiled, base, rtol=1e-6, atol=1e-6)
+    with pytest.raises(ValueError, match="divide"):
+        cross_attention_q8_kernel(
+            q, kp1, vp1, H, heads_per_cell=3, interpret=True
+        )
+
 
 def test_engine_kernel_impl_falls_back_off_tpu():
     """cross_kv_impl="kernel" on a non-TPU backend must build the PLAIN
