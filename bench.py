@@ -378,7 +378,7 @@ def main() -> None:
         # w8 decoder + jax_flash encoder + xkv via the Pallas kernel
         # (cross_kv_impl="kernel" is the only int8 cross-K/V form that
         # wins at lv3 B=8; PERF.md "cross_kv_impl").  Measured best:
-        # 1027.1 ms device / 233 streams/chip (xkv_paged A/B).
+        # 982.0 ms device / 244 streams/chip (xkv_paged A/B, auto head tile).
         e_lv3s = DecodeEngine(
             jax.device_put(quantize_decoder(tgt), jax.devices()[0]),
             tcfg.with_(

@@ -140,9 +140,11 @@ class WhisperConfig:
     cross_kv_chunk: int = 500
     # Head-tile size for cross_kv_impl="kernel": how many heads ride one
     # grid cell (must divide decoder_attention_heads).  Identical math;
-    # a DMA-granularity knob (96 KB/head at whisper dims) to sweep on
-    # hardware like the flash-encoder's block size.
-    cross_kv_kernel_hpc: int = 1
+    # a DMA-granularity knob (96 KB/head at whisper dims).  0 = auto:
+    # the largest divisor of n_heads ≤ 10 at batch / ≤ 5 single-stream —
+    # the hardware sweep's winners (tools/perf_xkv_kernel_sweep.py, v5e:
+    # per-layer op 83.2 → 48.5 µs at B=8 hpc10; 11.7 → 8.5 at B=1 hpc5).
+    cross_kv_kernel_hpc: int = 0
     # Unroll factor for the DECODER layer scan in the single-token
     # decode step ONLY (0 = auto: shallow decoders fully unroll at small
     # row counts, deep decoders stay rolled — whisper._unroll_gate; the

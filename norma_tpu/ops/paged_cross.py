@@ -123,7 +123,7 @@ def cross_attention_q8_kernel(
     vp: Dict[str, jax.Array],
     n_heads: int,
     n_groups: int = 1,
-    heads_per_cell: int = 1,
+    heads_per_cell: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     """One decode step's cross-attention over transposed int8 K/V.
@@ -151,6 +151,12 @@ def cross_attention_q8_kernel(
     dh = d // n_heads
     ta = kp["kT"].shape[-1]
     hpc = heads_per_cell
+    if hpc == 0:  # auto: the hardware sweep's winners (v5e)
+        target = 10 if b >= 4 else 5
+        hpc = max(
+            h for h in range(1, min(target, n_heads) + 1)
+            if n_heads % h == 0
+        )
     if n_heads % hpc:
         raise ValueError(
             f"heads_per_cell {hpc} must divide n_heads {n_heads}"

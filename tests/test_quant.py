@@ -732,9 +732,13 @@ def test_cross_kernel_interpret_matches_einsum():
 
     # Head tiling is a pure DMA-granularity knob — identical outputs.
     base = np.asarray(
-        cross_attention_q8_kernel(q, kp1, vp1, H, interpret=True)
+        cross_attention_q8_kernel(
+            q, kp1, vp1, H, heads_per_cell=1, interpret=True
+        )
     )
-    for hpc in (2, 4):
+    # hpc=0 resolves to the auto tile (largest divisor <= the sweep's
+    # winner for the batch size) — still identical outputs.
+    for hpc in (0, 2, 4):
         tiled = np.asarray(
             cross_attention_q8_kernel(
                 q, kp1, vp1, H, heads_per_cell=hpc, interpret=True
