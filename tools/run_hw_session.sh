@@ -49,6 +49,7 @@ run spec_batch      5400 python tools/perf_spec_ab.py batch_stack
 # purpose-built Pallas kernel (cross_kv_impl="kernel"): gate its Mosaic
 # lowering + token parity, then A/B it at lv3 B=8 / B=1 / distil stack.
 run xkv_kernel_gate 3600 python tools/verify_paged_cross_tpu.py
+run xkv_sweep       5400 python tools/perf_xkv_kernel_sweep.py 8 1
 run xkv_paged       7200 python tools/perf_spec_ab.py xkv_paged
 # Do the two proven lv3 B=1 levers compose? (spec+w8 ± xkv einsum)
 run spec_xkv        5400 python tools/perf_spec_ab.py spec_xkv
