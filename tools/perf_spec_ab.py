@@ -230,6 +230,13 @@ def main() -> None:
             ("lv3_b8_448_w8_flash", DecodeEngine(tgt448, cfg448, st), B),
             ("lv3_b8_448_w8_flash_skv",
              DecodeEngine(tgt448, cfg448, st, quantize_self_kv=True), B),
+            # The full production stack at serving length: skv + the
+            # xkv kernel (the B=8 winner) on top.
+            ("lv3_b8_448_w8_flash_skv_xkvk",
+             DecodeEngine(
+                 tgt448, cfg448.with_(cross_kv_impl="kernel"), st,
+                 quantize_self_kv=True, quantize_cross_kv=True,
+             ), B),
         ]
     elif scenario == "xkv_impl":
         # The cross-K/V stream is lv3 B=8's LARGEST per-step read (~2 GB
