@@ -145,6 +145,27 @@ class WhisperConfig:
     # the hardware sweep's winners (tools/perf_xkv_kernel_sweep.py, v5e:
     # per-layer op 83.2 → 48.5 µs at B=8 hpc10; 11.7 → 8.5 at B=1 hpc5).
     cross_kv_kernel_hpc: int = 0
+    # Self-attention implementation for the single-token decode step:
+    #   "xla"    — write the new row into the stacked [L,B,Tmax,D] cache
+    #              carry with dynamic_update_slice, slice the layer's
+    #              cache out and run the plain einsum attention.  XLA
+    #              materializes the layer slice and overpays the row
+    #              write: measured ~3.3 ms/step of self-KV handling at
+    #              lv3 B=8 against a ~0.36 ms read roofline
+    #              (PERF.md "Per-op attribution of the batched step").
+    #   "kernel" — a Pallas kernel (TPU-only; ops/self_decode.py) that
+    #              reads the stacked cache directly (no slice copy),
+    #              folds the step's new K/V row in explicitly, and
+    #              writes that row back IN PLACE via input/output
+    #              aliasing with a one-row output block.  bf16-operand/
+    #              f32-accum numerics (the cross-decode kernel's tier).
+    #              bf16 caches only (quantize_self_kv falls back to
+    #              "xla"); non-TPU backends fall back to "xla".
+    self_kv_impl: str = "xla"
+    # Head-tile size for self_kv_impl="kernel" (even, divides
+    # decoder_attention_heads; the cache block's lane width is
+    # heads_per_cell*64 and must be a multiple of 128).  0 = auto.
+    self_kv_kernel_hpc: int = 0
     # Unroll factor for the DECODER layer scan in the single-token
     # decode step ONLY (0 = auto: shallow decoders fully unroll at small
     # row counts, deep decoders stay rolled — whisper._unroll_gate; the

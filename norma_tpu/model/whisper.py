@@ -21,6 +21,7 @@ TPU-first re-creation of the network the reference gets from
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
@@ -965,8 +966,26 @@ def decoder_step(
             c_all,
         )
 
+    # Tests exercise the kernel path off-TPU in Pallas interpret mode via
+    # this env escape (hardware gate: tools/verify_self_decode_tpu.py).
+    _interp_escape = os.environ.get("NORMA_SELF_KERNEL_INTERPRET") == "1"
+    use_self_kernel = (
+        cfg.self_kv_impl == "kernel"
+        and (jax.default_backend() == "tpu" or _interp_escape)
+        and not isinstance(cache_k, dict)  # bf16 caches only
+    )
+
     def self_attn(q, k, v, cstate):
         ck_all, cv_all, li = cstate
+        if use_self_kernel:
+            from ..ops.self_decode import self_attention_decode
+
+            a, ck_all, cv_all = self_attention_decode(
+                q, k, v, ck_all, cv_all, li, pos, n_heads,
+                heads_per_cell=cfg.self_kv_kernel_hpc,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return a, (ck_all, cv_all, li)
         ck_all = write_row(ck_all, k, li)
         cv_all = write_row(cv_all, v, li)
         ck = read_layer(ck_all, li)

@@ -345,6 +345,35 @@ def main() -> None:
                  quantize_cross_kv=True,
              ), B),
         ]
+    elif scenario == "self_kernel":
+        # The batched step attribution (PERF.md "Per-op attribution of
+        # the batched step") shows ~3.3 ms/step of self-KV cache handling
+        # at lv3 B=8 against a ~0.36 ms read roofline: XLA materializes
+        # the layer-slice read and overpays the one-row write.  The
+        # Pallas self-decode kernel (ops/self_decode.py) reads the
+        # stacked cache directly and writes the row in place via
+        # aliasing.  A/B on top of the best batched stack (w8 + flash +
+        # xkv kernel) and at B=1 (w8 + xkv einsum).
+        fcfg = tcfg.with_(
+            encoder_attn_impl="jax_flash", cross_kv_impl="kernel"
+        )
+        tgt_w8f = jax.device_put(quantize_decoder(tgt), dev)
+        runs = [
+            ("lv3_b8_w8_flash_xkvk",
+             DecodeEngine(tgt_w8f, fcfg, st, quantize_cross_kv=True), 8),
+            ("lv3_b8_w8_flash_xkvk_selfk",
+             DecodeEngine(
+                 tgt_w8f, fcfg.with_(self_kv_impl="kernel"), st,
+                 quantize_cross_kv=True,
+             ), 8),
+            ("lv3_b1_w8_xkv",
+             DecodeEngine(tgt_w8f, tcfg, st, quantize_cross_kv=True), 1),
+            ("lv3_b1_w8_xkv_selfk",
+             DecodeEngine(
+                 tgt_w8f, tcfg.with_(self_kv_impl="kernel"), st,
+                 quantize_cross_kv=True,
+             ), 1),
+        ]
     else:
         raise SystemExit(f"unknown scenario {scenario!r}")
 

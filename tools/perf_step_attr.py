@@ -78,6 +78,12 @@ def main() -> None:
         "lv3_b8_w8": (cfg_lv3, True, False, False, 8),
         "lv3_b8_w8_xkv": (cfg_lv3, True, False, "einsum", 8),
         "lv3_b8_w8_xkv_kernel": (cfg_lv3, True, False, "kernel", 8),
+        # + the Pallas self-decode kernel (ops/self_decode.py): locates
+        # whether the ~3.3 ms/step of XLA self-KV handling actually
+        # disappears from the per-op lines.
+        "lv3_b8_w8_xkvk_selfk": (
+            cfg_lv3.with_(self_kv_impl="kernel"), True, False, "kernel", 8
+        ),
     }
     pick = sys.argv[1:] or ["lv3_w8_skv_xkv", "lv3_w8"]
     unknown = [n for n in pick if n not in variants]
