@@ -53,6 +53,14 @@ run xkv_sweep       5400 python tools/perf_xkv_kernel_sweep.py 8 1
 run xkv_paged       7200 python tools/perf_spec_ab.py xkv_paged
 # Do the two proven lv3 B=1 levers compose? (spec+w8 ± xkv einsum)
 run spec_xkv        5400 python tools/perf_spec_ab.py spec_xkv
+# The self-attention decode kernel (ops/self_decode.py): gate the Mosaic
+# lowering + the in-place aliasing contract, then A/B it on the best
+# batched stack and at B=1, and attribute the step.
+run self_gate       3600 python tools/verify_self_decode_tpu.py
+run self_kernel_ab  5400 python tools/perf_spec_ab.py self_kernel
+run self_attr       3600 python tools/perf_step_attr.py lv3_b8_w8_xkvk_selfk
+# Production-length stack A/B (mtp=448): skv and skv+xkv-kernel arms.
+run skv448          5400 python tools/perf_spec_ab.py batch_stack_skv448
 run soak            1800 python tools/soak_serving.py --minutes 3
 
 echo "All logs in $OUT/"
