@@ -50,14 +50,20 @@ def _self_decode_kernel(s_ref, q_ref, kn_ref, vn_ref, ck_ref, cv_ref,
     """One (stream, head-tile) cell.
 
     Blocks: q [hpc, 1, dh] bf16 (scales folded), kn/vn [1, hpc*dh] cache
-    dtype, ck/cv [Tmax, hpc*dh], o [hpc, 1, dh] f32, cko/cvo [1, hpc*dh]
-    (the in-place row write-back at sublane ``pos``).
+    dtype, ck/cv [Tmax, hpc*dh], o [hpc, 1, dh] f32, cko/cvo [8, hpc*dh]
+    (the in-place write-back: Mosaic requires 8-divisible-or-exact
+    sublane blocks, so the out block is the 8-row tile CONTAINING
+    ``pos`` — rows around it copy through unchanged from the aliased
+    input block, the row at ``pos`` is replaced by the new K/V row).
     """
+    from jax.experimental import pallas as pl
+
     pos = s_ref[1]
-    # The step's new K/V row lands in the cache via the out pipeline
-    # (out block index maps place this tile at sublane ``pos``).
-    cko_ref[...] = kn_ref[...]
-    cvo_ref[...] = vn_ref[...]
+    base = (pos // 8) * 8
+    r = pos - base  # row index within the out tile
+    rows = jax.lax.broadcasted_iota(jnp.int32, (8, kn_ref.shape[-1]), 0)
+    cko_ref[...] = jnp.where(rows == r, kn_ref[...], ck_ref[pl.ds(base, 8), :])
+    cvo_ref[...] = jnp.where(rows == r, vn_ref[...], cv_ref[pl.ds(base, 8), :])
 
     t = ck_ref.shape[0]
     idx = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
@@ -124,6 +130,11 @@ def self_attention_decode(
     dh = D // n_heads
     if dh % 2:
         raise ValueError(f"head_dim {dh} must be even")
+    if Tmax % 8:
+        raise ValueError(
+            f"cache length {Tmax} must be a multiple of 8 (the in-place "
+            f"write-back tile is 8 sublanes)"
+        )
     hpc = heads_per_cell
     if hpc == 0:
         # Auto: the smallest head tile whose lane width is a multiple of
@@ -176,12 +187,14 @@ def self_attention_decode(
             ],
             out_specs=[
                 pl.BlockSpec((None, hpc, 1, dh), lambda b, h, s: (b, h, 0, 0)),
-                # In-place row write-back: a [1, w] tile at sublane pos.
+                # In-place write-back: the 8-row tile containing pos
+                # (Mosaic sublane-divisibility; the kernel splices the
+                # new row into the tile it copies through).
                 pl.BlockSpec(
-                    (None, None, 1, w), lambda b, h, s: (s[0], b, s[1], h)
+                    (None, None, 8, w), lambda b, h, s: (s[0], b, s[1] // 8, h)
                 ),
                 pl.BlockSpec(
-                    (None, None, 1, w), lambda b, h, s: (s[0], b, s[1], h)
+                    (None, None, 8, w), lambda b, h, s: (s[0], b, s[1] // 8, h)
                 ),
             ],
         ),
