@@ -44,23 +44,14 @@ run spec_parity     3600 python tools/verify_spec_parity_tpu.py
 run encoder_attn    2400 python tools/verify_encoder_attn_tpu.py
 run encoder_q8      3600 python tools/verify_encoder_q8_tpu.py
 run spec_batch      5400 python tools/perf_spec_ab.py batch_stack
-# The XLA-level xkv impls (einsum/chunked/a8) are harvested — all lose
-# at lv3 B=8 (PERF.md "cross_kv_impl").  The standing question is the
-# purpose-built Pallas kernel (cross_kv_impl="kernel"): gate its Mosaic
-# lowering + token parity, then A/B it at lv3 B=8 / B=1 / distil stack.
+# Standing kernel gates (rerun each session: Mosaic lowering + parity).
 run xkv_kernel_gate 3600 python tools/verify_paged_cross_tpu.py
-run xkv_sweep       5400 python tools/perf_xkv_kernel_sweep.py 8 1
-run xkv_paged       7200 python tools/perf_spec_ab.py xkv_paged
-# Do the two proven lv3 B=1 levers compose? (spec+w8 ± xkv einsum)
-run spec_xkv        5400 python tools/perf_spec_ab.py spec_xkv
-# The self-attention decode kernel (ops/self_decode.py): gate the Mosaic
-# lowering + the in-place aliasing contract, then A/B it on the best
-# batched stack and at B=1, and attribute the step.
 run self_gate       3600 python tools/verify_self_decode_tpu.py
-run self_kernel_ab  5400 python tools/perf_spec_ab.py self_kernel
-run self_attr       3600 python tools/perf_step_attr.py lv3_b8_w8_xkvk_selfk
-# Production-length stack A/B (mtp=448): skv and skv+xkv-kernel arms.
-run skv448          5400 python tools/perf_spec_ab.py batch_stack_skv448
+# Harvested this round (PERF.md): xkv_sweep (hpc auto-tile wins),
+# xkv_paged (kernel −8.9% at lv3 B=8), spec_xkv (composes),
+# self_kernel_ab (LOSS: +6.4% B=8 / +12.5% B=1 — kept off),
+# skv448 (full production stack −10.9%).  Re-add an arm only when its
+# implementation changes.
 run soak            1800 python tools/soak_serving.py --minutes 3
 
 echo "All logs in $OUT/"
