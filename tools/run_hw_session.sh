@@ -40,6 +40,7 @@ run sample_kernel   2400 python tools/verify_sample_kernel_tpu.py
 run decoder_core    5400 python tools/perf_decoder_ab.py fused fused_w8 fused448 fused448_w8 lv3_448_w8 lv3_448_w8_skv lv3_448_w8_skv_xkv
 run step_attr       3600 python tools/perf_step_attr.py lv3_w8_skv_xkv lv3_w8
 run step_attr_b8    3600 python tools/perf_step_attr.py lv3_b8_w8 lv3_b8_w8_xkv lv3_b8_w8_xkv_kernel
+run self_sweep      3600 python tools/perf_self_kernel_sweep.py 8 1
 run spec_parity     3600 python tools/verify_spec_parity_tpu.py
 run encoder_attn    2400 python tools/verify_encoder_attn_tpu.py
 run encoder_q8      3600 python tools/verify_encoder_q8_tpu.py
