@@ -375,14 +375,17 @@ def main() -> None:
         del e_lv3, e_spec
 
         # Batched lv3 SERVING stack — the deep-decoder operating point:
-        # w8 decoder + jax_flash encoder + xkv via the Pallas kernel
-        # (cross_kv_impl="kernel" is the only int8 cross-K/V form that
-        # wins at lv3 B=8; PERF.md "cross_kv_impl").  Measured best:
-        # 982.0 ms device / 244 streams/chip (xkv_paged A/B, auto head tile).
+        # w8 decoder + jax_flash encoder + xkv AND self-attention via the
+        # Pallas decode kernels (the only int8 cross-K/V form that wins
+        # at lv3 B=8, and the full-head-tile self kernel that removes the
+        # XLA slice/update tax; PERF.md "cross_kv_impl" / "self_kv_impl").
+        # Measured best: 967.0 ms device / 248 streams/chip
+        # (perf_spec_ab self_kernel, full-tile auto).
         e_lv3s = DecodeEngine(
             jax.device_put(quantize_decoder(tgt), jax.devices()[0]),
             tcfg.with_(
-                encoder_attn_impl="jax_flash", cross_kv_impl="kernel"
+                encoder_attn_impl="jax_flash", cross_kv_impl="kernel",
+                self_kv_impl="kernel",
             ),
             st, quantize_cross_kv=True,
         )

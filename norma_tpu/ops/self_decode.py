@@ -137,17 +137,16 @@ def self_attention_decode(
         )
     hpc = heads_per_cell
     if hpc == 0:
-        # Auto: the smallest head tile whose lane width is a multiple of
-        # 128 (pairs, for whisper's dh=64 — the hardware sweep can
-        # revisit; the cross kernel's sweep favored ~10-head tiles at
-        # batch, but its cells stream 24x more bytes).  Small models
-        # whose whole D is under 128 take the full-width block instead
-        # (Mosaic's minor dim must be 128-divisible OR exact).
-        hpc = 2
-        while hpc < n_heads and (n_heads % hpc or (hpc * dh) % 128):
-            hpc += 1
-        if n_heads % hpc or (hpc * dh) % 128:
-            hpc = n_heads
+        # Auto: the FULL head tile (one grid cell per stream).  The
+        # hardware sweep (tools/perf_self_kernel_sweep.py, v5e) measured
+        # the small pair tile as the kernel's whole engine-level loss:
+        # lone-op 97.1 (hpc=2) -> 78.4 us/layer (hpc=20) at lv3 B=8, and
+        # in-context (tools/perf_spec_ab.py self_kernel) hpc=2 LOST
+        # +6.4% while hpc=20 WINS -1.5% (981.8 -> 967.0 ms) and is
+        # neutral at B=1 — bigger per-cell DMA blocks ([448, 1280]
+        # ~1.1 MB vs 114 KB) amortize the grid/pipeline overhead, the
+        # same tile-size lever as the cross kernel and flash encoder.
+        hpc = n_heads
     if n_heads % hpc or ((hpc * dh) % 128 and hpc != n_heads):
         raise ValueError(
             f"heads_per_cell {hpc} must divide n_heads {n_heads} and keep "

@@ -41,7 +41,7 @@ def _ref(q, kn, vn, ck, cv, li, pos, H):
 
 @pytest.mark.parametrize("pos", [0, 7, 31])
 def test_kernel_matches_xla_semantics(pos):
-    H = 4  # dh=64 -> auto hpc=2, lane width 128
+    H = 4  # dh=64 -> auto hpc=4 (full head tile), lane width 256
     ck, cv, q, kn, vn = _mk(0)
     li = jnp.int32(1)
     a, ck2, cv2 = self_attention_decode(

@@ -366,12 +366,34 @@ def main() -> None:
                  tgt_w8f, fcfg.with_(self_kv_impl="kernel"), st,
                  quantize_cross_kv=True,
              ), 8),
+            # Head-tile arms: the lone-op sweep (perf_self_kernel_sweep)
+            # measured hpc=2 (auto) at 97.1 us/layer vs hpc=20 at 78.4
+            # at lv3 B=8 — the same tile-size lever that flipped the
+            # cross kernel.  In-context decides.
+            ("lv3_b8_w8_flash_xkvk_selfk_hpc10",
+             DecodeEngine(
+                 tgt_w8f,
+                 fcfg.with_(self_kv_impl="kernel", self_kv_kernel_hpc=10),
+                 st, quantize_cross_kv=True,
+             ), 8),
+            ("lv3_b8_w8_flash_xkvk_selfk_hpc20",
+             DecodeEngine(
+                 tgt_w8f,
+                 fcfg.with_(self_kv_impl="kernel", self_kv_kernel_hpc=20),
+                 st, quantize_cross_kv=True,
+             ), 8),
             ("lv3_b1_w8_xkv",
              DecodeEngine(tgt_w8f, tcfg, st, quantize_cross_kv=True), 1),
             ("lv3_b1_w8_xkv_selfk",
              DecodeEngine(
                  tgt_w8f, tcfg.with_(self_kv_impl="kernel"), st,
                  quantize_cross_kv=True,
+             ), 1),
+            ("lv3_b1_w8_xkv_selfk_hpc20",
+             DecodeEngine(
+                 tgt_w8f,
+                 tcfg.with_(self_kv_impl="kernel", self_kv_kernel_hpc=20),
+                 st, quantize_cross_kv=True,
              ), 1),
         ]
     else:
