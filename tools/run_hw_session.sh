@@ -48,6 +48,8 @@ run spec_batch      5400 python tools/perf_spec_ab.py batch_stack
 # Standing kernel gates (rerun each session: Mosaic lowering + parity).
 run xkv_kernel_gate 3600 python tools/verify_paged_cross_tpu.py
 run self_gate       3600 python tools/verify_self_decode_tpu.py
+run fused_gate      3600 python tools/verify_fused_block_tpu.py
+run fused_ab        5400 python tools/perf_spec_ab.py fused_block
 # Harvested this round (PERF.md): xkv_sweep (hpc auto-tile wins),
 # xkv_paged (kernel −8.9% at lv3 B=8), spec_xkv (composes),
 # self_kernel_ab (LOSS: +6.4% B=8 / +12.5% B=1 — kept off),
