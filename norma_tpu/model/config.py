@@ -171,6 +171,12 @@ class WhisperConfig:
     #              "kernel"; requires the fused-QKV param form
     #              (load.fuse_qkv — both Definitions fuse at load) and
     #              bf16 caches; falls back to the XLA path otherwise.
+    #              MEASURED LOSS (v5e, 2026-08-20): +276% lv3 B=8 /
+    #              +608% B=1 device window — the in-kernel weight
+    #              stream serializes what XLA pipelines across the
+    #              layer scan.  Kept as a recorded negative result
+    #              (PERF.md "self_kv_impl=fused"); do not enable in
+    #              serving configs.
     self_kv_impl: str = "xla"
     # Head-tile size for self_kv_impl="kernel" (even, divides
     # decoder_attention_heads; the cache block's lane width is

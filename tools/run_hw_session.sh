@@ -49,12 +49,13 @@ run spec_batch      5400 python tools/perf_spec_ab.py batch_stack
 run xkv_kernel_gate 3600 python tools/verify_paged_cross_tpu.py
 run self_gate       3600 python tools/verify_self_decode_tpu.py
 run fused_gate      3600 python tools/verify_fused_block_tpu.py
-run fused_ab        5400 python tools/perf_spec_ab.py fused_block
 # Harvested this round (PERF.md): xkv_sweep (hpc auto-tile wins),
 # xkv_paged (kernel −8.9% at lv3 B=8), spec_xkv (composes),
-# self_kernel_ab (LOSS: +6.4% B=8 / +12.5% B=1 — kept off),
-# skv448 (full production stack −10.9%).  Re-add an arm only when its
-# implementation changes.
+# self_kernel_ab (full-tile WIN, −1.5% B=8 — new auto),
+# skv448 (full production stack −10.9%), fused_block (decisive LOSS,
+# +276%/+608%/+868% — retired; gate above stays for the stacked-param
+# index-map lowering).  Re-add an arm only when its implementation
+# changes.
 run soak            1800 python tools/soak_serving.py --minutes 3
 
 echo "All logs in $OUT/"
