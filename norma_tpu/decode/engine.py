@@ -91,9 +91,50 @@ class DecodeEngine:
         # process (TPU backend initialized, then a CPU-mesh program traced,
         # as the multi-chip dryrun does) the global default would enable
         # the TPU-only Pallas sampler in a CPU lowering.
-        from ..utils import params_platform
+        from ..utils import params_device_count, params_platform
 
         self._platform = params_platform(params)
+        # Kernel×mesh guard: every Pallas impl (fused sampler, flash
+        # encoder, cross/self decode kernels, w8a8_pallas encoder dots)
+        # is hardware-validated on ONE device only; under a >1-device
+        # mesh GSPMD would have to partition the Pallas call, a trace
+        # path nothing tests.  An engine whose params span a mesh
+        # therefore falls back to the XLA twins of each impl (identical
+        # semantics, the exact-math tier) with a logged warning, rather
+        # than letting a serving config silently enter untested lowering.
+        self._n_param_devices = params_device_count(params)
+        if self._n_param_devices > 1:
+            overrides = {}
+            if cfg.flash_attention or cfg.encoder_attn_impl in (
+                "flash",
+                "jax_flash",
+            ):
+                overrides["flash_attention"] = False
+                overrides["encoder_attn_impl"] = "auto"
+            if cfg.cross_kv_impl == "kernel":
+                overrides["cross_kv_impl"] = "einsum"
+            if cfg.self_kv_impl in ("kernel", "fused"):
+                overrides["self_kv_impl"] = "xla"
+            if cfg.encoder_q8_mode == "w8a8_pallas":
+                overrides["encoder_q8_mode"] = "w8a8"
+            if overrides:
+                logger.warning(
+                    "params span %d devices: Pallas kernel impls are "
+                    "single-device only; falling back to XLA twins %s "
+                    "(see docs/serving.md)",
+                    self._n_param_devices,
+                    sorted(overrides),
+                )
+                cfg = cfg.with_(**overrides)
+            if fused_sampler and self._platform == "tpu":
+                logger.warning(
+                    "params span %d devices: disabling the fused Pallas "
+                    "sampler (single-device only); using the XLA "
+                    "sampling pipeline",
+                    self._n_param_devices,
+                )
+            fused_sampler = False
+            self.cfg = cfg
         # Fused Pallas grammar+sampling step on TPU (ops/sample_step.py);
         # pass False to force the pure-XLA pipeline on any backend.  A
         # constructor argument (not a mutable attribute) because the value

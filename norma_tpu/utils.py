@@ -39,6 +39,27 @@ def params_platform(params) -> str:
     return jax.default_backend()
 
 
+def params_device_count(params) -> int:
+    """Number of distinct devices the params span (1 for unsharded).
+
+    Used by the kernel×mesh guard (``DecodeEngine.__init__``): the Pallas
+    kernel impls are validated single-device only, so an engine whose
+    params are laid out over a >1-device ``jax.sharding.Mesh`` must fall
+    back to the XLA twins rather than trace a Pallas call under GSPMD
+    partitioning.
+    """
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(params):
+        devices = getattr(leaf, "devices", None)
+        if callable(devices):
+            try:
+                return len(devices())
+            except Exception:
+                continue
+    return 1
+
+
 def inclusive_segments(
     seq: Sequence[T], pred: Callable[[T], bool]
 ) -> Iterator[Sequence[T]]:

@@ -92,3 +92,54 @@ def test_sharded_detect_matches(setup):
     )
     out = eng.detect_language(shard_batch(feats_np, mesh))
     np.testing.assert_allclose(ref, out, atol=1e-5)
+
+
+def test_mesh_guard_falls_back_to_xla_twins(setup, caplog):
+    """Kernel impls configured + mesh-sharded params => XLA twins.
+
+    The Pallas impls are validated single-device only; an engine whose
+    params span a mesh must fall back (engine.py kernel×mesh guard)
+    with a warning, and still decode identically to the unsharded
+    exact-math engine.
+    """
+    import logging
+
+    cfg, params = setup
+    kcfg = cfg.with_(
+        encoder_attn_impl="jax_flash",
+        cross_kv_impl="kernel",
+        self_kv_impl="kernel",
+        encoder_q8_mode="w8a8_pallas",
+    )
+    feats_np = random_feats(cfg, B=2, T=16, seed=13)
+
+    ref = DecodeEngine(params, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS)
+    r = ref.run_loop(ref.prefill(jnp.asarray(feats_np), TEST_LANG_IDS[0]), 0.0, 0)
+
+    mesh = make_mesh(dp=2, tp=2)
+    with caplog.at_level(logging.WARNING, logger="norma_tpu.decode.engine"):
+        eng = DecodeEngine(
+            shard_params(params, mesh),
+            kcfg,
+            TEST_ST,
+            language_token_ids=TEST_LANG_IDS,
+        )
+    assert eng.cfg.encoder_attn_impl == "auto"
+    assert eng.cfg.cross_kv_impl == "einsum"
+    assert eng.cfg.self_kv_impl == "xla"
+    assert eng.cfg.encoder_q8_mode == "w8a8"
+    assert eng.fused_sampler is False
+    assert any("falling back to XLA twins" in m for m in caplog.messages)
+
+    o = eng.run_loop(eng.prefill(shard_batch(feats_np, mesh), TEST_LANG_IDS[0]), 0.0, 0)
+    for a, b in zip(r, o):
+        assert a.tokens == b.tokens
+
+
+def test_single_device_engine_keeps_kernel_config(setup):
+    """The guard must NOT touch a single-device engine's config."""
+    cfg, params = setup
+    kcfg = cfg.with_(cross_kv_impl="kernel", self_kv_impl="kernel")
+    eng = DecodeEngine(params, kcfg, TEST_ST, language_token_ids=TEST_LANG_IDS)
+    assert eng.cfg.cross_kv_impl == "kernel"
+    assert eng.cfg.self_kv_impl == "kernel"
