@@ -687,14 +687,47 @@ class DecodeEngine:
         logprob gate (model.rs:90-93).  info carries ``langs`` (resolved
         language token per stream) and ``lang_probs`` when detection ran.
         """
+        return self.transcribe_window_fetch(
+            self.transcribe_window_async(audio, langs, seed, n_active)
+        )
+
+    # The plain ladder is ONE device program with no host round-trips in
+    # the middle, so its dispatch and fetch split cleanly — the batching
+    # scheduler overlaps round N's fetch with round N+1's device compute
+    # (runtime/batching.py round pipelining).  SpeculativeEngine's window
+    # has a host gate between the speculative arm and the fallback
+    # dispatch, so it opts out (supports_async_window = False there).
+    supports_async_window = True
+
+    def transcribe_window_async(
+        self,
+        audio: jax.Array,
+        langs,
+        seed: int,
+        n_active: Optional[int] = None,
+    ):
+        """Dispatch the fused window program WITHOUT blocking on results.
+
+        JAX async dispatch queues the program on the device and returns
+        immediately; pass the returned handle to
+        :meth:`transcribe_window_fetch` to block on the device->host copy
+        and unpack.  Multiple dispatched windows may be in flight at once
+        (they execute in dispatch order).
+        """
         langs_arr, detect, active = self._window_inputs(audio, langs, n_active)
         fn = self._ladder_detect if detect else self._ladder
-        packed = np.asarray(  # ONE device->host fetch for the whole window
-            fn(
-                self.params, audio, jnp.asarray(langs_arr), jnp.uint32(seed),
-                jnp.asarray(active),
-            )
+        dev = fn(
+            self.params, audio, jnp.asarray(langs_arr), jnp.uint32(seed),
+            jnp.asarray(active),
         )
+        return dev, active, detect
+
+    def transcribe_window_fetch(
+        self, pending
+    ) -> Tuple[List[Optional[DecodingResult]], dict]:
+        """Block on a :meth:`transcribe_window_async` handle and unpack."""
+        dev, active, detect = pending
+        packed = np.asarray(dev)  # ONE device->host fetch for the window
         return self._unpack_ladder(packed, active, detect)
 
     def _unpack_ladder(

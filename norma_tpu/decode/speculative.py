@@ -86,6 +86,12 @@ class SpeculativeEngine(DecodeEngine):
     _K_DOWN = 0.35
     _K_EMA = 0.5
 
+    # The speculative window has a HOST gate between the speculative arm
+    # and its fallback dispatch, so it cannot split into the plain
+    # engine's async dispatch/fetch pair; the batching scheduler runs
+    # speculative rounds synchronously (no round pipelining).
+    supports_async_window = False
+
     def __init__(
         self,
         params,

@@ -63,7 +63,7 @@ def test_fatal_decode_error_tears_down(model, monkeypatch):
 
     bt = BatchedTranscriber(model, max_streams=2)
     monkeypatch.setattr(
-        bt, "_decode_round",
+        bt, "_dispatch_round",
         lambda ready: (_ for _ in ()).throw(RuntimeError("device lost")),
     )
     h = bt.blocking_start(Settings(source=_source(1, seconds=0.6)))
@@ -191,8 +191,11 @@ def test_admission_bounded_by_one_round(model):
     gate_on = threading.Event()
     gate_on.set()
     rounds = []
-    orig_round = bt._decode_round
-    orig_window = engine.transcribe_window
+    orig_round = bt._dispatch_round
+    # Gate the DISPATCH (the round-pipelined scheduler never calls the
+    # synchronous transcribe_window): a blocked dispatch emulates a long
+    # in-flight round.
+    orig_window = engine.transcribe_window_async
 
     def gated_window(audio, langs, seed, n_active=None):
         if gate_on.is_set():
@@ -203,8 +206,8 @@ def test_admission_bounded_by_one_round(model):
         rounds.append(sorted(s.sid for s in ready))
         return orig_round(ready)
 
-    engine.transcribe_window = gated_window
-    bt._decode_round = spy_round
+    engine.transcribe_window_async = gated_window
+    bt._dispatch_round = spy_round
     try:
         # Stream A: enough audio for several windows => several rounds.
         ha = bt.blocking_start(
@@ -306,13 +309,13 @@ def test_round_cap_rotates_and_completes(model):
     starves and every stream still completes."""
     bt = BatchedTranscriber(model, max_streams=4, max_round_streams=2)
     rounds = []
-    orig = bt._decode_round
+    orig = bt._dispatch_round
 
     def spy(ready):
         rounds.append(sorted(s.sid for s in ready))
         return orig(ready)
 
-    bt._decode_round = spy
+    bt._dispatch_round = spy
     handles = [
         bt.blocking_start(Settings(source=_source(i, seconds=1.4,
                                                   freq=220.0 + 60 * i)))
@@ -432,3 +435,67 @@ def test_close_start_race_does_not_leak_scheduler():
         t.join(timeout=10)
         assert not t.is_alive()
         assert not bt._thread.is_alive(), "scheduler thread leaked"
+
+
+def test_latency_metrics_populated(model):
+    """metrics() exposes admission->first-partial and ready->applied
+    percentiles once streams have emitted (VERDICT r3: measure the
+    multi-stream admission/emission latency distribution)."""
+    bt = BatchedTranscriber(model, max_streams=4)
+    handles = [
+        bt.blocking_start(Settings(source=_source(i, seconds=1.0)))
+        for i in range(2)
+    ]
+    time.sleep(0.4)
+    for h in handles:
+        h.stop()
+    for h in handles:
+        "".join(list(h.receiver))
+    m = bt.metrics()
+    bt.close()
+
+    lat = m["latency"]
+    ra = lat["ready_to_applied"]
+    assert ra is not None and ra["n"] >= 2
+    assert 0.0 <= ra["p50_ms"] <= ra["p99_ms"] <= ra["max_ms"]
+    af = lat["admit_to_first_partial"]
+    # Text emission depends on the toy model emitting: the fixture's
+    # confident params always emit, so the series must be populated.
+    assert af is not None and af["n"] >= 1
+    assert af["p50_ms"] > 0
+
+
+def test_pipelined_rounds_are_disjoint(model):
+    """Round pipelining must never put a stream in two in-flight rounds:
+    consecutive dispatches drawn from _ready() exclude in-flight sids."""
+    bt = BatchedTranscriber(model, max_streams=4)
+    assert bt.pipeline_rounds  # plain engine supports the async split
+    dispatched = []
+    orig = bt._dispatch_round
+
+    def spy(ready):
+        # Every stream handed to dispatch must not already be in flight.
+        assert all(not s.in_flight for s in ready)
+        dispatched.append([s.sid for s in ready])
+        return orig(ready)
+
+    bt._dispatch_round = spy
+    handles = [
+        bt.blocking_start(Settings(source=_source(i, seconds=1.6)))
+        for i in range(3)
+    ]
+    import threading
+
+    threads = [
+        threading.Thread(target=lambda h=h: list(h.receiver), daemon=True)
+        for h in handles
+    ]
+    for t in threads:
+        t.start()
+    time.sleep(0.5)
+    for h in handles:
+        h.stop()
+    for t in threads:
+        t.join(timeout=120)
+    bt.close()
+    assert dispatched, "no rounds dispatched"

@@ -17,6 +17,7 @@ Self-test on CPU (tiny):  python tools/soak_serving.py --cpu --minutes 0.2
 """
 
 import argparse
+import json
 import os
 import sys
 import threading
@@ -221,6 +222,15 @@ def main() -> None:
             f"RSS grew {grew:.0f} MB (> {args.rss_budget_mb:.0f} budget) — "
             "possible leak across stream churn"
         )
+    # Latency distribution under churn (VERDICT r3: the admission/emission
+    # latency was benched single-stream only).  ready_to_applied is the
+    # scheduler queueing + round latency; admit_to_first_partial spans
+    # capture + first window fill + first round.
+    lat = m["latency"]
+    print(f"# latency: {json.dumps(lat)}", flush=True)
+    assert lat["ready_to_applied"] and lat["ready_to_applied"]["n"] > 0, (
+        "soak ran decode rounds but recorded no ready->applied latency"
+    )
     print("SOAK PASS")
 
 
