@@ -113,7 +113,7 @@ class DecodeEngine:
                 overrides["encoder_attn_impl"] = "auto"
             if cfg.cross_kv_impl == "kernel":
                 overrides["cross_kv_impl"] = "einsum"
-            if cfg.self_kv_impl in ("kernel", "fused"):
+            if cfg.self_kv_impl == "kernel":
                 overrides["self_kv_impl"] = "xla"
             if cfg.encoder_q8_mode == "w8a8_pallas":
                 overrides["encoder_q8_mode"] = "w8a8"

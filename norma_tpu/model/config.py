@@ -161,22 +161,10 @@ class WhisperConfig:
     #              f32-accum numerics (the cross-decode kernel's tier).
     #              bf16 caches only (quantize_self_kv falls back to
     #              "xla"); non-TPU backends fall back to "xla".
-    #   "fused"  — the whole self-attention BLOCK (attn LayerNorm, fused
-    #              QKV GEMV, attention incl. the in-place cache row
-    #              write, out projection, residual add) as ONE Pallas
-    #              launch per layer (ops/fused_self_block.py), reading
-    #              the stacked weight arrays directly — amortizes the
-    #              per-op dispatch floor the attribution blames across
-    #              the block's whole byte stream.  Same numeric tier as
-    #              "kernel"; requires the fused-QKV param form
-    #              (load.fuse_qkv — both Definitions fuse at load) and
-    #              bf16 caches; falls back to the XLA path otherwise.
-    #              MEASURED LOSS (v5e, 2026-08-20): +276% lv3 B=8 /
-    #              +608% B=1 device window — the in-kernel weight
-    #              stream serializes what XLA pipelines across the
-    #              layer scan.  Kept as a recorded negative result
-    #              (PERF.md "self_kv_impl=fused"); do not enable in
-    #              serving configs.
+    # (A third whole-block "fused" form existed in r3 and was REMOVED in
+    # r4 after a decisive device A/B loss — +276% lv3 B=8 / +608% B=1:
+    # the in-kernel weight stream serialized what XLA pipelines across
+    # the layer scan.  PERF.md "self_kv_impl=fused" keeps the record.)
     self_kv_impl: str = "xla"
     # Head-tile size for self_kv_impl="kernel" (even, divides
     # decoder_attention_heads; the cache block's lane width is

@@ -885,10 +885,7 @@ def _decoder_incremental_layer(
 
 
 def _decoder_layer_cross_mlp(lp, x, lxk, lxv, cross_attn):
-    """The cross-attention + MLP tail of one decoder layer — shared by
-    :func:`_decoder_incremental_layer` and the fused-self-block path
-    (``self_kv_impl="fused"``, where the LN/QKV/attention/out-proj head
-    runs as one Pallas launch) so the two cannot silently diverge."""
+    """The cross-attention + MLP tail of one decoder layer."""
     h = layer_norm(x, lp["xattn_ln_g"], lp["xattn_ln_b"])
     xq = ldense(lp, "xq_w", h, lp["xq_b"])
     x = x + ldense(lp, "xo_w", cross_attn(xq, lxk, lxv), lp["xo_b"])
@@ -981,12 +978,6 @@ def decoder_step(
         and (jax.default_backend() == "tpu" or _interp_escape)
         and not isinstance(cache_k, dict)  # bf16 caches only
     )
-    use_fused_block = (
-        cfg.self_kv_impl == "fused"
-        and (jax.default_backend() == "tpu" or _interp_escape)
-        and not isinstance(cache_k, dict)  # bf16 caches only
-        and ("qkv_w" in dec["layers"] or "qkv_w_q" in dec["layers"])
-    )
 
     def self_attn(q, k, v, cstate):
         ck_all, cv_all, li = cstate
@@ -1016,71 +1007,23 @@ def decoder_step(
             return attention(xq, lxk, lxv, n_heads)
         return attention_grouped(xq, lxk, lxv, n_heads, n_rungs)
 
-    if use_fused_block:
-        # self_kv_impl="fused": the whole LN/QKV/attention/out-proj head
-        # of each layer runs as ONE Pallas launch reading the STACKED
-        # weight arrays directly (ops/fused_self_block.py); the scan xs
-        # carry only the cross/MLP params.  The caches still ride the
-        # carry and are written in place by the kernel's aliased row.
-        from ..ops.fused_self_block import fused_self_attention_block
-
-        layers = dec["layers"]
-        quant = "qkv_w_q" in layers
-        consumed = ("attn_ln_g", "attn_ln_b", "qkv_b", "o_b") + (
-            ("qkv_w_q", "qkv_w_s", "o_w_q", "o_w_s")
-            if quant
-            else ("qkv_w", "o_w")
+    def body(carry, layer_in):
+        x, ck_all, cv_all = carry
+        lp, li, lxk, lxv = layer_in
+        x, (ck_all, cv_all, _) = _decoder_incremental_layer(
+            lp, x, (ck_all, cv_all, li), lxk, lxv, self_attn, cross_attn
         )
-        rest = {k: v for k, v in layers.items() if k not in consumed}
-        wkw = dict(
-            ln_g=layers["attn_ln_g"], ln_b=layers["attn_ln_b"],
-            qkv_b=layers["qkv_b"], o_b=layers["o_b"],
-        )
-        if quant:
-            wkw.update(
-                qkv_w_q=layers["qkv_w_q"], qkv_w_s=layers["qkv_w_s"],
-                o_w_q=layers["o_w_q"], o_w_s=layers["o_w_s"],
-            )
-        else:
-            wkw.update(qkv_w=layers["qkv_w"], o_w=layers["o_w"])
+        return (x, ck_all, cv_all), None
 
-        def body_fused(carry, layer_in):
-            x, ck_all, cv_all = carry
-            lp, li, lxk, lxv = layer_in
-            x, ck_all, cv_all = fused_self_attention_block(
-                x, ck_all, cv_all, li, pos, n_heads,
-                eps=LN_EPS,
-                interpret=jax.default_backend() != "tpu",
-                **wkw,
-            )
-            x = _decoder_layer_cross_mlp(lp, x, lxk, lxv, cross_attn)
-            return (x, ck_all, cv_all), None
-
-        (x, new_k, new_v), _ = jax.lax.scan(
-            body_fused,
-            (x, cache_k, cache_v),
-            (rest, jnp.arange(cfg.decoder_layers), xk, xv),
-            unroll=cfg.decoder_scan_unroll or _unroll_gate(cfg, tok.shape[0]),
-        )
-    else:
-
-        def body(carry, layer_in):
-            x, ck_all, cv_all = carry
-            lp, li, lxk, lxv = layer_in
-            x, (ck_all, cv_all, _) = _decoder_incremental_layer(
-                lp, x, (ck_all, cv_all, li), lxk, lxv, self_attn, cross_attn
-            )
-            return (x, ck_all, cv_all), None
-
-        (x, new_k, new_v), _ = jax.lax.scan(
-            body,
-            (x, cache_k, cache_v),
-            (dec["layers"], jnp.arange(cfg.decoder_layers), xk, xv),
-            # decoder_scan_unroll overrides the gate HERE only (the token
-            # loop it was built to measure); decoder_chunk keeps its B*C
-            # VMEM-calibrated gate.  Measured at lv3: 4/8 REGRESS (PERF.md).
-            unroll=cfg.decoder_scan_unroll or _unroll_gate(cfg, tok.shape[0]),
-        )
+    (x, new_k, new_v), _ = jax.lax.scan(
+        body,
+        (x, cache_k, cache_v),
+        (dec["layers"], jnp.arange(cfg.decoder_layers), xk, xv),
+        # decoder_scan_unroll overrides the gate HERE only (the token
+        # loop it was built to measure); decoder_chunk keeps its B*C
+        # VMEM-calibrated gate.  Measured at lv3: 4/8 REGRESS (PERF.md).
+        unroll=cfg.decoder_scan_unroll or _unroll_gate(cfg, tok.shape[0]),
+    )
 
     x = layer_norm(x, dec["ln_g"], dec["ln_b"])
     logits = logits_head(dec, x[:, 0, :])

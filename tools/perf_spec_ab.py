@@ -396,45 +396,10 @@ def main() -> None:
                  st, quantize_cross_kv=True,
              ), 1),
         ]
-    elif scenario == "fused_block":
-        # The fused self-attention BLOCK kernel (ops/fused_self_block.py):
-        # LN + QKV GEMV + attention + out-proj in ONE launch per layer,
-        # weights read straight from the stacked params — built to
-        # amortize the per-op dispatch floor the step attribution blames
-        # (self path lone-op 78.4 vs 22.4 us/layer read roofline at lv3
-        # B=8 even with the attention-only kernel).  A/B against the
-        # best measured stacks: B=8 serving (w8+flash+xkvk+selfk, 967 ms
-        # control) and B=1 (w8+xkv einsum, 432.7 ms control), plus the
-        # bf16 exactness-default B=1 stack (the fused form streams bf16
-        # weights in-kernel — no int8 convert redundancy).
-        fcfg = tcfg.with_(
-            encoder_attn_impl="jax_flash", cross_kv_impl="kernel"
-        )
-        tgt_w8f = jax.device_put(quantize_decoder(tgt), dev)
-        tgt_bf = jax.device_put(tgt, dev)
-        runs = [
-            ("lv3_b8_w8_flash_xkvk_selfk",
-             DecodeEngine(
-                 tgt_w8f, fcfg.with_(self_kv_impl="kernel"), st,
-                 quantize_cross_kv=True,
-             ), 8),
-            ("lv3_b8_w8_flash_xkvk_fused",
-             DecodeEngine(
-                 tgt_w8f, fcfg.with_(self_kv_impl="fused"), st,
-                 quantize_cross_kv=True,
-             ), 8),
-            ("lv3_b1_w8_xkv",
-             DecodeEngine(tgt_w8f, tcfg, st, quantize_cross_kv=True), 1),
-            ("lv3_b1_w8_xkv_fused",
-             DecodeEngine(
-                 tgt_w8f, tcfg.with_(self_kv_impl="fused"), st,
-                 quantize_cross_kv=True,
-             ), 1),
-            ("lv3_b1_bf16",
-             DecodeEngine(tgt_bf, tcfg, st), 1),
-            ("lv3_b1_bf16_fused",
-             DecodeEngine(tgt_bf, tcfg.with_(self_kv_impl="fused"), st), 1),
-        ]
+    # (A "fused_block" scenario A/B'd the whole-block self-attention
+    # kernel in r3: decisive loss — +276% B=8 / +608% B=1 — and the
+    # kernel was removed in r4.  PERF.md "self_kv_impl=fused" keeps the
+    # measured table.)
     else:
         raise SystemExit(f"unknown scenario {scenario!r}")
 

@@ -35,27 +35,30 @@ run() {
 
 # Generous timeouts: cold-cache compiles through the tunnel are slow and
 # killing a step mid-compile wastes the whole wait.
-run bench           7200 python bench.py
-run sample_kernel   2400 python tools/verify_sample_kernel_tpu.py
-run decoder_core    5400 python tools/perf_decoder_ab.py fused fused_w8 fused448 fused448_w8 lv3_448_w8 lv3_448_w8_skv lv3_448_w8_skv_xkv
-run step_attr       3600 python tools/perf_step_attr.py lv3_w8_skv_xkv lv3_w8
+# 1. The SCORED core first (r3 lesson: the driver artifact is the round's
+#    deliverable — land it before exploring).  bench.py is now budgeted
+#    (NORMA_BENCH_BUDGET_S, default 900 s) and emits partial JSON on
+#    timeout, so this step cannot eat the session.
+run bench           1800 python bench.py
+# 2. This round's open A/B (VERDICT r4 #8): int8 self-KV as a
+#    default-candidate at lv3 B=8 on the serving stack.
+run spec_batch      5400 python tools/perf_spec_ab.py batch_stack
 run step_attr_b8    3600 python tools/perf_step_attr.py lv3_b8_w8 lv3_b8_w8_xkv lv3_b8_w8_xkv_kernel
-run self_sweep      3600 python tools/perf_self_kernel_sweep.py 8 1
+# 3. Exploratory arms the scored bench no longer carries.
+run full_sweep      5400 python tools/perf_full_sweep.py
+# 4. Standing kernel gates (rerun each session: Mosaic lowering + parity).
+run sample_kernel   2400 python tools/verify_sample_kernel_tpu.py
+run xkv_kernel_gate 3600 python tools/verify_paged_cross_tpu.py
+run self_gate       3600 python tools/verify_self_decode_tpu.py
 run spec_parity     3600 python tools/verify_spec_parity_tpu.py
 run encoder_attn    2400 python tools/verify_encoder_attn_tpu.py
 run encoder_q8      3600 python tools/verify_encoder_q8_tpu.py
-run spec_batch      5400 python tools/perf_spec_ab.py batch_stack
-# Standing kernel gates (rerun each session: Mosaic lowering + parity).
-run xkv_kernel_gate 3600 python tools/verify_paged_cross_tpu.py
-run self_gate       3600 python tools/verify_self_decode_tpu.py
-run fused_gate      3600 python tools/verify_fused_block_tpu.py
-# Harvested this round (PERF.md): xkv_sweep (hpc auto-tile wins),
-# xkv_paged (kernel −8.9% at lv3 B=8), spec_xkv (composes),
-# self_kernel_ab (full-tile WIN, −1.5% B=8 — new auto),
-# skv448 (full production stack −10.9%), fused_block (decisive LOSS,
-# +276%/+608%/+868% — retired; gate above stays for the stacked-param
-# index-map lowering).  Re-add an arm only when its implementation
-# changes.
+# Harvested in r3 (PERF.md): xkv_sweep (hpc auto-tile wins), xkv_paged
+# (kernel −8.9% at lv3 B=8), spec_xkv (composes), self_kernel_ab
+# (full-tile WIN, −1.5% B=8 — new auto), skv448 (full production stack
+# −10.9%), fused_block (decisive LOSS — kernel REMOVED in r4, PERF.md
+# keeps the record).  Re-add an arm only when its implementation changes.
+# 5. Endurance + latency distribution under churn (prints percentiles).
 run soak            1800 python tools/soak_serving.py --minutes 3
 
 echo "All logs in $OUT/"
