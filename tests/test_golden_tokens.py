@@ -45,7 +45,12 @@ class IdsTokenizer:
         return None
 
 
-def build_engine(eot_like: int = 0, eot_scale: float = 0.0):
+def build_engine(
+    eot_like: int = 0,
+    eot_scale: float = 0.0,
+    task: int = TASK,
+    language_token_ids=None,
+):
     import jax.numpy as jnp
 
     from norma_tpu.decode.engine import DecodeEngine
@@ -76,10 +81,12 @@ def build_engine(eot_like: int = 0, eot_scale: float = 0.0):
         params = dict(params)
         params["decoder"] = d
     st = SpecialTokens(
-        sot=SOT, eot=EOT, task=TASK, no_speech=NO_SPEECH,
+        sot=SOT, eot=EOT, task=task, no_speech=NO_SPEECH,
         no_timestamps=NO_TS, zero_sec=ZERO_SEC, one_sec=ONE_SEC,
     )
-    return DecodeEngine(params, cfg, st)
+    return DecodeEngine(
+        params, cfg, st, language_token_ids=language_token_ids
+    )
 
 
 def make_audio(kind: str, seconds: float, seed: int = 0) -> np.ndarray:
@@ -113,12 +120,13 @@ def window_tokens(engine, audio: np.ndarray):
     return dr.tokens, dr.avg_logprob
 
 
-def longform_transcript(engine):
+def longform_transcript(engine, timestamps=False):
     """15s mixed stream fed in 4 chunks; returns per-call emitted text."""
     from norma_tpu.decode.longform import LanguageState, LongFormDecoder
 
     lf = LongFormDecoder(
-        engine, IdsTokenizer(), LanguageState(const=LANG_EN), seed=0
+        engine, IdsTokenizer(), LanguageState(const=LANG_EN), seed=0,
+        timestamps=timestamps,
     )
     audio = make_audio("mix", 15.0, seed=3)
     chunks = np.array_split(audio, 4)
@@ -134,6 +142,29 @@ def longform_transcript(engine):
 EOT_LIKE, EOT_SCALE = 5221, 1.2
 
 
+# Translate task token in the V1 multilingual layout (transcribe=50359).
+TRANSLATE = 50358
+# Three V1 language tokens in enum order (en, zh, de positions are
+# irrelevant to the pin — what matters is a fixed id set + ordering).
+DETECT_LANGS = (LANG_EN, LANG_EN + 1, LANG_EN + 2)
+
+
+def detect_window(engine, audio: np.ndarray):
+    """Fused-window transcription with in-graph language detection."""
+    import jax.numpy as jnp
+
+    from norma_tpu.frontend.mel import prepare_audio
+
+    wj = jnp.asarray(prepare_audio(audio, n_frames=N_FRAMES))[None]
+    drs, info = engine.transcribe_window(wj, [-1], seed=0)
+    dr = drs[0]
+    return {
+        "lang": int(info["langs"][0]),
+        "lang_probs": [round(float(p), 4) for p in info["lang_probs"][0]],
+        "tokens": [] if dr is None else dr.tokens,
+    }
+
+
 def compute_golden():
     engine = build_engine()
     windows = {}
@@ -146,10 +177,27 @@ def compute_golden():
     windows["tone_natural_eot"] = {
         "tokens": toks, "avg_logprob": round(alp, 4)
     }
+    # Translate task (reference: Task::Translate selects <|translate|>,
+    # multilingual.rs:239-242): a different prefix token -> different
+    # decode.  Pins that the task token rides the prefix end to end.
+    e_tr = build_engine(task=TRANSLATE)
+    toks, alp = window_tokens(e_tr, make_audio("mix", 6.0, seed=1))
+    windows["mix_translate"] = {"tokens": toks, "avg_logprob": round(alp, 4)}
+    # In-graph language detection (reference: detect_language,
+    # model.rs:194-210): pins the detection probe's probs, the resolved
+    # language and the tokens decoded under it.
+    e_det = build_engine(language_token_ids=list(DETECT_LANGS))
     return {
         "config": "v1-layout d64 L2 seed0 f32",
         "windows": windows,
+        "detect": detect_window(e_det, make_audio("mix", 6.0, seed=2)),
         "longform_emissions": longform_transcript(engine),
+        # timestamps=True wraps each drained segment in [start, end)
+        # second annotations derived from the timestamp tokens
+        # (reference drain rule: 320 samples/tick, model.rs:125-127).
+        "longform_emissions_ts": longform_transcript(
+            build_engine(), timestamps=True
+        ),
     }
 
 
@@ -164,6 +212,8 @@ def test_window_tokens_match_golden(golden):
     e2 = build_engine(eot_like=EOT_LIKE, eot_scale=EOT_SCALE)
     finite_pins = 0
     for kind, want in golden["windows"].items():
+        if kind == "mix_translate":
+            continue  # pinned by test_translate_window_matches_golden
         e = e2 if kind == "tone_natural_eot" else engine
         toks, alp = window_tokens(e, make_audio("tone" if "tone" in kind else kind, 6.0, seed=1))
         assert toks == want["tokens"], f"{kind}: token drift"
@@ -187,6 +237,41 @@ def test_window_tokens_match_golden(golden):
 def test_longform_emissions_match_golden(golden):
     engine = build_engine()
     assert longform_transcript(engine) == golden["longform_emissions"]
+
+
+def test_longform_timestamped_emissions_match_golden(golden):
+    engine = build_engine()
+    assert (
+        longform_transcript(engine, timestamps=True)
+        == golden["longform_emissions_ts"]
+    )
+
+
+def test_translate_window_matches_golden(golden):
+    want = golden["windows"]["mix_translate"]
+    toks, alp = window_tokens(
+        build_engine(task=TRANSLATE), make_audio("mix", 6.0, seed=1)
+    )
+    assert toks == want["tokens"], "translate-task token drift"
+    import math
+
+    if math.isnan(want["avg_logprob"]):
+        assert math.isnan(alp)
+    else:
+        assert abs(alp - want["avg_logprob"]) < 5e-3
+
+
+def test_detection_window_matches_golden(golden):
+    want = golden["detect"]
+    got = detect_window(
+        build_engine(language_token_ids=list(DETECT_LANGS)),
+        make_audio("mix", 6.0, seed=2),
+    )
+    assert got["lang"] == want["lang"], "detected language drift"
+    assert got["tokens"] == want["tokens"], "detected-window token drift"
+    np.testing.assert_allclose(
+        got["lang_probs"], want["lang_probs"], atol=5e-3
+    )
 
 
 if __name__ == "__main__":
