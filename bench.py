@@ -106,7 +106,7 @@ def emit(error: str = None, partial: bool = False) -> None:
         rtf is not None
         and not partial
         and not error
-        and RESULTS.get("device", "").lower().find("cpu") < 0
+        and not RESULTS.get("tiny")  # CI dry-run numbers are meaningless
         and "TPU" in RESULTS.get("device", "")
     ):
         try:
@@ -225,6 +225,24 @@ def main() -> None:
     RESULTS["tokens_per_window"] = TOKENS_PER_WINDOW
 
     cfg = PRESETS["distil-large-v3"].with_(max_target_positions=136)
+    if os.environ.get("NORMA_BENCH_TINY") == "1":
+        # CI structural dry-run (check.yml): every arm's engine
+        # construction and program shape compiles and runs on CPU at toy
+        # dims in seconds, so arm growth or a broken quant/serving
+        # config surfaces in CI — not in the driver's scored run (the
+        # r3 failure mode).  The numbers are meaningless; the artifact
+        # marks itself tiny.
+        cfg = cfg.with_(
+            d_model=128, encoder_layers=2, encoder_attention_heads=2,
+            decoder_layers=2, decoder_attention_heads=2,
+            max_source_positions=64, max_target_positions=16,
+        )
+        RESULTS["tiny"] = True
+    n_window_samples = (
+        N_SAMPLES
+        if cfg.max_source_positions == 1500
+        else (2 * cfg.max_source_positions - 1) * 160 + 400
+    )
     params = fuse_qkv(init_params(cfg, seed=0, dtype=jnp.bfloat16))
     params = jax.device_put(params, dev)
 
@@ -235,7 +253,7 @@ def main() -> None:
     engine = DecodeEngine(params, cfg, st)
 
     rng = np.random.default_rng(0)
-    audio = (0.1 * rng.standard_normal(N_SAMPLES)).astype(np.float32)
+    audio = (0.1 * rng.standard_normal(n_window_samples)).astype(np.float32)
 
     def make_lf(e=engine):
         return LongFormDecoder(e, _NullTokenizer(), LanguageState(const=50259))
@@ -299,7 +317,10 @@ def main() -> None:
     # sequential on-device rung ladder for 8 concurrent streams.
     B = 8
     windows = np.stack(
-        [prepare_audio((0.1 * rng.standard_normal(N_SAMPLES)).astype(np.float32))
+        [prepare_audio(
+            (0.1 * rng.standard_normal(n_window_samples)).astype(np.float32),
+            n_frames=2 * cfg.max_source_positions,
+         )
          for _ in range(B)]
     )
     wj = jnp.asarray(windows)
