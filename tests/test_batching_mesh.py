@@ -88,13 +88,13 @@ def test_gated_stream_does_not_serialize_round():
     )
 
     calls = []
-    orig = engine.transcribe_window
+    orig = engine.transcribe_window_async
 
     def spy(audio, langs, seed, n_active=None):
         calls.append(int(audio.shape[0]))
         return orig(audio, langs, seed, n_active=n_active)
 
-    engine.transcribe_window = spy
+    engine.transcribe_window_async = spy
     bt = BatchedTranscriber(model, max_streams=4)
     texts = _run_streams(bt, n=3)
     assert len(calls) >= 1
@@ -127,13 +127,13 @@ def test_non_power_of_two_dp_rounds_batch(monkeypatch):
     )
     bt = BatchedTranscriber(model, max_streams=6, mesh=mesh)
     seen_batches = []
-    orig = engine.transcribe_window
+    orig = engine.transcribe_window_async
 
     def spy(audio, langs, seed, n_active=None):
         seen_batches.append(int(audio.shape[0]))
         return orig(audio, langs, seed=seed, n_active=n_active)
 
-    engine.transcribe_window = spy
+    engine.transcribe_window_async = spy
     # 2 ready streams -> power-of-two B=2, not divisible by dp=3: must be
     # rounded to 3 and decoded; the streams must then terminate (the bug
     # killed the scheduler thread on the unshardable device_put, leaving

@@ -400,6 +400,36 @@ def main() -> None:
     # kernel in r3: decisive loss — +276% B=8 / +608% B=1 — and the
     # kernel was removed in r4.  PERF.md "self_kv_impl=fused" keeps the
     # measured table.)
+    elif scenario in ("best_vs_skv", "best_vs_skv448"):
+        # r4 VERDICT #8: on the batched deep-decoder serving stack
+        # (w8 + flash + xkv kernel — 967 ms control with the self-decode
+        # kernel), is the int8 self-KV cache (halves the OTHER per-step
+        # KV stream; dict caches, so the self kernel gates off and the
+        # XLA twin applies) the better default?  Third arm stacks
+        # NEITHER self lever as the shared control.  448 variant = the
+        # production serving length where self-KV bytes are ~3.3x.
+        mtp = 448 if scenario.endswith("448") else 136
+        scfg = tcfg.with_(
+            max_target_positions=mtp,
+            encoder_attn_impl="jax_flash",
+            cross_kv_impl="kernel",
+        )
+        tgt_w8s = jax.device_put(quantize_decoder(tgt), dev)
+        B = 8
+        runs = [
+            (f"lv3_b8_{mtp}_serving_plain",
+             DecodeEngine(tgt_w8s, scfg, st, quantize_cross_kv=True), B),
+            (f"lv3_b8_{mtp}_serving_selfk",
+             DecodeEngine(
+                 tgt_w8s, scfg.with_(self_kv_impl="kernel"), st,
+                 quantize_cross_kv=True,
+             ), B),
+            (f"lv3_b8_{mtp}_serving_skv",
+             DecodeEngine(
+                 tgt_w8s, scfg, st,
+                 quantize_cross_kv=True, quantize_self_kv=True,
+             ), B),
+        ]
     else:
         raise SystemExit(f"unknown scenario {scenario!r}")
 

@@ -45,6 +45,8 @@ def main() -> None:
                     help="tiny seeded model on CPU (hermetic self-test)")
     ap.add_argument("--rss-budget-mb", type=float,
                     default=float(os.environ.get("SOAK_RSS_BUDGET_MB", 256)))
+    ap.add_argument("--no-pipeline", action="store_true",
+                    help="disable round pipelining (latency A/B control)")
     args = ap.parse_args()
 
     import jax
@@ -117,6 +119,9 @@ def main() -> None:
         )
 
     bt = BatchedTranscriber(model, max_streams=args.streams)
+    if args.no_pipeline:
+        bt.pipeline_rounds = False
+        print("# round pipelining DISABLED (A/B control)", flush=True)
     # Warm EVERY batch bucket the scheduler can dispatch (bt.warmup, not
     # model.warmup): the first TPU soak warmed only B=1, so buckets 2/4/8
     # compiled mid-wave through the tunnel (~minutes), realtime sources
