@@ -381,6 +381,67 @@ def main() -> None:
             30.0 * B / (d_bs / 1e3)
         )
 
+    # ---- Arm 5: multi-stream latency under live churn ----------------
+    # 8 realtime synthetic streams through the production batching
+    # scheduler for ~25 s, reporting admission->first-partial and
+    # ready->applied percentiles from BatchedTranscriber.metrics() —
+    # the admission-latency floor the VERDICT asked to measure, on the
+    # same already-compiled batched programs (arm 3).  Skipped when the
+    # watchdog budget is nearly spent.
+    if time_left() > 240:
+        try:
+            from norma_tpu.audio.sources import SyntheticSource
+            from norma_tpu.decode.longform import LanguageState as _LS
+            from norma_tpu.input import Settings
+            from norma_tpu.models.whisper.model import WhisperModel
+            from norma_tpu.runtime.batching import BatchedTranscriber
+
+            class _IdsTok:
+                # Non-empty text per drained segment so the admission->
+                # first-partial series populates (host-side only; the
+                # device programs are the already-compiled arm-3 ones).
+                def decode(self, ids, skip_special_tokens=True):
+                    return " ".join(str(int(i)) for i in ids) or "."
+
+                def token_to_id(self, s):
+                    return None
+
+            model = WhisperModel(engine, _IdsTok(), _LS(const=50259))
+            bt = BatchedTranscriber(model, max_streams=8)
+            bt.warmup()
+            handles = [
+                bt.blocking_start(Settings(source=SyntheticSource(
+                    sample_rate=16_000, channels=1, duration=22.0,
+                    freq=220.0 + 20 * i, realtime=True,
+                )))
+                for i in range(8)
+            ]
+            drains = [
+                threading.Thread(
+                    target=lambda h=h: list(h.receiver), daemon=True
+                )
+                for h in handles
+            ]
+            for t in drains:
+                t.start()
+            for t in drains:
+                t.join(timeout=min(90.0, max(5.0, time_left() - 20.0)))
+            lat = bt.metrics()["latency"]
+            bt.close()
+            ra, af = lat["ready_to_applied"], lat["admit_to_first_partial"]
+            if ra:
+                RESULTS["lat_ready_to_applied_p50_ms"] = ra["p50_ms"]
+                RESULTS["lat_ready_to_applied_p99_ms"] = ra["p99_ms"]
+                RESULTS["lat_samples"] = ra["n"]
+            if af:
+                RESULTS["lat_admit_to_first_partial_p50_ms"] = af["p50_ms"]
+                RESULTS["lat_admit_to_first_partial_p99_ms"] = af["p99_ms"]
+            print(f"# arm latency done at +{time.monotonic() - _T0:.0f}s")
+        except (TypeError, AttributeError, NameError, KeyError):
+            raise  # programming error, not an environment failure
+        except Exception as e:  # pragma: no cover - environment-dependent
+            print(f"# latency arm unavailable: {e!r}")
+
     RESULTS["methodology"] = (
         "production LongFormDecoder.transcribe, forced 132-token decode; "
         "single-stream = speculative 6-rung ladder (worst case: every "
@@ -392,7 +453,11 @@ def main() -> None:
         "chip-side number and the one to trust for kernel/variant "
         "comparisons — see PERF.md. batched8_serving = jax_flash + w8a8 "
         "encoder, int8 decoder weights, int8 cross-KV — the full opt-in "
-        "serving stack (the best measured B=8 config). Exploratory arms "
+        "serving stack (the best measured B=8 config). lat_* = scheduler "
+        "latency percentiles from 8 realtime streams churning through "
+        "BatchedTranscriber for ~25 s (ready_to_applied = window ready "
+        "-> results applied, the admission floor; admit_to_first_partial "
+        "spans capture + first window fill + first round). Exploratory arms "
         "(large-v3 plain/speculative/serving, turbo, single-lever "
         "ablations) moved to tools/perf_full_sweep.py after the r3 "
         "driver timeout; their last measured numbers are in PERF.md."
