@@ -165,3 +165,29 @@ def test_fused_mixed_langs_and_detection(monkeypatch):
     # Each stream's prefix carries its own language token.
     for i in range(3):
         assert res[i].tokens[1] == int(info["langs"][i])
+
+
+def test_async_dispatch_fetch_matches_sync(monkeypatch):
+    """transcribe_window_async + transcribe_window_fetch (the round-
+    pipelined scheduler's split) must reproduce the synchronous call
+    exactly, including with two rounds in flight at once."""
+    monkeypatch.setattr(engine_mod, "LOGPROB_THRESHOLD", -100.0)
+    engine = make_engine()
+    a1, a2 = window(1), window(2)
+    langs = [TEST_LANG_IDS[0]]
+
+    want1, info1 = engine.transcribe_window(a1, langs, seed=0)
+    want2, info2 = engine.transcribe_window(a2, langs, seed=9)
+
+    # Two dispatches queued before either fetch (the pipelined order).
+    p1 = engine.transcribe_window_async(a1, langs, seed=0)
+    p2 = engine.transcribe_window_async(a2, langs, seed=9)
+    got2, ginfo2 = engine.transcribe_window_fetch(p2)
+    got1, ginfo1 = engine.transcribe_window_fetch(p1)
+
+    for want, got in ((want1, got1), (want2, got2)):
+        assert [None if r is None else r.tokens for r in want] == [
+            None if r is None else r.tokens for r in got
+        ]
+    np.testing.assert_array_equal(info1["langs"], ginfo1["langs"])
+    np.testing.assert_array_equal(info2["langs"], ginfo2["langs"])
