@@ -1007,18 +1007,52 @@ def decoder_step(
             return attention(xq, lxk, lxv, n_heads)
         return attention_grouped(xq, lxk, lxv, n_heads, n_rungs)
 
-    def body(carry, layer_in):
-        x, ck_all, cv_all = carry
-        lp, li, lxk, lxv = layer_in
-        x, (ck_all, cv_all, _) = _decoder_incremental_layer(
-            lp, x, (ck_all, cv_all, li), lxk, lxv, self_attn, cross_attn
-        )
-        return (x, ck_all, cv_all), None
+    # Kernel cross-KV layout ("kT", stacked [L, H, B, dh, Ta]): keep the
+    # stacked arrays OUT of the scan's xs.  Scan-slicing them would
+    # materialize a per-layer copy of the int8 codes before the kernel
+    # reads them — two dynamic-slice fusions worth ~¼ of the lv3 B=8
+    # step at mtp=448 (r4 step attribution, PERF.md) — so the stacked
+    # kernel addresses the layer's block directly via a scalar-prefetched
+    # layer index instead (ops/paged_cross.py).
+    use_stacked_xkv = isinstance(xk, dict) and "kT" in xk
+
+    if use_stacked_xkv:
+
+        def cross_attn_stacked(xq, li):
+            from ..ops.paged_cross import cross_attention_q8_kernel_stacked
+
+            return cross_attention_q8_kernel_stacked(
+                xq, xk, xv, li, n_heads, n_rungs,
+                heads_per_cell=cfg.cross_kv_kernel_hpc,
+                interpret=jax.default_backend() != "tpu",
+            )
+
+        def body(carry, layer_in):
+            x, ck_all, cv_all = carry
+            lp, li = layer_in
+            x, (ck_all, cv_all, _) = _decoder_incremental_layer(
+                lp, x, (ck_all, cv_all, li), None, None, self_attn,
+                lambda xq, _k, _v, li=li: cross_attn_stacked(xq, li),
+            )
+            return (x, ck_all, cv_all), None
+
+        scan_xs = (dec["layers"], jnp.arange(cfg.decoder_layers))
+    else:
+
+        def body(carry, layer_in):
+            x, ck_all, cv_all = carry
+            lp, li, lxk, lxv = layer_in
+            x, (ck_all, cv_all, _) = _decoder_incremental_layer(
+                lp, x, (ck_all, cv_all, li), lxk, lxv, self_attn, cross_attn
+            )
+            return (x, ck_all, cv_all), None
+
+        scan_xs = (dec["layers"], jnp.arange(cfg.decoder_layers), xk, xv)
 
     (x, new_k, new_v), _ = jax.lax.scan(
         body,
         (x, cache_k, cache_v),
-        (dec["layers"], jnp.arange(cfg.decoder_layers), xk, xv),
+        scan_xs,
         # decoder_scan_unroll overrides the gate HERE only (the token
         # loop it was built to measure); decoder_chunk keeps its B*C
         # VMEM-calibrated gate.  Measured at lv3: 4/8 REGRESS (PERF.md).

@@ -113,6 +113,112 @@ def _cross_decode_kernel(q_ref, k_ref, v_ref, o_ref):
         o_ref[j] = (o / l).astype(o_ref.dtype)
 
 
+def _cross_decode_kernel_stacked(s_ref, q_ref, k_ref, v_ref, o_ref):
+    """Scalar-prefetch wrapper: the layer index rides ``s_ref`` and is
+    consumed by the BlockSpec index maps (which pick the layer's block
+    out of the STACKED [L, H, B, dh, Ta] arrays); the math is the
+    per-layer kernel's."""
+    del s_ref
+    _cross_decode_kernel(q_ref, k_ref, v_ref, o_ref)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_heads", "n_groups", "heads_per_cell", "interpret"),
+)
+def cross_attention_q8_kernel_stacked(
+    q: jax.Array,
+    kp: Dict[str, jax.Array],
+    vp: Dict[str, jax.Array],
+    li: jax.Array,
+    n_heads: int,
+    n_groups: int = 1,
+    heads_per_cell: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Like :func:`cross_attention_q8_kernel` but over the STACKED
+    [L, H, B, dh, Ta] layout with a traced layer index ``li``.
+
+    Motivation (r4 step attribution, PERF.md): when the per-layer form
+    rides the decoder scan as xs, ``lax.scan`` materializes a per-layer
+    SLICE of the int8 codes before the kernel reads it — two
+    dynamic-slice fusions totalling ~¼ of the lv3 B=8 step at mtp=448,
+    i.e. the sliced copy costs as much HBM traffic as the kernel's own
+    read.  Here the stacked arrays stay closure-captured by the scan
+    body and the kernel's index maps (scalar-prefetched ``li``, the
+    self-decode kernel's pattern) address the layer's block directly —
+    no slice, no copy, HBM sees the int8 codes exactly once.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    gb, tq, d = q.shape
+    if tq != 1:
+        raise NotImplementedError(
+            "the cross-decode kernel is single-query (the plain token "
+            "loop); the chunked verify path uses the einsum form"
+        )
+    L, H, b, dh, ta = kp["kT"].shape
+    g = n_groups
+    hpc = heads_per_cell
+    if hpc == 0:  # auto: the hardware sweep's winners (v5e)
+        target = 10 if b >= 4 else 5
+        hpc = max(
+            h for h in range(1, min(target, n_heads) + 1)
+            if n_heads % h == 0
+        )
+    if n_heads % hpc:
+        raise ValueError(
+            f"heads_per_cell {hpc} must divide n_heads {n_heads}"
+        )
+
+    # Per-layer scales are tiny ([B, D] f32); slicing them outside the
+    # kernel costs ~nothing and keeps the in-kernel math scale-free.
+    ks = jax.lax.dynamic_index_in_dim(kp["s"], li, 0, keepdims=False)
+    vs = jax.lax.dynamic_index_in_dim(vp["s"], li, 0, keepdims=False)
+
+    qf = (
+        q.astype(jnp.float32).reshape(g, b, d)
+        * ks[None, :, :]
+        * float(dh) ** -0.5
+    )
+    qh = jnp.transpose(
+        qf.reshape(g, b, n_heads, dh), (1, 2, 0, 3)
+    ).astype(jnp.bfloat16)  # [B, H, G, dh]
+
+    scal = li.astype(jnp.int32)[None]  # [1] — scalar-prefetched
+
+    out = pl.pallas_call(
+        _cross_decode_kernel_stacked,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, n_heads // hpc),
+            in_specs=[
+                pl.BlockSpec(
+                    (None, hpc, g, dh), lambda i, h, s: (i, h, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (None, hpc, None, dh, ta),
+                    lambda i, h, s: (s[0], h, i, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (None, hpc, None, dh, ta),
+                    lambda i, h, s: (s[0], h, i, 0, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (None, hpc, g, dh), lambda i, h, s: (i, h, 0, 0)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_heads, g, dh), jnp.float32),
+        interpret=interpret,
+    )(scal, qh, kp["kT"], vp["kT"])  # [B, H, G, dh] f32
+
+    out = jnp.transpose(out, (2, 0, 1, 3)).reshape(g, b, 1, d)
+    out = out * vs[None, :, None, :]
+    return out.astype(q.dtype).reshape(gb, 1, d)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_heads", "n_groups", "heads_per_cell", "interpret"),

@@ -1013,3 +1013,49 @@ def test_engine_quantize_self_kv_decodes_both_ladders():
         jnp.asarray(win1)[None], [TEST_LANG_IDS[0]], seed=0
     )
     assert out_qq[0] is not None and out_qq[0].tokens[0] == TEST_ST.sot
+
+
+def test_cross_kernel_stacked_matches_per_layer():
+    """The stacked-layer kernel (scalar-prefetched layer index; r4 —
+    removes the scan's per-layer slice copies) must match the per-layer
+    kernel for every layer index, plain and grouped."""
+    from norma_tpu.model.whisper import quantize_cross_kv
+    from norma_tpu.ops.paged_cross import (
+        cross_attention_q8_kernel,
+        cross_attention_q8_kernel_stacked,
+        prep_cross_kv_kernel,
+    )
+
+    rng = np.random.default_rng(23)
+    L, B, Ta, D, H = 3, 2, 16, 32, 4
+    xk = jnp.asarray(rng.standard_normal((L, B, Ta, D)), jnp.float32)
+    xv = jnp.asarray(rng.standard_normal((L, B, Ta, D)), jnp.float32)
+    kq, vq = quantize_cross_kv(xk, xv)
+    kp, vp = prep_cross_kv_kernel(kq, vq, H)
+
+    q = jnp.asarray(rng.standard_normal((B, 1, D)), jnp.float32)
+    G = 3
+    qg = jnp.asarray(rng.standard_normal((G * B, 1, D)), jnp.float32)
+    for li in range(L):
+        kp1 = {k: v[li] for k, v in kp.items()}
+        vp1 = {k: v[li] for k, v in vp.items()}
+        ref = np.asarray(
+            cross_attention_q8_kernel(q, kp1, vp1, H, interpret=True)
+        )
+        got = np.asarray(
+            cross_attention_q8_kernel_stacked(
+                q, kp, vp, jnp.int32(li), H, interpret=True
+            )
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+        ref_g = np.asarray(
+            cross_attention_q8_kernel(
+                qg, kp1, vp1, H, n_groups=G, interpret=True
+            )
+        )
+        got_g = np.asarray(
+            cross_attention_q8_kernel_stacked(
+                qg, kp, vp, jnp.int32(li), H, n_groups=G, interpret=True
+            )
+        )
+        np.testing.assert_allclose(got_g, ref_g, rtol=1e-6, atol=1e-6)
