@@ -149,7 +149,28 @@ class DecodeEngine:
         # attention_cross_q8); prefill/detect stay bf16.  Trace-time, so a
         # constructor argument like fused_sampler.  Opt-in: int8 rounding
         # of K/V can perturb logits ~0.1-0.5%.
-        self.quantize_cross_kv = bool(quantize_cross_kv)
+        # "int4" (r4): nibble-packed codes, kernel-only
+        # (cross_kv_impl="kernel" on TPU; elsewhere falls back to int8
+        # with a warning) — halves the dominant stream AGAIN at one more
+        # accuracy rung (~7%-of-row-max rounding; gate on WER).
+        if quantize_cross_kv not in (False, True, "int8", "int4"):
+            raise ValueError(
+                "quantize_cross_kv must be False, True/'int8' or 'int4', "
+                f"got {quantize_cross_kv!r}"
+            )
+        if quantize_cross_kv == "int4" and not (
+            cfg.cross_kv_impl == "kernel" and self._platform == "tpu"
+        ):
+            logger.warning(
+                "quantize_cross_kv='int4' needs cross_kv_impl='kernel' "
+                "on TPU; falling back to the int8 tier"
+            )
+            quantize_cross_kv = True
+        self.quantize_cross_kv = (
+            quantize_cross_kv
+            if quantize_cross_kv in (False, "int4")
+            else True
+        )
         # int8 SELF-attention KV cache with per-written-row scales: halves
         # the other per-step KV stream (large-v3 @ 448 positions: ~73 MB
         # of self-K/V bf16 per step, scaling with batch).  Scale folding
@@ -191,11 +212,19 @@ class DecodeEngine:
         return self._encode(self.params, mel)
 
     def _quantize_xkv(self, xk, xv):
-        """Window-time int8 quantization of the loop's cross-K/V, in the
-        form ``cfg.cross_kv_impl`` needs: the "kernel" impl wants its
+        """Window-time int8/int4 quantization of the loop's cross-K/V, in
+        the form ``cfg.cross_kv_impl`` needs: the "kernel" impl wants its
         transposed layout built here (TPU only — elsewhere the plain
         dict is built and the einsum form applies, same quantization
-        grid)."""
+        grid).  The int4 tier is kernel-only (validated in __init__)."""
+        if self.quantize_cross_kv == "int4":
+            from ..model.whisper import quantize_cross_kv4
+            from ..ops.paged_cross import prep_cross_kv_kernel4
+
+            kq, vq = quantize_cross_kv4(xk, xv)
+            return prep_cross_kv_kernel4(
+                kq, vq, self.cfg.decoder_attention_heads
+            )
         kq, vq = quantize_cross_kv(xk, xv)
         if self.cfg.cross_kv_impl == "kernel" and self._platform == "tpu":
             from ..ops.paged_cross import prep_cross_kv_kernel

@@ -525,6 +525,35 @@ def quantize_cross_kv(
     return q8(xk), q8(xv)
 
 
+def quantize_cross_kv4(
+    xk: jax.Array, xv: jax.Array
+) -> Tuple[Dict[str, jax.Array], Dict[str, jax.Array]]:
+    """Per-channel int4 quantization of the cross-attention K/V (r4).
+
+    Same shape contract as :func:`quantize_cross_kv` but codes live in
+    [-7, 7] with scale = absmax/7 (still STORED int8 here; the kernel
+    layout packs two codes per byte, ``ops.paged_cross.
+    prep_cross_kv_kernel4``).  Why: at the deep-decoder batched serving
+    point the int8 cross-K/V codes are the single largest per-step HBM
+    stream (lv3 B=8: ~986 MB/step vs ~1043 MB of int8 weights — PERF.md
+    r4 attribution); int4 halves it again.  Scale folding stays EXACT
+    (same per-channel algebra); the approximation is 4-bit rounding of
+    K/V (<= ~7% of the per-channel max vs int8's ~0.4%) — an
+    accuracy-gated opt-in tier one rung below int8, kernel-only
+    (``cross_kv_impl="kernel"`` on TPU).
+    """
+
+    def q4(x):
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=2)  # [L,B,D]
+        s = jnp.maximum(amax, 1e-8) / 7.0
+        q = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / s[:, :, None, :]), -7, 7
+        ).astype(jnp.int8)
+        return {"q": q, "s": s}
+
+    return q4(xk), q4(xv)
+
+
 def attention_cross_q8(
     q: jax.Array,
     kq: Dict[str, jax.Array],
@@ -1014,7 +1043,9 @@ def decoder_step(
     # step at mtp=448 (r4 step attribution, PERF.md) — so the stacked
     # kernel addresses the layer's block directly via a scalar-prefetched
     # layer index instead (ops/paged_cross.py).
-    use_stacked_xkv = isinstance(xk, dict) and "kT" in xk
+    use_stacked_xkv = isinstance(xk, dict) and (
+        "kT" in xk or "kT4" in xk
+    )
 
     if use_stacked_xkv:
 

@@ -113,6 +113,75 @@ def _cross_decode_kernel(q_ref, k_ref, v_ref, o_ref):
         o_ref[j] = (o / l).astype(o_ref.dtype)
 
 
+def prep_cross_kv_kernel4(
+    kq: Dict[str, jax.Array],
+    vq: Dict[str, jax.Array],
+    n_heads: int,
+) -> Tuple[Dict[str, jax.Array], Dict[str, jax.Array]]:
+    """Transpose + nibble-pack int4-coded cross K/V into kernel layout.
+
+    kq/vq: ``quantize_cross_kv4`` output ({"q": [L, B, Ta, D] int8 codes
+    in [-7, 7], "s": [L, B, D] f32}).  Returns {"kT4":
+    [L, H, B, dh, Ta/2] int8 — byte t packs code[t] (low nibble) and
+    code[t + Ta/2] (high nibble), "s"} dicts.
+
+    The pair-at-distance-Ta/2 packing means the kernel unpacks by lane
+    CONCAT (low block ++ high block) instead of an interleave: the
+    resulting key order is a PERMUTATION of Ta, which cross-attention is
+    invariant to as long as K and V share it (softmax + PV both contract
+    over the whole axis; there is no position mask on cross keys).
+    """
+    L, B, Ta, D = kq["q"].shape
+    if Ta % 2:
+        raise ValueError(f"Ta {Ta} must be even for nibble packing")
+    dh = D // n_heads
+    h = Ta // 2
+
+    def pack(codes):
+        x = codes.reshape(L, B, Ta, n_heads, dh)
+        t = jnp.transpose(x, (0, 3, 1, 4, 2))  # [L, H, B, dh, Ta]
+        lo = t[..., :h].astype(jnp.int32)
+        hi = t[..., h:].astype(jnp.int32)
+        return ((hi << 4) | (lo & 0xF)).astype(jnp.int8)
+
+    return (
+        {"kT4": pack(kq["q"]), "s": kq["s"]},
+        {"kT4": pack(vq["q"]), "s": vq["s"]},
+    )
+
+
+def _unpack_nibbles(b):
+    """Packed int8 block [..., Ta/2] -> bf16 [..., Ta] (permuted order:
+    low nibbles first, then high nibbles — see prep_cross_kv_kernel4)."""
+    w = b.astype(jnp.int32)
+    lo = jnp.left_shift(w, 28) >> 28  # arithmetic: sign-extended low nibble
+    hi = w >> 4  # arithmetic: sign-extended high nibble
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.bfloat16)
+
+
+def _cross_decode_kernel_i4(s_ref, q_ref, k_ref, v_ref, o_ref):
+    """int4 variant of the stacked cell: unpack nibbles in VMEM, then the
+    same per-head math.  K and V share the packing permutation, so the
+    softmax/PV result is bit-for-bit the unpermuted attention."""
+    del s_ref
+    hpc = q_ref.shape[0]
+    for j in range(hpc):
+        q = q_ref[j]  # [G, dh] bf16 (scales already folded)
+        k = _unpack_nibbles(k_ref[j])  # [dh, Ta]
+        logits = jnp.dot(q, k, preferred_element_type=jnp.float32)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        v = _unpack_nibbles(v_ref[j])
+        o = jax.lax.dot_general(
+            p.astype(jnp.bfloat16),
+            v,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[j] = (o / l).astype(o_ref.dtype)
+
+
 def _cross_decode_kernel_stacked(s_ref, q_ref, k_ref, v_ref, o_ref):
     """Scalar-prefetch wrapper: the layer index rides ``s_ref`` and is
     consumed by the BlockSpec index maps (which pick the layer's block
@@ -158,7 +227,9 @@ def cross_attention_q8_kernel_stacked(
             "the cross-decode kernel is single-query (the plain token "
             "loop); the chunked verify path uses the einsum form"
         )
-    L, H, b, dh, ta = kp["kT"].shape
+    int4 = "kT4" in kp
+    codes_key = "kT4" if int4 else "kT"
+    L, H, b, dh, ta_blk = kp[codes_key].shape
     g = n_groups
     hpc = heads_per_cell
     if hpc == 0:  # auto: the hardware sweep's winners (v5e)
@@ -189,7 +260,7 @@ def cross_attention_q8_kernel_stacked(
     scal = li.astype(jnp.int32)[None]  # [1] — scalar-prefetched
 
     out = pl.pallas_call(
-        _cross_decode_kernel_stacked,
+        _cross_decode_kernel_i4 if int4 else _cross_decode_kernel_stacked,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, n_heads // hpc),
@@ -198,11 +269,11 @@ def cross_attention_q8_kernel_stacked(
                     (None, hpc, g, dh), lambda i, h, s: (i, h, 0, 0)
                 ),
                 pl.BlockSpec(
-                    (None, hpc, None, dh, ta),
+                    (None, hpc, None, dh, ta_blk),
                     lambda i, h, s: (s[0], h, i, 0, 0),
                 ),
                 pl.BlockSpec(
-                    (None, hpc, None, dh, ta),
+                    (None, hpc, None, dh, ta_blk),
                     lambda i, h, s: (s[0], h, i, 0, 0),
                 ),
             ],
@@ -212,7 +283,7 @@ def cross_attention_q8_kernel_stacked(
         ),
         out_shape=jax.ShapeDtypeStruct((b, n_heads, g, dh), jnp.float32),
         interpret=interpret,
-    )(scal, qh, kp["kT"], vp["kT"])  # [B, H, G, dh] f32
+    )(scal, qh, kp[codes_key], vp[codes_key])  # [B, H, G, dh] f32
 
     out = jnp.transpose(out, (2, 0, 1, 3)).reshape(g, b, 1, d)
     out = out * vs[None, :, None, :]

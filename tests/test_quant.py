@@ -1059,3 +1059,80 @@ def test_cross_kernel_stacked_matches_per_layer():
             )
         )
         np.testing.assert_allclose(got_g, ref_g, rtol=1e-6, atol=1e-6)
+
+
+def test_cross_kernel_int4_interpret_matches_dequant():
+    """The int4 nibble-packed cross kernel (r4) must match exact
+    attention over the DEQUANTIZED int4 codes (same codes, so the only
+    difference is the kernel's bf16-operand math), and the pack must
+    round-trip bit-exactly."""
+    from norma_tpu.model.whisper import quantize_cross_kv4
+    from norma_tpu.ops.paged_cross import (
+        cross_attention_q8_kernel_stacked,
+        prep_cross_kv_kernel4,
+    )
+
+    rng = np.random.default_rng(31)
+    L, B, Ta, D, H = 2, 2, 16, 32, 4
+    dh = D // H
+    xk = jnp.asarray(rng.standard_normal((L, B, Ta, D)), jnp.float32)
+    xv = jnp.asarray(rng.standard_normal((L, B, Ta, D)), jnp.float32)
+    kq, vq = quantize_cross_kv4(xk, xv)
+    assert int(jnp.max(jnp.abs(kq["q"]))) <= 7  # int4 code range
+    kp, vp = prep_cross_kv_kernel4(kq, vq, H)
+    assert kp["kT4"].shape == (L, H, B, dh, Ta // 2)
+
+    # Pack round-trip: unpacking the bytes recovers the codes (permuted
+    # low-half/high-half order).
+    pk = np.asarray(kp["kT4"], np.int32)
+    lo = (pk << 28) >> 28
+    hi = pk >> 4
+    codes_t = np.asarray(
+        jnp.transpose(
+            kq["q"].reshape(L, B, Ta, H, dh), (0, 3, 1, 4, 2)
+        )
+    )
+    np.testing.assert_array_equal(lo, codes_t[..., : Ta // 2])
+    np.testing.assert_array_equal(hi, codes_t[..., Ta // 2:])
+
+    for li in range(L):
+        q = jnp.asarray(rng.standard_normal((B, 1, D)), jnp.float32)
+        out = np.asarray(
+            cross_attention_q8_kernel_stacked(
+                q, kp, vp, jnp.int32(li), H, interpret=True
+            )
+        )
+        kf = (
+            np.asarray(kq["q"][li], np.float32)
+            * np.asarray(kq["s"][li])[:, None, :]
+        ).reshape(B, Ta, H, dh)
+        vf = (
+            np.asarray(vq["q"][li], np.float32)
+            * np.asarray(vq["s"][li])[:, None, :]
+        ).reshape(B, Ta, H, dh)
+        qf = np.asarray(q, np.float32).reshape(B, H, dh)
+        ref = np.zeros((B, 1, D), np.float32)
+        for b in range(B):
+            for h in range(H):
+                lg = (qf[b, h] * dh ** -0.5) @ kf[b, :, h].T
+                p = np.exp(lg - lg.max())
+                p /= p.sum()
+                ref[b, 0, h * dh:(h + 1) * dh] = p @ vf[b, :, h]
+        np.testing.assert_allclose(out, ref, rtol=3e-2, atol=3e-2)
+
+
+def test_engine_int4_xkv_falls_back_without_kernel():
+    """quantize_cross_kv='int4' off the kernel impl (or off TPU) must
+    fall back to the int8 tier with a warning, and reject junk values."""
+    import logging
+
+    from norma_tpu.decode.engine import DecodeEngine
+
+    cfg = tiny_config()
+    params = init_params(cfg, seed=0)
+    with pytest.raises(ValueError, match="int4"):
+        DecodeEngine(
+            params, cfg, TEST_ST, quantize_cross_kv="int2"
+        )
+    eng = DecodeEngine(params, cfg, TEST_ST, quantize_cross_kv="int4")
+    assert eng.quantize_cross_kv is True  # int8 fallback (CPU backend)

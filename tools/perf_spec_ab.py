@@ -430,6 +430,26 @@ def main() -> None:
                  quantize_cross_kv=True, quantize_self_kv=True,
              ), B),
         ]
+    elif scenario in ("xkv4", "xkv4_448"):
+        # r4: int4 nibble-packed cross-K/V (the dominant per-step stream
+        # at this operating point, ~986 MB/step int8) vs the int8 tier,
+        # both through the stacked-layer kernel, on the best serving
+        # stack (w8 + flash + xkvk + self kernel).
+        mtp = 448 if scenario.endswith("448") else 136
+        scfg = tcfg.with_(
+            max_target_positions=mtp,
+            encoder_attn_impl="jax_flash",
+            cross_kv_impl="kernel",
+            self_kv_impl="kernel",
+        )
+        tgt_w8s = jax.device_put(quantize_decoder(tgt), dev)
+        B = 8
+        runs = [
+            (f"lv3_b8_{mtp}_serving_selfk",
+             DecodeEngine(tgt_w8s, scfg, st, quantize_cross_kv=True), B),
+            (f"lv3_b8_{mtp}_serving_selfk_xkv4",
+             DecodeEngine(tgt_w8s, scfg, st, quantize_cross_kv="int4"), B),
+        ]
     else:
         raise SystemExit(f"unknown scenario {scenario!r}")
 
