@@ -123,7 +123,15 @@ def main() -> None:
 
     # tier name -> engine builder(params)
     def tiers(params):
-        return {
+        t = {}
+        if jax.default_backend() == "tpu":
+            # int4 cross-KV is kernel-only (TPU): one accuracy rung
+            # below int8 — measure it whenever the chip is available.
+            t["xkv_int4"] = lambda: DecodeEngine(
+                params, cfg.with_(cross_kv_impl="kernel"), st,
+                quantize_cross_kv="int4",
+            )
+        t |= {
             "w8_decoder": lambda: DecodeEngine(
                 quantize_decoder(params), cfg, st
             ),
@@ -144,6 +152,7 @@ def main() -> None:
                 quantize_cross_kv=True,
             ),
         }
+        return t
 
     # flips/positions + window-exact counts per tier
     stats = {}
