@@ -80,7 +80,7 @@ class DecodeEngine:
         language_token_ids: Optional[Sequence[int]] = None,
         mel_center: bool = False,
         fused_sampler: bool = True,
-        quantize_cross_kv: bool = False,
+        quantize_cross_kv: "bool | str" = False,
         quantize_self_kv: bool = False,
     ):
         self.params = params

@@ -93,7 +93,7 @@ class Definition(ModelDefinition):
         quantize_logits: "bool | str" = False,
         quantize_decoder: bool = False,
         quantize_encoder: bool = False,
-        quantize_cross_kv: bool = False,
+        quantize_cross_kv: "bool | str" = False,
         quantize_self_kv: bool = False,
         mel_center: bool = False,
         timestamps: bool = False,
