@@ -26,6 +26,7 @@ Semantics preserved from the reference, in prob space (post first softmax):
 from __future__ import annotations
 
 import logging
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import List, Optional, Sequence, Tuple
@@ -158,8 +159,15 @@ class DecodeEngine:
                 "quantize_cross_kv must be False, True/'int8' or 'int4', "
                 f"got {quantize_cross_kv!r}"
             )
+        # Tests exercise the kernel layouts off-TPU in Pallas interpret
+        # mode via this env escape (mirrors NORMA_SELF_KERNEL_INTERPRET;
+        # hardware gate: tools/verify_paged_cross_tpu.py).
+        self._xkv_interp_escape = (
+            os.environ.get("NORMA_XKV_KERNEL_INTERPRET") == "1"
+        )
         if quantize_cross_kv == "int4" and not (
-            cfg.cross_kv_impl == "kernel" and self._platform == "tpu"
+            cfg.cross_kv_impl == "kernel"
+            and (self._platform == "tpu" or self._xkv_interp_escape)
         ):
             logger.warning(
                 "quantize_cross_kv='int4' needs cross_kv_impl='kernel' "
@@ -226,7 +234,9 @@ class DecodeEngine:
                 kq, vq, self.cfg.decoder_attention_heads
             )
         kq, vq = quantize_cross_kv(xk, xv)
-        if self.cfg.cross_kv_impl == "kernel" and self._platform == "tpu":
+        if self.cfg.cross_kv_impl == "kernel" and (
+            self._platform == "tpu" or self._xkv_interp_escape
+        ):
             from ..ops.paged_cross import prep_cross_kv_kernel
 
             return prep_cross_kv_kernel(

@@ -1136,3 +1136,47 @@ def test_engine_int4_xkv_falls_back_without_kernel():
         )
     eng = DecodeEngine(params, cfg, TEST_ST, quantize_cross_kv="int4")
     assert eng.quantize_cross_kv is True  # int8 fallback (CPU backend)
+
+
+def test_engine_int4_xkv_kernel_interpret_decodes(monkeypatch):
+    """Engine-level int4 cross-KV through the stacked kernel (Pallas
+    interpret escape, off-TPU): on a peaked model the 4-bit rounding is
+    mostly inside the greedy margins, so the fused window transcribes
+    with a long shared prefix vs the bf16 engine on both ladder arms
+    (late knife-edge tokens may flip — the tier's documented accuracy
+    rung, PERF.md flip-rate table)."""
+    from helpers import confident_params, texty_config
+    from norma_tpu.decode.engine import DecodeEngine
+    from norma_tpu.frontend.mel import prepare_audio
+
+    monkeypatch.setenv("NORMA_XKV_KERNEL_INTERPRET", "1")
+    cfg = texty_config().with_(cross_kv_impl="kernel")
+    params = confident_params(cfg)
+    e_ref = DecodeEngine(params, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS)
+    e_q4 = DecodeEngine(
+        params, cfg, TEST_ST, language_token_ids=TEST_LANG_IDS,
+        quantize_cross_kv="int4",
+    )
+    assert e_q4.quantize_cross_kv == "int4"  # escape kept the tier
+
+    n_frames = 2 * cfg.max_source_positions
+    rng = np.random.default_rng(41)
+    win = prepare_audio(
+        (0.1 * rng.standard_normal(12_000)).astype(np.float32),
+        n_frames=n_frames,
+    )
+    # Speculative-rung arm (B=1) and sequential arm (B=4).
+    for B in (1, 4):
+        wj = jnp.asarray(np.stack([win] * B))
+        langs = [TEST_LANG_IDS[0]] * B
+        out_q, _ = e_q4.transcribe_window(wj, langs, seed=0)
+        out_r, _ = e_ref.transcribe_window(wj, langs, seed=0)
+        for rq, rr in zip(out_q, out_r):
+            assert rq is not None and rr is not None
+            n = min(len(rq.tokens), len(rr.tokens))
+            agree = next(
+                (i for i in range(n) if rq.tokens[i] != rr.tokens[i]), n
+            )
+            assert agree >= int(0.75 * n), (
+                f"B={B}: int4 diverged at {agree}/{n}"
+            )
