@@ -40,10 +40,13 @@ run() {
 #    (NORMA_BENCH_BUDGET_S, default 900 s) and emits partial JSON on
 #    timeout, so this step cannot eat the session.
 run bench           1800 python bench.py
-# 2. This round's open A/B (VERDICT r4 #8): int8 self-KV as a
-#    default-candidate at lv3 B=8 on the serving stack.
-run spec_batch      5400 python tools/perf_spec_ab.py batch_stack
-run step_attr_b8    3600 python tools/perf_step_attr.py lv3_b8_w8 lv3_b8_w8_xkv lv3_b8_w8_xkv_kernel
+# 2. Standing serving A/Bs (all harvested in r4 — rerun only when the
+#    implementations change): best_vs_skv/448 settled self-kernel vs
+#    int8-self-KV (kernel decisive at 448 post-stacked), xkv4/448
+#    settled int4 cross-KV (perf-neutral, memory lever).
+run skv_ab          5400 python tools/perf_spec_ab.py best_vs_skv448
+run xkv4_ab         5400 python tools/perf_spec_ab.py xkv4_448
+run step_attr_b8    3600 python tools/perf_step_attr.py lv3_b8_w8_xkvk_selfk
 # 3. Exploratory arms the scored bench no longer carries.
 run full_sweep      5400 python tools/perf_full_sweep.py
 # 4. Standing kernel gates (rerun each session: Mosaic lowering + parity).
