@@ -349,11 +349,13 @@ def main() -> None:
 
     # ---- Arm 4: batched B=8 FULL serving stack ------------------------
     # jax_flash encoder + w8a8 encoder projections + int8 decoder weights
-    # + int8 cross-KV: the best measured B=8 distil config (225.0 ms
-    # device on v5e — PERF.md "Levers").
+    # + int8 cross-KV through the STACKED Pallas decode kernel: the best
+    # measured B=8 distil config (225.0 ms einsum -> 211.3 ms kernel on
+    # v5e after the r4 stacked-layer change — PERF.md "Levers").
     e_serving = DecodeEngine(
         jax.device_put(quantize_encoder(quantize_decoder(params)), dev),
-        cfg.with_(encoder_attn_impl="jax_flash"), st,
+        cfg.with_(encoder_attn_impl="jax_flash", cross_kv_impl="kernel"),
+        st,
         quantize_cross_kv=True,
     )
 
