@@ -166,6 +166,13 @@ class WhisperConfig:
     # the in-kernel weight stream serialized what XLA pipelines across
     # the layer scan.  PERF.md "self_kv_impl=fused" keeps the record.)
     self_kv_impl: str = "xla"
+    # (An r4 fill-proportional chunked variant — Ta-chunk grid with
+    # beyond-fill chunks index-clamped to elide their DMA, online
+    # softmax — was built, device-verified correct, and REMOVED after
+    # losing its device A/B decisively: lv3 B=8 mtp=448 serving
+    # 2221.1 ms full-block vs 3239.7 chunk=64 / 2694.1 chunk=112 —
+    # per-grid-step overheads swamp the ~43% DMA saving at these
+    # shapes.  PERF.md "fill-proportional self-KV" keeps the record.)
     # Head-tile size for self_kv_impl="kernel" (even, divides
     # decoder_attention_heads; the cache block's lane width is
     # heads_per_cell*64 and must be a multiple of 128).  0 = auto.
