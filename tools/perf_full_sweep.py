@@ -183,6 +183,19 @@ def main() -> None:
 
         guarded("lv3_spec", arm_lv3_spec)
 
+        def arm_lv3_b1_serving():
+            # Single-stream deep-decoder operating point (r4: the
+            # stacked cross kernel wins at B=1 too — 418.3 vs einsum
+            # 432.8 ms).
+            e = DecodeEngine(
+                jax.device_put(quantize_decoder(tgt), dev),
+                tcfg.with_(cross_kv_impl="kernel"), st,
+                quantize_cross_kv=True,
+            )
+            return timed_window(e, "lv3_b1_w8_xkvk", b=1)
+
+        guarded("lv3_b1_w8_xkvk", arm_lv3_b1_serving)
+
         def arm_lv3_serving8():
             # The deep-decoder serving stack: w8 decoder + flash encoder +
             # int8 cross-KV and self-attention via the Pallas decode
