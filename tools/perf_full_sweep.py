@@ -199,8 +199,8 @@ def main() -> None:
         def arm_lv3_serving8():
             # The deep-decoder serving stack: w8 decoder + flash encoder +
             # int8 cross-KV and self-attention via the Pallas decode
-            # kernels (the measured best: 967.0 ms device / 248
-            # streams/chip, PERF.md "self_kv_impl").
+            # kernels (798.1 ms device / 300 streams/chip since the r4
+            # stacked-layer kernel, PERF.md).
             e = DecodeEngine(
                 jax.device_put(quantize_decoder(tgt), dev),
                 tcfg.with_(
@@ -232,7 +232,11 @@ def main() -> None:
             dev,
         )
         e = DecodeEngine(
-            tb, tbcfg.with_(encoder_attn_impl="jax_flash"), st,
+            tb,
+            tbcfg.with_(
+                encoder_attn_impl="jax_flash", cross_kv_impl="kernel"
+            ),
+            st,
             quantize_cross_kv=True,
         )
         return timed_window(e, "turbo8_serving")
