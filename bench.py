@@ -55,9 +55,87 @@ _HEADLINE = {"rtf": None}
 _EMIT_LOCK = threading.Lock()
 _EMITTED = False
 
+# The driver captures only the TAIL of stdout (observed: last ~2000 chars)
+# and parses the last JSON line out of it.  r4's perfect run scored
+# ``parsed: null`` because the line was 2,287 chars and its head was
+# truncated — so the emitted line is now BUDGETED: long prose lives in
+# PERF.md, the line carries numbers only, and emit() hard-trims as a last
+# resort.  tests/test_bench_emit.py pins a fully-populated payload under
+# this budget.
+LINE_BUDGET = 1900
+
 
 def time_left() -> float:
     return BUDGET_S - (time.monotonic() - _T0)
+
+
+def _last_good_compact() -> dict:
+    """Headline-only view of the cached last-good result (the full artifact
+    stays in BENCH_LAST_GOOD.json): carried on the error path so an outage
+    at scoring time doesn't erase the round's evidence without blowing the
+    emitted line's budget."""
+    try:
+        with open(LAST_GOOD_PATH) as f:
+            lg = json.load(f)
+    except Exception:
+        return None
+    d = lg.get("detail", {})
+    return {
+        "value": lg.get("value"),
+        "vs_baseline": lg.get("vs_baseline"),
+        "measured_at_utc": lg.get("measured_at_utc"),
+        "device": d.get("device"),
+        "streams_per_chip_serving": d.get(
+            "realtime_streams_per_chip_serving_device"
+        ),
+        "note": "STALE: most recent successful run; full detail in "
+                "BENCH_LAST_GOOD.json",
+    }
+
+
+def build_payload(error: str = None, partial: bool = False) -> dict:
+    """The scored result dict.  Kept separate from emit() so the length
+    test can pin a fully-populated payload without printing."""
+    detail = dict(RESULTS)
+    detail["methodology"] = "PERF.md 'Scored bench methodology'"
+    if partial:
+        detail["partial"] = "budget hit; fields above are measured arms"
+    if error:
+        detail["error"] = str(error)[:300]
+        lg = _last_good_compact()
+        if lg:
+            detail["last_good"] = lg
+    rtf = _HEADLINE["rtf"]
+    return {
+        "metric": "rtf_distil_large_v3_stream",
+        "value": None if rtf is None else round(rtf, 6),
+        "unit": "rtf (wall-clock per 30s window / 30s; lower is better)",
+        "vs_baseline": None if rtf is None else round(TARGET_RTF / rtf, 2),
+        "detail": detail,
+    }
+
+
+def render_line(result: dict) -> str:
+    """Serialize compactly; if over budget, drop the longest detail
+    entries until it fits (never the headline fields)."""
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) <= LINE_BUDGET:
+        return line
+    detail = dict(result["detail"])
+    trimmed = 0
+    for k in sorted(
+        detail, key=lambda k: len(json.dumps(detail[k], default=str)),
+        reverse=True,
+    ):
+        detail.pop(k)
+        trimmed += 1
+        detail["trimmed_fields"] = trimmed
+        line = json.dumps(
+            {**result, "detail": detail}, separators=(",", ":")
+        )
+        if len(line) <= LINE_BUDGET:
+            return line
+    return json.dumps({**result, "detail": {}}, separators=(",", ":"))
 
 
 def emit(error: str = None, partial: bool = False) -> None:
@@ -67,33 +145,9 @@ def emit(error: str = None, partial: bool = False) -> None:
         if _EMITTED:
             return
         _EMITTED = True
-    detail = dict(RESULTS)
-    if partial:
-        detail["partial"] = (
-            "wall-clock budget reached; fields above are the arms that "
-            "completed (measured, not estimated)"
-        )
-    if error:
-        detail["error"] = error
-        try:
-            with open(LAST_GOOD_PATH) as f:
-                # STALE result from the most recent successful run of this
-                # same script (its own measured_at_utc stamps it) — carried
-                # so an outage at scoring time doesn't erase the round's
-                # measured evidence.  value stays null: nothing was
-                # measured THIS run.
-                detail["last_good"] = json.load(f)
-        except Exception:
-            pass
+    result = build_payload(error=error, partial=partial)
     rtf = _HEADLINE["rtf"]
-    result = {
-        "metric": "rtf_distil_large_v3_stream",
-        "value": None if rtf is None else round(rtf, 6),
-        "unit": "rtf (wall-clock per 30s window / 30s; lower is better)",
-        "vs_baseline": None if rtf is None else round(TARGET_RTF / rtf, 2),
-        "detail": detail,
-    }
-    print(json.dumps(result))
+    print(render_line(result))
     import sys
 
     sys.stdout.flush()
@@ -191,6 +245,53 @@ def _r(ms):
     return None if ms is None else round(ms, 1)
 
 
+HBM_GBPS = 819.0  # v5e datasheet streaming bandwidth
+
+
+def roofline_ratio(device_ms, engine, B, skv_rows, rungs) -> float:
+    """``device_ms`` / the window's HBM streaming-roofline ms.
+
+    The roofline counts the minimum bytes one window MUST read from HBM
+    (encoder weights once; then per decode step: decoder weights + the
+    per-stream cross-K/V + the average-fill self-KV rows), over the v5e
+    streaming bandwidth.  It deliberately ignores compute (the B<=8 decode
+    regime is bandwidth-bound — PERF.md loop tables) and write traffic, so
+    the ratio is a DRIFT SIGNAL across rounds per arm, not an absolute MFU:
+    a regression shows as the ratio creeping up even when arms are
+    redefined.  Methodology mirrors tools/perf_step_attr.py.
+
+    skv_rows: decode rows per stream reading their own self-KV cache
+    (speculative ladder: len(TEMPERATURES); sequential: 1).
+    rungs: sequential ladder passes actually decoded (this bench's random
+    weights fail the logprob gate at every temperature, so the sequential
+    arms decode all len(TEMPERATURES) rungs; speculative decodes its rows
+    concurrently in 1 pass).
+    """
+    if device_ms is None:
+        return None
+    import jax
+
+    tb = lambda t: sum(
+        x.size * x.dtype.itemsize for x in jax.tree.leaves(t)
+    )
+    cfg = engine.cfg
+    enc_b = tb(engine.params["encoder"])
+    dec_b = tb(engine.params["decoder"])
+    L, D, Ta = cfg.decoder_layers, cfg.d_model, cfg.max_source_positions
+    if engine.quantize_cross_kv:
+        xkv_b = 2 * L * (Ta * D + D * 4)  # int8 codes + f32 scales
+    else:
+        xkv_b = 2 * L * Ta * D * 2  # bf16
+    # Self-KV rows live at the average fill over the forced decode
+    # (prefix 3 .. 3+TOKENS_PER_WINDOW), bf16.
+    fill = 3 + TOKENS_PER_WINDOW / 2.0
+    skv_b = 2 * L * fill * D * 2
+    steps = TOKENS_PER_WINDOW * rungs
+    total = enc_b + steps * (dec_b + B * (xkv_b + skv_rows * skv_b))
+    roof_ms = total / (HBM_GBPS * 1e6)
+    return round(device_ms / roof_ms, 2)
+
+
 def main() -> None:
     threading.Thread(target=_watchdog, daemon=True).start()
 
@@ -209,7 +310,7 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    from norma_tpu.constants import N_SAMPLES
+    from norma_tpu.constants import N_SAMPLES, TEMPERATURES
     from norma_tpu.decode import DecodeEngine, LanguageState, LongFormDecoder
     from norma_tpu.decode.masks import SpecialTokens
     from norma_tpu.frontend.mel import prepare_audio
@@ -287,6 +388,8 @@ def main() -> None:
     )
     RESULTS["t_window_single_device_ms"] = _r(d_single)
     RESULTS["rtf_device"] = _rtf_of(d_single)
+    R = len(TEMPERATURES)  # single-stream arm: speculative, R rows, 1 pass
+    RESULTS["rr_single"] = roofline_ratio(d_single, engine, 1, R, 1)
 
     # ---- Arm 2: single-stream int8 decoder weights -------------------
     # quantize_decoder is the recommended quant tier (-32% loop device
@@ -311,6 +414,7 @@ def main() -> None:
     d_w8 = device_ms_per_window(run_w8, 2, "w8_decoder")
     RESULTS["t_window_w8_decoder_device_ms"] = _r(d_w8)
     RESULTS["rtf_w8_decoder_device"] = _rtf_of(d_w8)
+    RESULTS["rr_w8"] = roofline_ratio(d_w8, e_w8, 1, R, 1)
 
     # ---- Arm 3: batched B=8 plain (the multi-stream scheduler shape) --
     # One fused dispatch covering mel -> encoder -> prefill -> the
@@ -346,6 +450,9 @@ def main() -> None:
     RESULTS["rtf_per_stream_batched8_device"] = (
         None if d_batched is None else round(d_batched / 1e3 / 30.0 / B, 6)
     )
+    # Batched arms: sequential ladder, every rung decoded (gate fails on
+    # random weights) — see roofline_ratio's docstring.
+    RESULTS["rr_b8"] = roofline_ratio(d_batched, engine, B, 1, R)
 
     # ---- Arm 4: batched B=8 FULL serving stack ------------------------
     # jax_flash encoder + w8a8 encoder projections + int8 decoder weights
@@ -382,6 +489,7 @@ def main() -> None:
         RESULTS["realtime_streams_per_chip_serving_device"] = int(
             30.0 * B / (d_bs / 1e3)
         )
+    RESULTS["rr_serving"] = roofline_ratio(d_bs, e_serving, B, 1, R)
 
     # ---- Arm 5: multi-stream latency under live churn ----------------
     # 8 realtime synthetic streams through the production batching
@@ -444,26 +552,10 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - environment-dependent
             print(f"# latency arm unavailable: {e!r}")
 
-    RESULTS["methodology"] = (
-        "production LongFormDecoder.transcribe, forced 132-token decode; "
-        "single-stream = speculative 6-rung ladder (worst case: every "
-        "rung decoded), batched-8 = sequential on-device rung ladder. "
-        "value/rtf_wall is WALL-CLOCK and on this remotely-attached "
-        "(tunneled) TPU includes ~70-200 ms/call dispatch+fetch overhead "
-        "that a locally-attached chip does not pay; rtf_device "
-        "(jax.profiler xplane, total device ms per window) is the "
-        "chip-side number and the one to trust for kernel/variant "
-        "comparisons — see PERF.md. batched8_serving = jax_flash + w8a8 "
-        "encoder, int8 decoder weights, int8 cross-KV — the full opt-in "
-        "serving stack (the best measured B=8 config). lat_* = scheduler "
-        "latency percentiles from 8 realtime streams churning through "
-        "BatchedTranscriber for ~25 s (ready_to_applied = window ready "
-        "-> results applied, the admission floor; admit_to_first_partial "
-        "spans capture + first window fill + first round). Exploratory arms "
-        "(large-v3 plain/speculative/serving, turbo, single-lever "
-        "ablations) moved to tools/perf_full_sweep.py after the r3 "
-        "driver timeout; their last measured numbers are in PERF.md."
-    )
+    # Full methodology prose lives in PERF.md "Scored bench methodology"
+    # (build_payload emits a pointer): r4's run scored parsed:null because
+    # the inline ~1.1 kB string pushed the line past the driver's tail
+    # capture.
     emit()
 
 
