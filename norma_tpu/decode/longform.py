@@ -247,6 +247,10 @@ class LongFormDecoder:
                     end = window_offset + (
                         e_token - st.no_timestamps - 1
                     ) * tick_s
+                # An EOT-terminated segment clamps end to the slice length,
+                # which can land BEFORE a late start tick; never emit a
+                # negative-duration interval (ADVICE r4).
+                end = max(start, end)
                 text = f"[{start:.2f}s -> {end:.2f}s]{text}"
             if text:
                 self.pending_text.append(text)

@@ -575,7 +575,7 @@ class BatchedTranscriber:
             got = self._drain_rings()
             ready = self._ready()
             try:
-                if ready:
+                if ready and self.pipeline_rounds:
                     # Round pipelining: dispatch the NEXT round before
                     # blocking on the previous round's fetch, so the device
                     # computes round N+1 while the host fetches, unpacks
@@ -586,6 +586,14 @@ class BatchedTranscriber:
                     if pending is not None:
                         self._apply_round(pending)
                     pending = nxt
+                elif ready:
+                    # Synchronous engine (no async dispatch/fetch split):
+                    # _dispatch_round blocks for the full round compute, so
+                    # deferring the apply to the next iteration would leave
+                    # fetched results sitting a whole extra round while
+                    # excluding their streams from it (ADVICE r4).  Apply
+                    # immediately; pending stays None on this path.
+                    self._decode_round(ready)
                 elif pending is not None:
                     self._apply_round(pending)
                     pending = None
