@@ -47,17 +47,58 @@ def params_device_count(params) -> int:
     params are laid out over a >1-device ``jax.sharding.Mesh`` must fall
     back to the XLA twins rather than trace a Pallas call under GSPMD
     partitioning.
+
+    Takes the MAXIMUM over all leaves, not the first one that answers:
+    with heterogeneous placement (a small unsharded leaf committed to one
+    device while the large weights span the mesh) the first leaf could
+    report 1 and silently bypass the guard (ADVICE r4).
     """
     import jax
 
+    n = 1
     for leaf in jax.tree_util.tree_leaves(params):
         devices = getattr(leaf, "devices", None)
         if callable(devices):
             try:
-                return len(devices())
+                n = max(n, len(devices()))
             except Exception:
                 continue
-    return 1
+    return n
+
+
+def params_replicated_on_mesh(params, mesh) -> bool:
+    """True when every array leaf is fully replicated over exactly the
+    mesh's devices.
+
+    The dp-mesh kernel carry (``DecodeEngine(mesh=...)``) runs the
+    single-device Pallas kernels per shard via ``jax.shard_map`` — valid
+    only when each device holds the FULL weights (pure data parallelism).
+    Any tp-sharded leaf, or params living on different devices than the
+    mesh, disqualifies the carry and the engine keeps the XLA-twin
+    fallback.
+    """
+    import jax
+
+    mesh_devs = set(np_devices(mesh))
+    saw_array = False
+    for leaf in jax.tree_util.tree_leaves(params):
+        sharding = getattr(leaf, "sharding", None)
+        devices = getattr(leaf, "devices", None)
+        if sharding is None or not callable(devices):
+            continue
+        saw_array = True
+        try:
+            if set(devices()) != mesh_devs:
+                return False
+            if not sharding.is_fully_replicated:
+                return False
+        except Exception:
+            return False
+    return saw_array
+
+
+def np_devices(mesh):
+    return list(mesh.devices.flat)
 
 
 def inclusive_segments(
