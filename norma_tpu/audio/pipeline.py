@@ -46,12 +46,33 @@ def to_float(data: np.ndarray) -> np.ndarray:
 
 
 class Packer:
-    """Zero-alloc chunk accumulator (reference: Packer, lib.rs:224-262)."""
+    """Zero-alloc chunk accumulator (reference: Packer, lib.rs:224-262).
 
-    def __init__(self, ring: RecycledRing, dtype=np.float32) -> None:
+    ``first_flush_len``: optionally flush the FIRST chunk early, at this
+    many samples instead of a full ``chunk_len`` — the first-partial
+    latency lever (VERDICT r4 #7): a stream's first decodable audio
+    reaches the scheduler after ``first_flush_len/SR`` seconds instead of
+    a full chunk period, at the cost of ONE extra (small-window) decode
+    round per stream lifetime.  The early chunk is sent with an explicit
+    ``final=False`` so its short length doesn't read as the reference's
+    capacity-based EOS signal.  Steady-state cadence is unchanged.
+    """
+
+    def __init__(
+        self,
+        ring: RecycledRing,
+        dtype=np.float32,
+        first_flush_len: Optional[int] = None,
+    ) -> None:
         self.ring = ring
         self.buf = np.zeros(ring.chunk_len, dtype)
         self.fill = 0
+        self.first_flush_len = (
+            min(int(first_flush_len), ring.chunk_len)
+            if first_flush_len
+            else None
+        )
+        self._flushed_once = False
 
     def append(self, data: np.ndarray) -> None:
         pos = 0
@@ -65,9 +86,16 @@ class Packer:
             self.buf[self.fill : self.fill + take] = data[pos : pos + take]
             self.fill += take
             pos += take
+            if (
+                not self._flushed_once
+                and self.first_flush_len is not None
+                and self.fill >= self.first_flush_len
+            ):
+                self.flush(final=False)
 
-    def flush(self) -> None:
-        self.ring.try_send(self.buf, self.fill)
+    def flush(self, final: Optional[bool] = None) -> None:
+        self.ring.try_send(self.buf, self.fill, final=final)
+        self._flushed_once = True
         self.fill = 0
 
     def close(self) -> None:
@@ -92,10 +120,11 @@ class StreamPipeline:
         model_sample_rate: int,
         model_dtype,
         ring: RecycledRing,
+        first_flush_len: Optional[int] = None,
     ) -> None:
         self.source = source
         self.ring = ring
-        self.packer = Packer(ring, model_dtype)
+        self.packer = Packer(ring, model_dtype, first_flush_len=first_flush_len)
         self.model_dtype = model_dtype
         if source.sample_rate != model_sample_rate:
             self.resampler: Optional[StreamingResampler] = StreamingResampler(

@@ -87,6 +87,8 @@ class BatchedTranscriber:
         max_streams: int = 8,
         mesh=None,
         max_round_streams: int | None = None,
+        target_p99_ms: float | None = None,
+        first_partial_seconds: float | None = None,
     ) -> None:
         """``mesh``: an optional ``jax.sharding.Mesh`` with a 'dp' axis; the
         live batch is sharded over it so each decode round runs SPMD across
@@ -99,7 +101,29 @@ class BatchedTranscriber:
         large-v3 B=8 round runs ~1.4 s; B=4 roughly 0.75 s).  Rounds
         rotate through ready streams so a cap never starves anyone.
         None (default) = one round serves every ready stream (max
-        throughput)."""
+        throughput).
+
+        ``target_p99_ms``: a ready->applied latency SLA that sizes rounds
+        AUTOMATICALLY from the measured cost model (VERDICT r4 #4): the
+        scheduler tracks an EMA of each batch bucket's dispatch->applied
+        wall cost and caps round width at the widest bucket whose
+        predicted worst-case wait (~2 rounds: finish the in-flight round,
+        then run your own) stays under the target.  Replaces hand-tuning
+        ``max_round_streams``; both given = the tighter cap wins.
+        Unmeasured buckets are allowed optimistically (the first rounds
+        calibrate the EMA; ``warmup()`` pre-compiles every bucket).
+
+        ``first_partial_seconds``: flush each stream's FIRST audio chunk
+        early, after this many seconds of capture (VERDICT r4 #7): the
+        first decodable window reaches the scheduler ~this soon instead
+        of after a full chunk period, cutting admission->first-partial
+        latency by roughly the difference, at the cost of one extra
+        small-window decode round per stream lifetime.  Off (None) by
+        default: the early partial window decodes with less context, so
+        its drained text can differ from the chunk-cadence decode of the
+        same audio (the same latency/quality trade the reference's
+        ``set_responsiveness`` makes, monolingual.rs:146-156) — serving
+        deployments should set ~0.3-0.5 (docs/serving.md)."""
         if not isinstance(model, WhisperModel):
             raise NormaError("BatchedTranscriber requires a WhisperModel")
         self.model = model
@@ -109,6 +133,17 @@ class BatchedTranscriber:
         if max_round_streams is not None and max_round_streams < 1:
             raise NormaError("max_round_streams must be >= 1")
         self.max_round_streams = max_round_streams
+        if target_p99_ms is not None and target_p99_ms <= 0:
+            raise NormaError("target_p99_ms must be > 0")
+        self.target_p99_ms = target_p99_ms
+        # Per-bucket EMA of a round's dispatch->applied wall seconds — the
+        # cost model behind the SLA round sizing (and a metrics() column).
+        self._round_cost_ema: Dict[int, float] = {}
+        self.first_partial_samples = (
+            int(first_partial_seconds * model.SAMPLE_RATE)
+            if first_partial_seconds
+            else None
+        )
         self._round_rr = 0  # rotation cursor for capped rounds
         self._dp = 1
         self._mesh = mesh
@@ -206,7 +241,8 @@ class BatchedTranscriber:
             )
             ring = RecycledRing(8, chunk_len, self.model.dtype, wakeup=self._wake)
             pipeline = StreamPipeline(
-                settings.source, self.model.SAMPLE_RATE, self.model.dtype, ring
+                settings.source, self.model.SAMPLE_RATE, self.model.dtype, ring,
+                first_flush_len=self.first_partial_samples,
             )
             lang = LanguageState(const=self._base_lang.const)
             # No seed= here: the batched path never calls the decoder's own
@@ -357,6 +393,9 @@ class BatchedTranscriber:
             and s.state.next_window() is not None
         ]
         cap = self.max_round_streams
+        if self.target_p99_ms is not None:
+            sla = self._sla_round_cap()
+            cap = sla if cap is None else min(cap, sla)
         if cap is not None and len(ready) > cap:
             # Capped round: rotate the slice so successive rounds cycle
             # through all ready streams (no starvation under a permanent
@@ -366,6 +405,32 @@ class BatchedTranscriber:
             ready = (ready + ready)[start : start + cap]
             self._round_rr += cap
         return ready
+
+    def _sla_round_cap(self) -> int:
+        """Widest round (in streams) whose predicted worst-case wait meets
+        ``target_p99_ms``.
+
+        A stream that becomes ready just after a dispatch waits for the
+        in-flight round to finish and then for its own round: predicted
+        wait ~= 2 x the bucket's measured round cost (the EMA is the
+        dispatch->applied wall, which includes device compute plus the
+        host fetch — exactly what ready->applied pays).  Buckets without
+        a measurement yet are allowed optimistically so warm-up rounds
+        calibrate the model; the cap can never drop below the smallest
+        bucket (the SLA may then be unachievable — the metrics expose
+        both numbers so the operator can see it).
+        """
+        target_s = self.target_p99_ms / 1e3
+        best = self._round_batch(1)  # floor: smallest dispatchable bucket
+        n = 1
+        while n <= self.max_streams:
+            B = self._round_batch(n)
+            ema = self._round_cost_ema.get(B)
+            if ema is not None and 2.0 * ema > target_s:
+                break  # round cost grows with B: wider can only be worse
+            best = B
+            n = B + 1  # jump to the next bucket boundary
+        return best
 
     @staticmethod
     def _batch_size(n: int, cap: int) -> int:
@@ -443,6 +508,7 @@ class BatchedTranscriber:
             audio_j = jax.device_put(windows, self._batch_sharding)
         else:
             audio_j = jnp.asarray(windows)
+        t_dispatch = time.monotonic()
         if self.pipeline_rounds:
             pending = self.engine.transcribe_window_async(
                 audio_j, langs, seed=ready[0].seed, n_active=n
@@ -451,11 +517,11 @@ class BatchedTranscriber:
             pending = self.engine.transcribe_window(
                 audio_j, langs, seed=ready[0].seed, n_active=n
             )
-        return ready, pending
+        return ready, pending, B, t_dispatch
 
     def _apply_round(self, round_) -> None:
         """Fetch a dispatched round's results and apply them per stream."""
-        ready, pending = round_
+        ready, pending, B, t_dispatch = round_
         try:
             if self.pipeline_rounds:
                 drs, info = self.engine.transcribe_window_fetch(pending)
@@ -466,6 +532,10 @@ class BatchedTranscriber:
                 s.in_flight = False
 
         now = time.monotonic()
+        # Cost-model EMA for the SLA round sizing (also a metrics column).
+        dt = now - t_dispatch
+        prev = self._round_cost_ema.get(B)
+        self._round_cost_ema[B] = dt if prev is None else 0.7 * prev + 0.3 * dt
         for i, s in enumerate(ready):
             if s.t_ready is not None:
                 self._lat_round.append(now - s.t_ready)
@@ -541,14 +611,25 @@ class BatchedTranscriber:
                 "max_ms": round(float(arr.max()), 1),
             }
 
-        return {
+        out = {
             "transcript_drops": t,
             "audio_drops": a,
             "latency": {
                 "admit_to_first_partial": pct(lat_admit),
                 "ready_to_applied": pct(lat_round),
             },
+            # Measured per-bucket round cost (the SLA sizing's model).
+            "round_cost_ema_ms": {
+                B: round(v * 1e3, 1)
+                for B, v in sorted(self._round_cost_ema.items())
+            },
         }
+        if self.target_p99_ms is not None:
+            out["sla"] = {
+                "target_p99_ms": self.target_p99_ms,
+                "round_cap": self._sla_round_cap(),
+            }
+        return out
 
     def _run(self) -> None:
         pending = None  # dispatched round awaiting fetch/apply

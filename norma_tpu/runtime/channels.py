@@ -42,6 +42,12 @@ class Chunk:
 
     buf: np.ndarray
     length: int
+    # End-of-stream override: None keeps the reference's capacity-based
+    # protocol (a non-full chunk is the last one, lib.rs:256-262 + :463);
+    # an explicit False lets the Packer emit a deliberately SHORT non-final
+    # chunk (the first-partial-latency early flush) without it reading as
+    # EOS.
+    final_flag: Optional[bool] = None
 
     @property
     def data(self) -> np.ndarray:
@@ -49,7 +55,8 @@ class Chunk:
 
     @property
     def is_final(self) -> bool:
-        # End-of-stream protocol: a non-full chunk is the last one.
+        if self.final_flag is not None:
+            return self.final_flag
         return self.length < self.buf.shape[0]
 
 
@@ -82,11 +89,14 @@ class RecycledRing:
     def chunk_len(self) -> int:
         return self._chunk_len
 
-    def try_send(self, data: np.ndarray, length: int) -> bool:
+    def try_send(
+        self, data: np.ndarray, length: int, final: Optional[bool] = None
+    ) -> bool:
         """Non-blocking lossy send (reference: try_send_ref, lib.rs:244).
 
         Copies ``data[:length]`` into a recycled slot.  Returns False (chunk
-        dropped) when no slot is free or the channel is closed.
+        dropped) when no slot is free or the channel is closed.  ``final``
+        overrides the capacity-based EOS rule (see :class:`Chunk`).
         """
         with self._cond:
             if self._closed:
@@ -114,7 +124,7 @@ class RecycledRing:
                 # dropped == 0 across nominal stop()s).
                 self._free.append(slot)
                 return False
-            self._full.append(Chunk(slot, length))
+            self._full.append(Chunk(slot, length, final))
             self._cond.notify()
         if self._wakeup is not None:
             self._wakeup.set()

@@ -63,6 +63,7 @@ FULL_RESULTS = {
     "lat_admit_to_first_partial_p50_ms": 2123.9,
     "lat_admit_to_first_partial_p99_ms": 2126.3,
     "lat_sla_target_p99_ms": 800.0,
+    "lat_sla_round_cap": 8,
     "lat_round_cost_ema_ms": 255.3,
 }
 

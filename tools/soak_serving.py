@@ -47,6 +47,11 @@ def main() -> None:
                     default=float(os.environ.get("SOAK_RSS_BUDGET_MB", 256)))
     ap.add_argument("--no-pipeline", action="store_true",
                     help="disable round pipelining (latency A/B control)")
+    ap.add_argument("--target-p99-ms", type=float, default=None,
+                    help="ready->applied SLA: auto-size rounds from the "
+                         "cost EMA and ASSERT the measured p99 at exit")
+    ap.add_argument("--first-partial", type=float, default=None,
+                    help="early first-chunk flush (seconds)")
     args = ap.parse_args()
 
     import jax
@@ -118,7 +123,11 @@ def main() -> None:
             LanguageState(const=50259),
         )
 
-    bt = BatchedTranscriber(model, max_streams=args.streams)
+    bt = BatchedTranscriber(
+        model, max_streams=args.streams,
+        target_p99_ms=args.target_p99_ms,
+        first_partial_seconds=args.first_partial,
+    )
     if args.no_pipeline:
         bt.pipeline_rounds = False
         print("# round pipelining DISABLED (A/B control)", flush=True)
@@ -198,6 +207,20 @@ def main() -> None:
     )
     assert m["transcript_drops"] == 0, m
     assert m["audio_drops"] == 0, m
+    if args.target_p99_ms:
+        # SLA assertion (VERDICT r4 #4): the measured ready->applied p99
+        # must honor the target.  30% slack covers the calibration rounds
+        # at the start of the run (buckets without an EMA are allowed
+        # optimistically until measured once).
+        ra = m["latency"]["ready_to_applied"]
+        assert ra is not None, "no ready->applied samples recorded"
+        assert ra["p99_ms"] <= args.target_p99_ms * 1.3, (
+            f"SLA violated: ready->applied p99 {ra['p99_ms']} ms vs "
+            f"target {args.target_p99_ms} ms (cost model: "
+            f"{m['round_cost_ema_ms']}, cap {m['sla']['round_cap']})"
+        )
+        print(f"# SLA held: p99 {ra['p99_ms']} ms <= "
+              f"{args.target_p99_ms} * 1.3 ms", flush=True)
     # RSS budget: on this environment's remotely-attached TPU the axon
     # tunnel client leaks host RSS 1:1 with host->device transfer bytes
     # (isolated probe: 40 fresh 12 MB uploads grew RSS by 481 MB with
