@@ -526,9 +526,54 @@ class DecodeEngine:
             cache_v,
             key0,
         )
-        (step, tokens, n, _, _, _, slp, _, _, _, _, _) = jax.lax.while_loop(
-            cond, body, init
+        buckets = sorted(
+            {int(b) for b in (cfg.decode_buckets or ()) if 0 < int(b) < mtp}
         )
+        if not buckets:
+            (step, tokens, n, _, _, _, slp, _, _, _, _, _) = (
+                jax.lax.while_loop(cond, body, init)
+            )
+            return tokens, n, slp
+
+        # Bucketed decode chain (cfg.decode_buckets): run the SAME loop
+        # body as a sequence of while_loops over growing cache crops, so a
+        # step at fill < S reads/writes an [L, B, S, D] cache instead of
+        # the full [L, B, mtp, D] one (decoder_step's mask and the Pallas
+        # self-decode kernel are cache-shape-driven).  Each boundary costs
+        # one cache copy; masked rows contribute exact zeros, so results
+        # are bitwise identical to the unbucketed loop (pinned by
+        # tests/test_bucketed_decode.py).
+        crop = lambda c, S: jax.tree.map(lambda a: a[:, :, :S], c)
+        sizes = buckets + [mtp]
+        carry = list(init)
+        carry[9] = crop(carry[9], sizes[0])
+        carry[10] = crop(carry[10], sizes[0])
+        for i, S in enumerate(sizes):
+            if i == len(sizes) - 1:
+                cond_i = cond
+            else:
+                # The token forwarded at ``step`` writes cache row
+                # n0 + step, which must stay inside this bucket.
+                def cond_i(c, S=S):
+                    return jnp.logical_and(cond(c), (n0 + c[0]) < S)
+
+            carry = list(jax.lax.while_loop(cond_i, body, tuple(carry)))
+            if i < len(sizes) - 1:
+                pad = lambda a, S_next=sizes[i + 1]: jnp.concatenate(
+                    [
+                        a,
+                        jnp.zeros(
+                            a.shape[:2]
+                            + (S_next - a.shape[2],)
+                            + a.shape[3:],
+                            a.dtype,
+                        ),
+                    ],
+                    axis=2,
+                )
+                carry[9] = jax.tree.map(pad, carry[9])
+                carry[10] = jax.tree.map(pad, carry[10])
+        (step, tokens, n, _, _, _, slp, _, _, _, _, _) = carry
         return tokens, n, slp
 
     def _window_front(self, params, audio, langs, *, detect: bool):

@@ -185,6 +185,21 @@ class WhisperConfig:
     # (2868 -> 3946/5080 us/step, PERF.md), so scan boundaries are not
     # the deep decoder's non-roofline cost — leave at 0.
     decoder_scan_unroll: int = 0
+    # Bucketed decode (r5, the PURE-XLA fill-proportional self-KV form):
+    # ascending cache-length buckets strictly below max_target_positions,
+    # e.g. (128, 256) at mtp=448.  The token loop runs as a CHAIN of
+    # per-bucket while_loops: tokens at fill < 128 read/write a cache
+    # cropped to 128 rows, then the cache grows to 256, then to mtp — so
+    # early steps' self-KV stream scales with fill instead of paying the
+    # full static mtp read every step (~2.5x overread at mtp=448,
+    # PERF.md "Next lever").  Bucket boundaries cost one cache copy per
+    # window each; decode results are BITWISE identical to the unbucketed
+    # loop (masked rows contribute exact zeros).  () = off.  Composes
+    # with self_kv_impl="kernel" and quantize_self_kv (each bucket
+    # compiles its own step).  The r4 KERNEL-chunked form of this idea
+    # lost its A/B and was removed; this form moves the bound to loop
+    # structure instead of kernel grids.
+    decode_buckets: Tuple[int, ...] = ()
 
     @property
     def head_dim(self) -> int:

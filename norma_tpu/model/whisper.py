@@ -959,7 +959,10 @@ def decoder_step(
     """
     dec = params["decoder"]
     n_heads = cfg.decoder_attention_heads
-    Tmax = cfg.max_target_positions
+    # Cache-shape-driven, NOT cfg.max_target_positions: the bucketed
+    # decode chain (cfg.decode_buckets) runs early tokens against a
+    # CROPPED cache so the self-KV stream scales with fill.
+    Tmax = (cache_k["q"] if isinstance(cache_k, dict) else cache_k).shape[2]
     dtype = dec["tok_emb"].dtype
 
     x = dec["tok_emb"][tok][:, None, :] + jax.lax.dynamic_slice_in_dim(
