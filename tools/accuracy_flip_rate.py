@@ -20,8 +20,20 @@ cross-KV (quantize_cross_kv), int8 self-KV (quantize_self_kv), w8a8
 encoder (quantize_encoder).  Kernel impls (flash encoder, decode
 kernels) have their own hardware parity gates (tools/verify_*_tpu.py).
 
+r5 (VERDICT r4 #5): random seeded weights are a KNIFE-EDGE worst case —
+their top-2 logit gaps sit near zero, so any perturbation flips tokens.
+The tool now measures TWO regimes per run and prints both tables:
+
+  - "knife-edge": plain seeded params (the r4 worst-case ceiling)
+  - "peaked": the same params with the decoder's final-LN gain scaled
+    PER SEED so the measured top-2 logit gap lands at --target-gap
+    (default 8 — the ~5-15 range real checkpoints show on clear
+    speech): the TYPICAL-case bracket.  The measured median top-2 gap
+    is reported per regime so the "realistic margins" claim is
+    checkable.
+
 Run: python tools/accuracy_flip_rate.py [--dim 512] [--seeds 3]
-Prints a markdown table (paste into PERF.md) + JSON to
+Prints markdown tables (paste into PERF.md) + JSON to
 /tmp/norma_flip_rate.json.
 """
 
@@ -73,11 +85,17 @@ def main() -> None:
     ap.add_argument("--layers", type=int, default=4)
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--mtp", type=int, default=48)
+    ap.add_argument("--target-gap", type=float, default=8.0,
+                    help="median top-2 logit gap the 'peaked' regime "
+                         "aims for (0 = knife-edge only); the final-LN "
+                         "gain is scaled per seed to hit it")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (leave the chip free)")
     args = ap.parse_args()
 
     import jax
 
-    if jax.default_backend() not in ("tpu",):
+    if args.cpu or jax.default_backend() not in ("tpu",):
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -154,48 +172,94 @@ def main() -> None:
         }
         return t
 
-    # flips/positions + window-exact counts per tier
+    def peak(params, scale):
+        """Inflate the decoder's final-LN gain so logits (hence top-2
+        gaps) scale by ~``scale`` — synthesizing the confident-margin
+        regime trained checkpoints show on clear speech without needing
+        a trained checkpoint (helpers.confident_params uses the same
+        construction for plumbing tests)."""
+        p = dict(params)
+        d = dict(p["decoder"])
+        d["ln_g"] = (
+            d["ln_g"].astype(jnp.float32) * scale
+        ).astype(d["ln_g"].dtype)
+        p["decoder"] = d
+        return p
+
+    def top2_gap(engine, audio):
+        """Median top-2 logit gap over the first decode position."""
+        mel = log_mel_spectrogram(
+            jnp.asarray(prepare_audio(audio, n_frames=N_FRAMES))[None],
+            n_mels=cfg.num_mel_bins, n_frames=N_FRAMES,
+        )
+        state = engine.prefill(engine.encode(mel), LANG)
+        nl = np.asarray(state["next_logits"][0], np.float32)
+        top2 = np.partition(nl, -2)[-2:]
+        return float(top2[1] - top2[0])
+
+    regimes = [("knife-edge", False)]
+    if args.target_gap > 0:
+        regimes.append(("peaked", True))
+
+    # (regime, tier) -> flips/positions + window-exact counts
     stats = {}
+    gaps = {name: [] for name, _ in regimes}
     t0 = time.time()
-    for seed in range(args.seeds):
-        params = fuse_qkv(init_params(cfg, seed=seed, dtype=jnp.bfloat16))
-        base = DecodeEngine(params, cfg, st)
-        tier_engines = {k: b() for k, b in tiers(params).items()}
-        for kind in AUDIOS:
-            audio = make_audio(kind, 6.0, seed=100 + seed)
-            ref = decode_tokens(base, audio)
-            for name, eng in tier_engines.items():
-                got = decode_tokens(eng, audio)
-                n = max(len(ref), len(got))
-                first_div = next(
-                    (
-                        i
-                        for i in range(n)
-                        if i >= len(ref)
-                        or i >= len(got)
-                        or ref[i] != got[i]
-                    ),
-                    n,
-                )
-                flips = n - first_div
-                s = stats.setdefault(
-                    name, {"flips": 0, "positions": 0, "windows": 0,
-                           "exact": 0}
-                )
-                s["flips"] += flips
-                s["positions"] += n
-                s["windows"] += 1
-                s["exact"] += int(flips == 0)
-            print(
-                f"# seed {seed} {kind}: ref {len(ref)} toks "
-                f"(+{time.time()-t0:.0f}s)",
-                flush=True,
+    for regime, do_peak in regimes:
+        for seed in range(args.seeds):
+            params = fuse_qkv(
+                init_params(cfg, seed=seed, dtype=jnp.bfloat16)
             )
+            if do_peak:
+                # Calibrate the LN scale per seed so the measured gap
+                # actually lands at --target-gap (gaps scale linearly
+                # with the final-LN gain).
+                g0 = top2_gap(
+                    DecodeEngine(params, cfg, st),
+                    make_audio("mix", 6.0, seed=100 + seed),
+                )
+                scale = min(1000.0, max(1.0, args.target_gap / max(g0, 1e-3)))
+                params = peak(params, scale)
+            base = DecodeEngine(params, cfg, st)
+            tier_engines = {k: b() for k, b in tiers(params).items()}
+            for kind in AUDIOS:
+                audio = make_audio(kind, 6.0, seed=100 + seed)
+                ref = decode_tokens(base, audio)
+                gaps[regime].append(top2_gap(base, audio))
+                for name, eng in tier_engines.items():
+                    got = decode_tokens(eng, audio)
+                    n = max(len(ref), len(got))
+                    first_div = next(
+                        (
+                            i
+                            for i in range(n)
+                            if i >= len(ref)
+                            or i >= len(got)
+                            or ref[i] != got[i]
+                        ),
+                        n,
+                    )
+                    flips = n - first_div
+                    s = stats.setdefault(
+                        (regime, name),
+                        {"flips": 0, "positions": 0, "windows": 0,
+                         "exact": 0},
+                    )
+                    s["flips"] += flips
+                    s["positions"] += n
+                    s["windows"] += 1
+                    s["exact"] += int(flips == 0)
+                print(
+                    f"# {regime} seed {seed} {kind}: ref {len(ref)} toks "
+                    f"(+{time.time()-t0:.0f}s)",
+                    flush=True,
+                )
 
     rows = []
-    for name, s in sorted(stats.items()):
+    for (regime, name), s in sorted(stats.items()):
         lo, hi = wilson_ci(s["flips"], s["positions"])
         rows.append({
+            "regime": regime,
             "tier": name,
             "windows": s["windows"],
             "exact_windows": s["exact"],
@@ -205,22 +269,35 @@ def main() -> None:
             "ci95": [round(lo, 4), round(hi, 4)],
         })
 
-    print("\n| tier | exact windows | flip rate (95% CI) |")
-    print("|---|---|---|")
-    for r in rows:
+    gap_stats = {
+        regime: round(float(np.median(g)), 2) for regime, g in gaps.items()
+    }
+    for regime, _ in regimes:
         print(
-            f"| {r['tier']} | {r['exact_windows']}/{r['windows']} | "
-            f"{r['flip_rate']:.3f} ({r['ci95'][0]:.3f}-{r['ci95'][1]:.3f}) |"
+            f"\n### {regime} (median top-2 logit gap "
+            f"{gap_stats[regime]})"
         )
+        print("| tier | exact windows | flip rate (95% CI) |")
+        print("|---|---|---|")
+        for r in rows:
+            if r["regime"] != regime:
+                continue
+            print(
+                f"| {r['tier']} | {r['exact_windows']}/{r['windows']} | "
+                f"{r['flip_rate']:.3f} "
+                f"({r['ci95'][0]:.3f}-{r['ci95'][1]:.3f}) |"
+            )
     out = {
         "config": f"d{args.dim} L{args.layers} vocab 51865 bf16, "
                   f"{args.seeds} seeds x {len(AUDIOS)} audios, "
-                  f"greedy mtp={args.mtp}",
+                  f"greedy mtp={args.mtp}, target_gap={args.target_gap}",
         "backend": jax.default_backend(),
+        "median_top2_gap": gap_stats,
         "note": (
             "flip = all positions from the first divergence (conservative "
-            "tail charge); random seeded weights are a knife-edge "
-            "worst-case vs trained checkpoints (PARITY.md)"
+            "tail charge); knife-edge = plain seeded weights (worst-case "
+            "ceiling), peaked = final-LN-scaled margins bracketing "
+            "trained-checkpoint behavior from the typical side (PARITY.md)"
         ),
         "rows": rows,
         "measured_at_utc": time.strftime(

@@ -15,6 +15,45 @@
 # evidence is worse than a clear failure line.
 set -euo pipefail
 
+# --dry-run: execute the OFFLINE PREFIX only (no egress) — validate every
+# API and tool flag the networked steps will use, so signature drift can't
+# rot this script between rounds (VERDICT r4 #8).  Run by CI via
+# tests/test_first_network_dryrun.py.
+if [ "${1:-}" = "--dry-run" ]; then
+    cd "$(dirname "$0")/.."
+    echo "=== first_network_run DRY RUN (offline prefix)"
+    python - <<'EOF'
+# Step-1 API surface: the exact constructions the download step performs,
+# minus the network call.
+from norma_tpu.models import SelectedDevice
+from norma_tpu.models.whisper.monolingual import Definition, ModelType
+
+for mt in (ModelType.TINY_EN, ModelType.DISTIL_LARGE_EN_V3):
+    d = Definition(mt, SelectedDevice.cpu())
+    assert hasattr(d, "blocking_try_to_model")
+# Step-3 cache-resolution import.
+import huggingface_hub  # noqa: F401
+from huggingface_hub import hf_hub_download  # noqa: F401
+print("# API surface OK")
+EOF
+    # Steps 2-4 tool flags: every flag the script passes must exist.
+    check_flags() {
+        local tool="$1"; shift
+        local help
+        help="$(python "$tool" --help 2>&1)"
+        for flag in "$@"; do
+            echo "$help" | grep -q -- "$flag" || {
+                echo "DRIFT: $tool lost flag $flag"; exit 1; }
+        done
+        echo "# $tool flags OK: $*"
+    }
+    check_flags tools/make_golden.py --repo --lang
+    check_flags tools/quantize_checkpoint.py --decoder --encoder
+    check_flags tools/eval_wer.py --local-dir --librispeech
+    echo "=== DRY RUN OK — networked steps validated offline"
+    exit 0
+fi
+
 LS_DIR="${1:-}"
 OUT="${2:-/tmp/norma_first_network_$(date +%Y%m%d_%H%M%S)}"
 mkdir -p "$OUT"
