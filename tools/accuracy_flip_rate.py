@@ -25,12 +25,16 @@ their top-2 logit gaps sit near zero, so any perturbation flips tokens.
 The tool now measures TWO regimes per run and prints both tables:
 
   - "knife-edge": plain seeded params (the r4 worst-case ceiling)
-  - "peaked": the same params with the decoder's final-LN gain scaled
-    PER SEED so the measured top-2 logit gap lands at --target-gap
-    (default 8 — the ~5-15 range real checkpoints show on clear
-    speech): the TYPICAL-case bracket.  The measured median top-2 gap
-    is reported per regime so the "realistic margins" claim is
-    checkable.
+  - "trained": the same dims actually FIT (Adam, teacher-forced CE
+    through the production encode/prefill graph) on a synthetic
+    audio->token-sequence task until the margins are real — the
+    TYPICAL-case bracket.  Genuinely peaked posteriors, not a rescaling:
+    an LN-gain-scaled construction was tried first and discarded
+    because it multiplies signal and perturbation equally (flip rates
+    came back regime-invariant up to trajectory noise).  The measured
+    median top-2 logit gap is reported per regime so the "realistic
+    margins" claim is checkable against real checkpoints (~5-15 on
+    clear speech).
 
 Run: python tools/accuracy_flip_rate.py [--dim 512] [--seeds 3]
 Prints markdown tables (paste into PERF.md) + JSON to
@@ -85,10 +89,9 @@ def main() -> None:
     ap.add_argument("--layers", type=int, default=4)
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--mtp", type=int, default=48)
-    ap.add_argument("--target-gap", type=float, default=8.0,
-                    help="median top-2 logit gap the 'peaked' regime "
-                         "aims for (0 = knife-edge only); the final-LN "
-                         "gain is scaled per seed to hit it")
+    ap.add_argument("--train-steps", type=int, default=350,
+                    help="Adam steps for the 'trained' regime "
+                         "(0 = knife-edge only)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (leave the chip free)")
     args = ap.parse_args()
@@ -172,18 +175,50 @@ def main() -> None:
         }
         return t
 
-    def peak(params, scale):
-        """Inflate the decoder's final-LN gain so logits (hence top-2
-        gaps) scale by ~``scale`` — synthesizing the confident-margin
-        regime trained checkpoints show on clear speech without needing
-        a trained checkpoint (helpers.confident_params uses the same
-        construction for plumbing tests)."""
-        p = dict(params)
-        d = dict(p["decoder"])
-        d["ln_g"] = (
-            d["ln_g"].astype(jnp.float32) * scale
-        ).astype(d["ln_g"].dtype)
-        p["decoder"] = d
+    from norma_tpu.model.whisper import cross_kv, decoder_prefill, encode
+
+    def target_tokens(seed: int, kind_idx: int) -> np.ndarray:
+        """Deterministic per-(seed, audio-kind) token sequence to fit:
+        [sot, lang, task, 20 text tokens, eot] — the shape real windows
+        decode, with text ids kept below the special range."""
+        rng = np.random.default_rng(7_000 + 17 * seed + kind_idx)
+        body = rng.integers(100, 40_000, size=20, dtype=np.int64)
+        return np.concatenate(
+            [[SOT, LANG, TASK], body, [EOT]]
+        ).astype(np.int32)
+
+    def train(params_f32, seed: int, mels, targets):
+        """Teacher-forced CE fit through the PRODUCTION graph
+        (encode -> cross_kv -> decoder_prefill), so the trained weights
+        are confident on exactly the windows the flip measurement
+        decodes."""
+        import optax
+
+        toks = jnp.asarray(np.stack(targets))  # [K, T]
+
+        def loss_fn(p):
+            feats = encode(p, cfg, mels)
+            xk, xv = cross_kv(p, cfg, feats)
+            logits, _, _ = decoder_prefill(p, cfg, toks[:, :-1], xk, xv)
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            tgt = toks[:, 1:]
+            return -jnp.take_along_axis(lp, tgt[..., None], -1).mean()
+
+        opt = optax.adam(1e-3)
+        state = opt.init(params_f32)
+
+        @jax.jit
+        def step(p, s):
+            l, g = jax.value_and_grad(loss_fn)(p)
+            updates, s = opt.update(g, s)
+            return optax.apply_updates(p, updates), s, l
+
+        p = params_f32
+        for i in range(args.train_steps):
+            p, state, l = step(p, state)
+            if i % 100 == 0 or i == args.train_steps - 1:
+                print(f"# train seed {seed} step {i}: loss {float(l):.4f}",
+                      flush=True)
         return p
 
     def top2_gap(engine, audio):
@@ -198,28 +233,45 @@ def main() -> None:
         return float(top2[1] - top2[0])
 
     regimes = [("knife-edge", False)]
-    if args.target_gap > 0:
-        regimes.append(("peaked", True))
+    if args.train_steps > 0:
+        regimes.append(("trained", True))
 
     # (regime, tier) -> flips/positions + window-exact counts
     stats = {}
     gaps = {name: [] for name, _ in regimes}
     t0 = time.time()
-    for regime, do_peak in regimes:
+    for regime, do_train in regimes:
         for seed in range(args.seeds):
-            params = fuse_qkv(
-                init_params(cfg, seed=seed, dtype=jnp.bfloat16)
-            )
-            if do_peak:
-                # Calibrate the LN scale per seed so the measured gap
-                # actually lands at --target-gap (gaps scale linearly
-                # with the final-LN gain).
-                g0 = top2_gap(
-                    DecodeEngine(params, cfg, st),
-                    make_audio("mix", 6.0, seed=100 + seed),
+            if do_train:
+                audios = [
+                    make_audio(kind, 6.0, seed=100 + seed)
+                    for kind in AUDIOS
+                ]
+                mels = log_mel_spectrogram(
+                    jnp.asarray(
+                        np.stack(
+                            [prepare_audio(a, n_frames=N_FRAMES)
+                             for a in audios]
+                        )
+                    ),
+                    n_mels=cfg.num_mel_bins, n_frames=N_FRAMES,
                 )
-                scale = min(1000.0, max(1.0, args.target_gap / max(g0, 1e-3)))
-                params = peak(params, scale)
+                targets = [
+                    target_tokens(seed, i) for i in range(len(AUDIOS))
+                ]
+                trained = train(
+                    init_params(cfg, seed=seed, dtype=jnp.float32),
+                    seed, mels, targets,
+                )
+                params = fuse_qkv(
+                    jax.tree.map(
+                        lambda a: a.astype(jnp.bfloat16), trained
+                    )
+                )
+            else:
+                params = fuse_qkv(
+                    init_params(cfg, seed=seed, dtype=jnp.bfloat16)
+                )
             base = DecodeEngine(params, cfg, st)
             tier_engines = {k: b() for k, b in tiers(params).items()}
             for kind in AUDIOS:
@@ -290,14 +342,15 @@ def main() -> None:
     out = {
         "config": f"d{args.dim} L{args.layers} vocab 51865 bf16, "
                   f"{args.seeds} seeds x {len(AUDIOS)} audios, "
-                  f"greedy mtp={args.mtp}, target_gap={args.target_gap}",
+                  f"greedy mtp={args.mtp}, train_steps={args.train_steps}",
         "backend": jax.default_backend(),
         "median_top2_gap": gap_stats,
         "note": (
             "flip = all positions from the first divergence (conservative "
             "tail charge); knife-edge = plain seeded weights (worst-case "
-            "ceiling), peaked = final-LN-scaled margins bracketing "
-            "trained-checkpoint behavior from the typical side (PARITY.md)"
+            "ceiling), trained = same dims Adam-fit on a synthetic "
+            "audio->tokens task (genuine margins: the typical-side "
+            "bracket, PARITY.md)"
         ),
         "rows": rows,
         "measured_at_utc": time.strftime(
