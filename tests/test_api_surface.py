@@ -98,6 +98,7 @@ def test_whisper_definitions():
 def test_batched_transcriber_api():
     assert _params(BatchedTranscriber.__init__) == [
         "self", "model", "max_streams", "mesh", "max_round_streams",
+        "target_p99_ms", "first_partial_seconds",  # r5 latency knobs
     ]
     assert hasattr(BatchedTranscriber, "blocking_start")
     assert hasattr(BatchedTranscriber, "close")
