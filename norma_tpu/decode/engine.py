@@ -229,6 +229,15 @@ class DecodeEngine:
         # False = reference (whisper.cpp/candle) framing; True = OpenAI/HF
         # centered STFT (matches how the checkpoints were trained).
         self.mel_center = bool(mel_center)
+        if self.cfg.decode_buckets:
+            bad = [
+                b for b in self.cfg.decode_buckets
+                if not isinstance(b, int) or b <= 0
+            ]
+            if bad:
+                raise ValueError(
+                    f"decode_buckets must be positive ints, got {bad}"
+                )
         masks = build_masks(cfg.vocab_size, cfg.suppress_tokens, st)
         self._m_suppress = jnp.asarray(masks.suppress)
         self._m_non_ts = jnp.asarray(masks.non_timestamps)

@@ -138,6 +138,13 @@ def main() -> None:
 
     timed_window(b1_engine(), "ctl_b1_w8_skv_xkv", b=1)
     timed_window(b1_engine((128, 256)), "buckets2_b1_w8_skv_xkv", b=1)
+    # Finer ladder at B=1: per-bucket loop/copy overheads are amortized
+    # over fewer rows there, so the sweet spot may sit deeper.
+    timed_window(
+        b1_engine((64, 128, 192, 256, 320, 384)), "buckets6_b1_w8_skv_xkv",
+        b=1,
+    )
+    timed_window(b1_engine((96, 192, 288, 384)), "buckets4_b1_w8_skv_xkv", b=1)
 
     print(json.dumps(out, indent=1))
 
