@@ -41,7 +41,16 @@ def main() -> None:
     )
     model = definition.blocking_try_to_model()
 
-    bt = BatchedTranscriber(model, max_streams=max(len(args), 1))
+    bt = BatchedTranscriber(
+        model,
+        max_streams=max(len(args), 1),
+        # r5 latency posture: rounds auto-size so predicted queue wait
+        # meets the SLA (metrics()["sla"] shows the live cap), and each
+        # stream's first window decodes ~0.4 s after admission instead
+        # of after a full chunk period (docs/serving.md "Latency knobs").
+        target_p99_ms=800.0,
+        first_partial_seconds=0.4,
+    )
     # Compile every batch bucket the scheduler can dispatch up front, so
     # no live round pays a mid-stream XLA compile.
     bt.warmup()
