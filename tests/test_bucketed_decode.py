@@ -86,10 +86,14 @@ def test_bucketed_with_self_kernel_interpret(monkeypatch):
 
 
 def test_degenerate_buckets_ignored():
-    # Buckets at/above mtp (or <= 0) are filtered; chain degrades to the
-    # plain loop rather than tracing an empty span.
-    base, bucketed = _engines((0, 48, 96))
+    # Buckets at/above mtp are filtered (one config can serve several
+    # mtp variants); the chain degrades to the plain loop rather than
+    # tracing an empty span.  Nonsense values (<= 0, non-int) raise at
+    # engine construction.
+    base, bucketed = _engines((48, 96))
     assert _window(bucketed, 1) == _window(base, 1)
+    with pytest.raises(ValueError):
+        _engines((0, 16))
 
 
 def test_run_loop_compositional_path():
