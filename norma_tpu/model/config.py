@@ -196,9 +196,12 @@ class WhisperConfig:
     # window each; decode results are BITWISE identical to the unbucketed
     # loop (masked rows contribute exact zeros).  () = off.  Composes
     # with self_kv_impl="kernel" and quantize_self_kv (each bucket
-    # compiles its own step).  The r4 KERNEL-chunked form of this idea
-    # lost its A/B and was removed; this form moves the bound to loop
-    # structure instead of kernel grids.
+    # compiles its own step); the speculative engine's t>0 fallback
+    # rungs inherit the buckets (its greedy draft/verify loop does not —
+    # the chunked verify already amortizes the cache read over K+1
+    # tokens).  The r4 KERNEL-chunked form of this idea lost its A/B and
+    # was removed; this form moves the bound to loop structure instead
+    # of kernel grids.
     decode_buckets: Tuple[int, ...] = ()
 
     @property

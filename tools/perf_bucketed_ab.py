@@ -145,6 +145,11 @@ def main() -> None:
         b=1,
     )
     timed_window(b1_engine((96, 192, 288, 384)), "buckets4_b1_w8_skv_xkv", b=1)
+    # The measured B=1 winner (r5 granularity bracket: 32-step 1732.4 /
+    # 48-step 1680.2 / 64-step 1706.7 ms device): 48-sample rungs.
+    timed_window(
+        b1_engine(tuple(range(48, 448, 48))), "buckets9_b1_w8_skv_xkv", b=1
+    )
 
     print(json.dumps(out, indent=1))
 
