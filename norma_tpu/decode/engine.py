@@ -119,6 +119,9 @@ class DecodeEngine:
         self._kernel_cfg = None
         self._kernel_fused = False
         self._ladder_sm_cache = {}
+        import threading
+
+        self._trace_lock = threading.RLock()
         if self._n_param_devices > 1:
             dp_carry = False
             if mesh is not None:
@@ -284,18 +287,21 @@ class DecodeEngine:
                 # swapped in only while THIS program traces (tracing happens
                 # inside the jit call on the engine's dispatch thread; the
                 # XLA-twin programs trace under the fallback config as
-                # before).
-                prev = (self.cfg, self.fused_sampler)
-                self.cfg, self.fused_sampler = (
-                    self._kernel_cfg,
-                    self._kernel_fused,
-                )
-                try:
-                    return self._ladder_impl(
-                        params, audio, langs, seed, active, detect=detect
+                # before).  The lock serializes against a second thread
+                # tracing any OTHER program mid-override (retraces at new
+                # shapes included).
+                with self._trace_lock:
+                    prev = (self.cfg, self.fused_sampler)
+                    self.cfg, self.fused_sampler = (
+                        self._kernel_cfg,
+                        self._kernel_fused,
                     )
-                finally:
-                    self.cfg, self.fused_sampler = prev
+                    try:
+                        return self._ladder_impl(
+                            params, audio, langs, seed, active, detect=detect
+                        )
+                    finally:
+                        self.cfg, self.fused_sampler = prev
 
             fn = jax.jit(
                 jax.shard_map(

@@ -89,25 +89,25 @@ def main() -> None:
         from norma_tpu.decode.masks import SpecialTokens
         from norma_tpu.model import PRESETS, fuse_qkv, init_params
 
-        # Suppressing EOT + peaking the softmax makes greedy decodes run
-        # to the cap through text tokens deterministically: random weights
-        # otherwise fail every rung's logprob gate and (reference-faithful)
-        # the returned last-rung decode may carry no text, which would
-        # trip the non-empty-output assertion for model reasons rather
-        # than plumbing ones.
+        # EXACTLY the scored bench's latency-arm model (bench.py):
+        # distil dims at mtp=136 with an unreachable EOT id, plain
+        # seed-0 weights.  Every window then decodes the full 132
+        # tokens, whose random stream is dense in timestamp boundaries,
+        # so every stream emits drainable segments reliably — the
+        # empty-output gate below measures PLUMBING, not model luck.
+        # (An earlier soak model peaked the softmax to pass the logprob
+        # gate, but peaked argmax repeats one token, segments become a
+        # per-tone lottery, and the r5 first-partial flush reshuffled
+        # enough trajectories to blow the allowance — 5-8/72 empty for
+        # model reasons.  The NaN-avg-accept quirk, pinned by the
+        # engine tests, makes the unpeaked model's windows accepted at
+        # rung 0, same as the bench arm.)
         base = PRESETS["distil-large-v3"]
-        cfg = base.with_(
-            suppress_tokens=tuple(base.suppress_tokens) + (50257,)
-        )
+        cfg = base.with_(max_target_positions=136)
         params = fuse_qkv(init_params(cfg, seed=0, dtype=jnp.bfloat16))
-        d = dict(params["decoder"])
-        d["ln_g"] = (jnp.asarray(d["ln_g"], jnp.float32) * 8.0).astype(
-            d["ln_g"].dtype
-        )
-        params["decoder"] = d
         params = jax.device_put(params, jax.devices()[0])
         st = SpecialTokens(
-            sot=50258, eot=50257, task=50360, no_speech=50363,
+            sot=50258, eot=-1, task=50360, no_speech=50363,
             no_timestamps=50364, zero_sec=50365, one_sec=50415,
         )
 
@@ -160,9 +160,16 @@ def main() -> None:
         dur = 3.0 if args.cpu else 20.0
         dur = min(dur, max(2.0, deadline - time.monotonic()))
         for i in range(args.streams):
+            # Non-repeating frequency sweep: the old %16 cycle replayed
+            # the same 8 tones every other wave, so ONE tone whose
+            # decode trajectory happens to emit nothing (a legitimate
+            # model outcome on seeded weights — see the gate below)
+            # could recur every wave and blow the small empty-stream
+            # allowance for model reasons.  17 is coprime to 391, so
+            # every stream in a soak gets a distinct tone in 220-611 Hz.
             h = bt.blocking_start(Settings(source=SyntheticSource(
                 sample_rate=16_000, channels=1, duration=dur,
-                freq=220.0 + 20 * ((started + i) % 16), realtime=True,
+                freq=220.0 + (17.0 * (started + i)) % 391.0, realtime=True,
             )))
             handles.append(h)
             started += 1
