@@ -610,3 +610,27 @@ def test_warmup_compiles_fallback_program():
     )
     model.warmup()
     assert called, "warmup() did not invoke warmup_fallback()"
+
+
+@pytest.mark.parametrize("spec_k", [2, 4])
+def test_spec_bucketed_matches_unbucketed(spec_k):
+    """decode_buckets in the SPECULATIVE greedy loop (r5): the bucketed
+    chain (cropped caches per bucket, K+1 slack preserved) must produce
+    results identical to the unbucketed spec window."""
+    cfg = tiny_config()
+    params = init_params(cfg, seed=4)
+    dcfg = _draft_cfg()
+    dparams = init_params(dcfg, seed=104)
+    kw = dict(language_token_ids=TEST_LANG_IDS, spec_k=spec_k)
+    spec = SpeculativeEngine(params, cfg, dparams, dcfg, TEST_ST, **kw)
+    spec_b = SpeculativeEngine(
+        params, cfg.with_(decode_buckets=(16, 32)), dparams, dcfg,
+        TEST_ST, **kw,
+    )
+    B = 2
+    audio = _window(91, cfg, b=B)
+    langs = [TEST_LANG_IDS[0]] * B
+    out, _ = spec.transcribe_window(audio, langs, seed=5)
+    out_b, _ = spec_b.transcribe_window(audio, langs, seed=5)
+    for a, b in zip(out, out_b):
+        _cmp_results(a, b)
