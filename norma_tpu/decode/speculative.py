@@ -403,56 +403,20 @@ class SpeculativeEngine(DecodeEngine):
             dcache_k,
             dcache_v,
         )
-        buckets = sorted(
-            {int(b) for b in (cfg.decode_buckets or ()) if 0 < int(b) < mtp}
+        # cfg.decode_buckets is deliberately IGNORED here (the t>0
+        # fallback rungs inherit it through _token_loop, where it wins):
+        # an r5 bucketed chain of this greedy loop — cropped caches with
+        # the K+1 slack preserved, max(n)-bounded buckets — was built,
+        # parity-verified, and LOST its device A/B decisively (lv3 B=1
+        # mtp=448 spec_k=4: 1434.3 ms control, reproduced exactly, vs
+        # 1570.8 with the 48-step ladder, +9.5%).  The verify chunk
+        # already amortizes each cache read over ~K+1 positions, so the
+        # overread saving is small while the per-bucket loop boundaries
+        # break the round's single-fusion schedule.  PERF.md "Bucketed
+        # decode" keeps the record; the removed chain is in git history.
+        (it, lrounds, tokens, n, _, _, _, slp, _, _, _, _, _) = (
+            jax.lax.while_loop(cond, body, init)
         )
-        if not buckets:
-            (it, lrounds, tokens, n, _, _, _, slp, _, _, _, _, _) = (
-                jax.lax.while_loop(cond, body, init)
-            )
-            return tokens, n, slp, lrounds
-
-        # Bucketed chain (cfg.decode_buckets), speculative form: same idea
-        # as DecodeEngine._token_loop's chain — early rounds read/write
-        # caches cropped to the bucket — but the bound is on the verify
-        # chunk's write window: a round touches rows [n-1, n+K), and
-        # FINISHED rows keep being fed at their final position, so every
-        # bucket keeps the loop's K+1 over-allocation slack and the
-        # per-bucket cond requires max(n) + K to stay inside the crop.
-        # Bitwise-identical results (masked rows contribute exact zeros);
-        # pinned against the plain-loop oracle in tests/test_speculative.py.
-        crop = lambda c, P: jax.tree.map(lambda a: a[:, :, :P], c)
-        slack = K + 1
-        sizes = buckets + [mtp]
-        carry = list(init)
-        P0 = sizes[0] + slack
-        for idx in (9, 10, 11, 12):
-            carry[idx] = crop(carry[idx], P0)
-        for i, S in enumerate(sizes):
-            if i == len(sizes) - 1:
-                cond_i = cond
-            else:
-                # Rows [n-1, n+K) must fit the physical crop S + slack:
-                # n + K - 1 <= S + slack - 1  <=>  max(n) <= S + 1.
-                def cond_i(c, S=S):
-                    return jnp.logical_and(cond(c), jnp.max(c[3]) <= S + 1)
-
-            carry = list(jax.lax.while_loop(cond_i, body, tuple(carry)))
-            if i < len(sizes) - 1:
-                P_next = sizes[i + 1] + slack
-                pad = lambda a, P=P_next: jnp.concatenate(
-                    [
-                        a,
-                        jnp.zeros(
-                            a.shape[:2] + (P - a.shape[2],) + a.shape[3:],
-                            a.dtype,
-                        ),
-                    ],
-                    axis=2,
-                )
-                for idx in (9, 10, 11, 12):
-                    carry[idx] = jax.tree.map(pad, carry[idx])
-        (it, lrounds, tokens, n, _, _, _, slp, _, _, _, _, _) = carry
         return tokens, n, slp, lrounds
 
     # ------------------------------------------------------------------

@@ -614,9 +614,12 @@ def test_warmup_compiles_fallback_program():
 
 @pytest.mark.parametrize("spec_k", [2, 4])
 def test_spec_bucketed_matches_unbucketed(spec_k):
-    """decode_buckets in the SPECULATIVE greedy loop (r5): the bucketed
-    chain (cropped caches per bucket, K+1 slack preserved) must produce
-    results identical to the unbucketed spec window."""
+    """A decode_buckets config on a SPECULATIVE engine must stay
+    result-identical to the unbucketed one: the greedy loop ignores the
+    buckets by design (the bucketed chain measured +9.5% on chip and was
+    removed — PERF.md "Bucketed decode"), and the t>0 fallback rungs,
+    which do inherit them through _token_loop, are bitwise-identical by
+    the plain-loop bucket tests."""
     cfg = tiny_config()
     params = init_params(cfg, seed=4)
     dcfg = _draft_cfg()
