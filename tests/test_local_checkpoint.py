@@ -328,3 +328,37 @@ def test_self_kv_rejected_with_speculative(tmp_path):
     )
     with pytest.raises(ValueError, match="quantize_self_kv"):
         defn.blocking_try_to_model()
+
+
+def test_decode_buckets_default_at_production_mtp(ckpt):
+    """r5: checkpoints decoding at mtp >= 448 default to the bucketed
+    chain (bitwise-identical, measured pure win — PERF.md "Bucketed
+    decode"); explicit overrides and short-mtp configs are untouched."""
+    base = monolingual.Definition(
+        monolingual.ModelType.TINY_EN, SelectedDevice.cpu(), local_dir=ckpt
+    )
+    # Fixture checkpoint decodes at mtp=48: no default applied.
+    assert base.blocking_try_to_model().engine.cfg.decode_buckets == ()
+
+    prod = monolingual.Definition(
+        monolingual.ModelType.TINY_EN, SelectedDevice.cpu(), local_dir=ckpt,
+        config_overrides={"max_target_positions": 448},
+    )
+    assert prod.blocking_try_to_model().engine.cfg.decode_buckets == (128, 256)
+
+    off = monolingual.Definition(
+        monolingual.ModelType.TINY_EN, SelectedDevice.cpu(), local_dir=ckpt,
+        config_overrides={
+            "max_target_positions": 448, "decode_buckets": (),
+        },
+    )
+    assert off.blocking_try_to_model().engine.cfg.decode_buckets == ()
+
+    custom = monolingual.Definition(
+        monolingual.ModelType.TINY_EN, SelectedDevice.cpu(), local_dir=ckpt,
+        config_overrides={
+            "max_target_positions": 448,
+            "decode_buckets": tuple(range(48, 448, 48)),
+        },
+    )
+    assert len(custom.blocking_try_to_model().engine.cfg.decode_buckets) == 9
