@@ -198,8 +198,13 @@ class BatchedTranscriber:
         self._thread.start()
 
     @classmethod
-    def from_definition(cls, definition, max_streams: int = 8) -> "BatchedTranscriber":
-        return cls(definition.blocking_try_to_model(), max_streams)
+    def from_definition(
+        cls, definition, max_streams: int = 8, **kwargs
+    ) -> "BatchedTranscriber":
+        """Build the model and the scheduler in one call; ``kwargs`` pass
+        through to the constructor (mesh, max_round_streams,
+        target_p99_ms, first_partial_seconds)."""
+        return cls(definition.blocking_try_to_model(), max_streams, **kwargs)
 
     # ------------------------------------------------------------------
 
